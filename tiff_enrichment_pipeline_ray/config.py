@@ -1,0 +1,81 @@
+"""Engine configuration: constants + the declarative PipelineConfig.
+
+Mirrors the reference's config surface (reference:
+src/pipeline/micasense/core/config.py:16-100 — per-index toggles, QC
+thresholds, processing knobs) as a frozen dataclass; the numeric constants are
+the exact values the reference hardcodes (cited per field).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- Geodesy (reference: processor.py:107-111) ---
+EARTH_RADIUS_M = 6371000.0
+
+# --- Camera defaults (reference: processor.py:94-97) ---
+DEFAULT_FOCAL_LENGTH_MM = 5.4
+DEFAULT_SENSOR_WIDTH_MM = 4.8
+DEFAULT_SENSOR_HEIGHT_MM = 3.6
+
+# --- Netherlands post-run geo-validation bbox (reference: main.py:477-482) ---
+NL_LON_MIN, NL_LON_MAX = 3.0, 7.3
+NL_LAT_MIN, NL_LAT_MAX = 50.7, 53.6
+
+# --- Quality validation thresholds (reference: main.py:165-175,
+#     validation.py:172-236) ---
+MIN_WIDTH, MIN_HEIGHT = 100, 100
+ALLOWED_DTYPES = ("uint16", "uint8")
+VALUE_MIN, VALUE_MAX = 0, 65535
+MAX_ZERO_RATIO = 0.5
+# georeference sanity (reference: main.py:494-507, processor.py:643-656)
+PIXEL_SIZE_DEG_MIN, PIXEL_SIZE_DEG_MAX = 1e-5, 0.01
+ALLOWED_EPSG = (4326, 28992)
+
+# --- MicaSense band layout (reference: tests/conftest.py wavelengths
+#     475/560/668/840/717; processor.py:406-411 band order) ---
+BAND_BLUE, BAND_GREEN, BAND_RED, BAND_NIR, BAND_REDEDGE = 1, 2, 3, 4, 5
+N_BANDS = 5
+REFERENCE_BAND = 3  # alignment reference (processor.py:303)
+
+# --- Vegetation index set (reference: processor.py:401-477) ---
+ALL_INDICES = ("ndvi", "ndre", "gndvi", "savi", "msavi", "evi", "osavi", "ndwi")
+
+# --- Synthetic-fixture scale: rows per unit scale factor (FIXTURES.md:
+#     t1 ≈ 1-2k @ sf0.001, t2 ≈ 20k @ sf0.01, bench ≈ 200k @ sf0.1) ---
+IMAGES_PER_SF = 2_000_000
+
+# --- Grid tiling used by the elevation layer and the bucketed kNN ---
+GRID_CELL_DEG = 0.05  # ~3.5 km N-S
+
+# --- Skew control: max rows per output partition (north_rule size budget) ---
+DEFAULT_PARTITION_ROW_BUDGET = 50_000
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Declarative config for the flagship pipeline.
+
+    Same toggle surface as the reference's ``create_default``
+    (core/config.py:16-100): per-index booleans, QC on/off, processing knobs —
+    restated for Ray Data (actor-pool sizing instead of max_workers).
+    """
+
+    # vegetation index toggles (all on by default, like main.py:141-150)
+    indices: tuple = ALL_INDICES
+    # enrichment toggles
+    enrich_landcover: bool = True
+    enrich_elevation: bool = True
+    enrich_weather: bool = True
+    # Ray execution knobs
+    batch_size: int = 1024
+    enrich_concurrency: int = 4
+    capture_concurrency: int = 0  # 0 = let Ray size the groupby stage
+    # skew / partitioning
+    partition_row_budget: int = DEFAULT_PARTITION_ROW_BUDGET
+    cell_partition_res: int = 5  # coarse hex res used as the output partition key
+    # validation
+    validate: bool = True
+    # columns kept on the enriched output (caption must survive end-to-end:
+    # BASELINE.json per-row invariant)
+    keep_caption: bool = True

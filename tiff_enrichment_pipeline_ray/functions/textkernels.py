@@ -1,0 +1,90 @@
+"""Text-analysis kernels for the training-data operators (vectorized pandas).
+
+These power the `documents`-table pipelines (dedup, language-ID, quality
+scoring, token counting, fingerprinting) that a 100 TB training-data run needs
+alongside the image enrichment. Definitions are chosen to be exactly
+SQL-expressible where an oracle exists (see pipelines/oracles.py), i.e. pure
+integer counts / deterministic string ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that", "it", "for")
+
+# language → marker words (tiny deterministic n-gram-free heuristic; rows-only
+# correctness — validated against the documents.lang column in tests)
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " la ", " et "),
+    "es": (" el ", " los ", " que "),
+    "nl": (" de ", " het ", " een "),
+}
+
+
+def md5_hex(series: pd.Series) -> pd.Series:
+    """MD5 hex digest per row — matches DuckDB's md5() for the SQL oracle."""
+    return series.fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+
+
+def token_count(series: pd.Series) -> np.ndarray:
+    """len(text.split(' ')) — single-space split, = DuckDB
+    len(string_split(text, ' '))."""
+    return series.fillna("").str.split(" ").map(len).to_numpy(dtype=np.int64)
+
+
+def quality_counts(series: pd.Series) -> dict:
+    """Integer quality features (all SQL-expressible):
+    n_chars, n_spaces, n_periods, n_commas, n_digits, n_upper."""
+    s = series.fillna("")
+    return {
+        "n_chars": s.str.len().to_numpy(dtype=np.int64),
+        "n_spaces": s.str.count(" ").to_numpy(dtype=np.int64),
+        "n_periods": s.str.count(r"\.").to_numpy(dtype=np.int64),
+        "n_commas": s.str.count(",").to_numpy(dtype=np.int64),
+        "n_digits": s.str.count(r"[0-9]").to_numpy(dtype=np.int64),
+        "n_upper": s.str.count(r"[A-Z]").to_numpy(dtype=np.int64),
+    }
+
+
+def quality_score(series: pd.Series) -> np.ndarray:
+    """Composite [0,1] heuristic: penalize very short docs, high digit/punct
+    ratios, low stopword presence. Deterministic float64."""
+    s = series.fillna("")
+    n = s.str.len().to_numpy(dtype=np.float64)
+    words = token_count(s).astype(np.float64)
+    digits = s.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+    low = s.str.lower()
+    stop_hits = np.zeros(len(s), dtype=np.float64)
+    for w in _STOPWORDS[:5]:
+        stop_hits += low.str.count(rf"\b{w}\b").to_numpy(dtype=np.float64)
+    len_score = np.clip(n / 200.0, 0.0, 1.0)
+    digit_pen = np.clip(1.0 - 3.0 * digits / np.maximum(n, 1.0), 0.0, 1.0)
+    stop_score = np.clip(stop_hits / np.maximum(words * 0.05, 1.0), 0.0, 1.0)
+    return (0.4 * len_score + 0.3 * digit_pen + 0.3 * stop_score)
+
+
+def lang_id(series: pd.Series) -> pd.Series:
+    """Marker-word language heuristic → 'en'/'de'/'fr'/'es'/'nl'/'und'."""
+    s = " " + series.fillna("").str.lower() + " "
+    scores = np.zeros((len(s), len(_LANG_MARKERS)), dtype=np.int64)
+    langs = list(_LANG_MARKERS)
+    for j, lg in enumerate(langs):
+        for marker in _LANG_MARKERS[lg]:
+            scores[:, j] += s.str.count(marker).to_numpy(dtype=np.int64)
+    best = scores.argmax(axis=1)
+    hit = scores.max(axis=1) > 0
+    out = np.where(hit, np.array(langs)[best], "und")
+    return pd.Series(out, index=series.index)
+
+
+def fingerprint64(series: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit document fingerprint: blake2b-8 of the text."""
+    return series.fillna("").map(
+        lambda t: int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big") >> 1
+    ).to_numpy(dtype=np.int64)
