@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship enrichment pipeline on /root/testdata/sf0.001
+                      scale (synthetic images table per BASELINE.json
+                      input_hint; see FIXTURES.md), returns the enriched
+                      Dataset.
+- ``queries()``     — one callable per implemented operator/pipeline
+                      (SURVEY.md §2 + the training-data suite).
+- ``oracle_sql()``  — DuckDB SQL for every SQL-expressible query, identical
+                      column names/rounding (pipelines/oracles.py). Queries
+                      absent here are non-SQL-expressible (flagship
+                      geospatial enrichment, sketch-based near-dup, heuristic
+                      scoring) and are pinned instead by pytest oracles
+                      (brute-force numpy / reference-semantics modules).
 """
 
 from __future__ import annotations
@@ -18,27 +22,53 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001; driver smoke-checks rows >= 0."""
+    return Q.flagship_enriched("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TPC-H-style relational pipelines (scan → partial agg → shuffle)
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q5_regional_revenue": Q.q5_regional_revenue,
+        "orders_per_segment": Q.orders_per_segment,
+        "top10_customers": Q.top10_customers,
+        "part_brand_stats": Q.part_brand_stats,
+        "supplier_nation_balance": Q.supplier_nation_balance,
+        # events / windowed aggregates / top-k
+        "events_hourly": Q.events_hourly,
+        "events_user_daily": Q.events_user_daily,
+        "events_top_values": Q.events_top_values,
+        "events_type_minmax": Q.events_type_minmax,
+        # documents: text analysis + dedup
+        "doc_exact_dedup": Q.doc_exact_dedup,
+        "doc_token_counts": Q.doc_token_counts,
+        "doc_quality_counts": Q.doc_quality_counts,
+        "doc_lang_stats": Q.doc_lang_stats,
+        "doc_source_stats": Q.doc_source_stats,
+        "doc_quality_scores": Q.doc_quality_scores,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "dedup_minhash_docs": Q.dedup_minhash_docs,
+        "dedup_simhash_docs": Q.dedup_simhash_docs,
+        # embeddings: similarity search
+        "ann_topk_cosine": Q.ann_topk_cosine,
+        "embedding_label_stats": Q.embedding_label_stats,
+        # geospatial joins with exact SQL parity (events-derived points)
+        "geo_tile_census": Q.geo_tile_census,
+        "geo_knn_station": Q.geo_knn_station,
+        "geo_point_in_rect": Q.geo_point_in_rect,
+        # flagship geospatial enrichment over the synthetic images table
+        "flagship_enriched": Q.flagship_enriched,
+        "flagship_captures": Q.flagship_captures,
+        "image_exact_dedup": Q.image_exact_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

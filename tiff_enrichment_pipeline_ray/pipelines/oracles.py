@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL — one entry per SQL-expressible query in queries.py.
+
+Column names AND float-rounding match the Ray implementations exactly (the
+driver sorts columns by name and hash-compares values). Integer sums are cast
+to BIGINT (DuckDB SUM(int) yields HUGEINT otherwise). Top-k queries ORDER BY
+the ROUNDED measure with an id tie-break — identical tie semantics to the Ray
+side.
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                              AS sum_qty,
+       round(sum(l_extendedprice), 4)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4)    AS sum_disc_price,
+       count(*)                                               AS count_order,
+       round(sum(l_quantity) / count(*), 6)                   AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6)              AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = """
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT l.l_orderkey AS l_orderkey,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+         strftime(max(o.o_orderdate), '%Y-%m-%d') AS o_orderdate,
+         max(o.o_orderpriority) AS o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l.l_orderkey
+)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_regional_revenue"] = """
+SELECT n.n_name AS n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+ORACLES["orders_per_segment"] = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS sum_totalprice,
+       round(max(o.o_totalprice), 4) AS max_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+ORACLES["top10_customers"] = """
+SELECT o_custkey, revenue, n_orders, c_name FROM (
+  SELECT o.o_custkey AS o_custkey,
+         round(sum(o.o_totalprice), 4) AS revenue,
+         count(*) AS n_orders,
+         max(c.c_name) AS c_name
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey
+)
+ORDER BY revenue DESC, o_custkey
+LIMIT 10
+"""
+
+ORACLES["part_brand_stats"] = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 4) AS sum_retail,
+       min(p_size) AS min_size,
+       max(p_size) AS max_size,
+       round(sum(p_retailprice) / count(*), 6) AS avg_retailprice
+FROM part GROUP BY p_brand
+"""
+
+ORACLES["supplier_nation_balance"] = """
+SELECT n.n_name AS n_name,
+       count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 4) AS sum_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+ORACLES["events_hourly"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_user_daily"] = """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["events_top_values"] = """
+SELECT event_id, event_type, round(value, 6) AS value
+FROM events
+ORDER BY round(value, 6) DESC, event_id
+LIMIT 100
+"""
+
+ORACLES["events_type_minmax"] = """
+SELECT event_type,
+       count(*) AS n,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+ORACLES["doc_exact_dedup"] = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLES["doc_token_counts"] = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+ORACLES["doc_quality_counts"] = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       length(text) - length(replace(text, '.', '')) AS n_periods,
+       length(text) - length(replace(text, ',', '')) AS n_commas,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+FROM documents
+"""
+
+ORACLES["doc_lang_stats"] = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(n_chars) AS max_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+ORACLES["doc_source_stats"] = """
+SELECT source,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source
+"""
+
+ORACLES["ann_topk_cosine"] = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS e, vec_id AS qid FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id, cosine_sim FROM (
+  SELECT e2.vec_id AS vec_id,
+         round(list_cosine_similarity(e2.embedding::DOUBLE[], q.e), 6) AS cosine_sim
+  FROM embeddings e2, q WHERE e2.vec_id != q.qid
+)
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+"""
+
+ORACLES["embedding_label_stats"] = """
+SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+"""
+
+ORACLES["geo_tile_census"] = """
+SELECT ((event_id // 7) % 4300) // 50 AS tile_x,
+       (event_id % 2900) // 50 AS tile_y,
+       count(*) AS n_points
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["geo_knn_station"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+st AS (
+  SELECT range AS sid,
+         50.8 + ((range * 37) % 270) / 100.0 AS slat,
+         3.1 + ((range * 73) % 410) / 100.0 AS slon
+  FROM range(100)
+)
+SELECT event_id, sid AS station FROM (
+  SELECT p.event_id, s.sid,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY (p.lat - s.slat) * (p.lat - s.slat) * 1.8
+                    + (p.lon - s.slon) * (p.lon - s.slon),
+                    s.sid) AS rn
+  FROM pts p CROSS JOIN st s
+) WHERE rn = 1
+"""
+
+ORACLES["geo_point_in_rect"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+rects AS (
+  SELECT range AS rid,
+         3.0 + ((range * 97) % 350) / 100.0 AS rlon0,
+         50.7 + ((range * 61) % 240) / 100.0 AS rlat0,
+         0.3 + (range % 5) / 10.0 AS w,
+         0.25 + (range % 4) / 10.0 AS h
+  FROM range(40)
+)
+SELECT p.event_id AS event_id, COALESCE(MIN(r.rid), -1) AS rect_id
+FROM pts p
+LEFT JOIN rects r
+  ON p.lon >= r.rlon0 AND p.lon <= r.rlon0 + r.w
+ AND p.lat >= r.rlat0 AND p.lat <= r.rlat0 + r.h
+GROUP BY p.event_id
+"""

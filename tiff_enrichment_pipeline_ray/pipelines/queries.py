@@ -1,0 +1,670 @@
+"""Driver-gate query suite: Ray Data implementations.
+
+Every function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+``ray.data.Dataset`` / pandas DataFrame. Each SQL-expressible query has a
+matching ANSI-SQL oracle in pipelines/oracles.py with IDENTICAL column names
+(the driver hash-compares after sorting columns by name).
+
+Float discipline (so Ray and DuckDB hash-match bit-for-bit):
+- money sums (2- or 4-decimal-quantized inputs) → round(…, 4)
+- averages / free quotients → round(…, 6)
+  Rounding to N decimals maps both engines' near-identical doubles to the
+  same nearest-double of the same decimal, and the half-even vs half-away
+  difference can't trigger (an exact decimal boundary is not binary-
+  representable).
+- geo-derived queries use integer-only or expression-identical arithmetic
+  (documented per query) so values match exactly without rounding.
+
+Aggregations follow the partial-aggregate pattern (ray_guide): per-batch
+pandas combine inside map_batches, then a small groupby over the partials —
+the shuffle moves one row per (key × batch), not one per input row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import synth
+from ..sources.tables import read_testdata
+
+# --------------------------------------------------------------- helpers
+
+
+def _preagg(ds, keys, spec):
+    """spec: [(out_col, src_col|None, op)] with op ∈ sum|count|min|max.
+    count with src None = COUNT(*). Returns the aggregated Dataset."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False, sort=False)
+        cols = {}
+        for out, src, op in spec:
+            if op == "count":
+                cols[out] = g.size() if src is None else g[src].count()
+            elif op == "sum":
+                cols[out] = g[src].sum()
+            elif op == "min":
+                cols[out] = g[src].min()
+            elif op == "max":
+                cols[out] = g[src].max()
+        return pd.DataFrame(cols).reset_index()
+
+    pds = ds.map_batches(partial, batch_format="pandas")
+    aggs = []
+    for out, _src, op in spec:
+        if op in ("sum", "count"):
+            aggs.append(Sum(out, alias_name=out))
+        elif op == "min":
+            aggs.append(Min(out, alias_name=out))
+        else:
+            aggs.append(Max(out, alias_name=out))
+    return pds.groupby(keys).aggregate(*aggs)
+
+
+def _ts_filter(col, op, iso):
+    import pyarrow.compute as pc
+
+    bound = pa.scalar(np.datetime64(iso, "us"))
+    return lambda t: t.filter(getattr(pc, op)(t.column(col), bound))
+
+
+# ------------------------------------------------------- TPC-H-style
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 flavor (SURVEY A1/A2 aggregate family)."""
+    ds = read_testdata(sf_dir, "lineitem",
+                       columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                "l_extendedprice", "l_discount", "l_shipdate"])
+    ds = ds.map_batches(_ts_filter("l_shipdate", "less_equal", "1998-09-02"),
+                        batch_format="pyarrow")
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    agg = _preagg(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum_qty", "l_quantity", "sum"),
+        ("sum_base_price", "l_extendedprice", "sum"),
+        ("sum_disc_price", "disc_price", "sum"),
+        ("count_order", None, "count"),
+    ])
+    df = agg.to_pandas()
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(6)
+    df["sum_qty"] = df["sum_qty"].round(4)
+    df["sum_base_price"] = df["sum_base_price"].round(4)
+    df["sum_disc_price"] = df["sum_disc_price"].round(4)
+    return df
+
+
+def q3_shipping_priority(sf_dir: str):
+    """Top-10 order revenue: broadcast-small-side join (customer/orders)
+    against streamed lineitem (SURVEY J-family; ray_guide joins)."""
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"].tolist())
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                    "o_orderpriority"]).to_pandas()
+    cutoff = np.datetime64("1998-03-15", "us")
+    orders = orders[(orders.o_orderdate < cutoff) & orders.o_custkey.isin(keys)]
+    odict = orders.set_index("o_orderkey")[["o_orderdate", "o_orderpriority"]]
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_extendedprice", "l_discount",
+                                "l_shipdate"])
+    li = li.map_batches(_ts_filter("l_shipdate", "greater", "1998-03-15"),
+                        batch_format="pyarrow")
+    okeys = set(odict.index.tolist())
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_orderkey.isin(okeys)]
+        out = pd.DataFrame({
+            "l_orderkey": df.l_orderkey,
+            "revenue": df.l_extendedprice * (1.0 - df.l_discount),
+        })
+        return out.groupby("l_orderkey", as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(rev, batch_format="pandas")
+           .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(4)  # round BEFORE top-k: tie behavior
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    df = df.merge(odict, left_on="l_orderkey", right_index=True)
+    df["o_orderdate"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def q5_regional_revenue(sf_dir: str):
+    """Revenue per nation for EUROPE where customer and supplier share the
+    nation; dimension tables broadcast, lineitem streamed."""
+    region = read_testdata(sf_dir, "region").to_pandas()
+    nation = read_testdata(sf_dir, "nation").to_pandas()
+    rk = region.loc[region.r_name == "EUROPE", "r_regionkey"].iloc[0]
+    nat = nation[nation.n_regionkey == rk][["n_nationkey", "n_name"]]
+    nmap = nat.set_index("n_nationkey")["n_name"].to_dict()
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cmap = cust.set_index("c_custkey")["c_nationkey"].to_dict()
+    supp = read_testdata(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = supp.set_index("s_suppkey")["s_nationkey"].to_dict()
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = orders[(orders.o_orderdate >= lo) & (orders.o_orderdate < hi)]
+    o_nat = {k: cmap.get(c, -1) for k, c in
+             zip(orders.o_orderkey, orders.o_custkey)}
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                                "l_discount"])
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        cn = df.l_orderkey.map(o_nat).fillna(-1).astype(np.int64)
+        sn = df.l_suppkey.map(smap).fillna(-2).astype(np.int64)
+        m = (cn == sn) & cn.isin(nmap)
+        df = df[m]
+        out = pd.DataFrame({
+            "n_name": cn[m].map(nmap),
+            "revenue": df.l_extendedprice * (1.0 - df.l_discount),
+        })
+        return out.groupby("n_name", as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(per_batch, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(4)
+    return df
+
+
+def orders_per_segment(sf_dir: str):
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = cust.set_index("c_custkey")["c_mktsegment"].to_dict()
+    orders = read_testdata(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_mktsegment"] = df.o_custkey.map(seg)
+        return df[["c_mktsegment", "o_totalprice"]]
+
+    agg = _preagg(orders.map_batches(tag, batch_format="pandas"),
+                  ["c_mktsegment"], [
+        ("n_orders", None, "count"),
+        ("sum_totalprice", "o_totalprice", "sum"),
+        ("max_totalprice", "o_totalprice", "max"),
+    ])
+    df = agg.to_pandas()
+    df["sum_totalprice"] = df["sum_totalprice"].round(4)
+    df["max_totalprice"] = df["max_totalprice"].round(4)
+    return df
+
+
+def top10_customers(sf_dir: str):
+    orders = read_testdata(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = _preagg(orders, ["o_custkey"], [
+        ("revenue", "o_totalprice", "sum"),
+        ("n_orders", None, "count"),
+    ])
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(4)
+    df = df.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(10)
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    df = df.merge(cust, left_on="o_custkey", right_on="c_custkey").drop(columns=["c_custkey"])
+    return df
+
+
+def part_brand_stats(sf_dir: str):
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_brand", "p_retailprice", "p_size"])
+    agg = _preagg(part, ["p_brand"], [
+        ("n_parts", None, "count"),
+        ("sum_retail", "p_retailprice", "sum"),
+        ("min_size", "p_size", "min"),
+        ("max_size", "p_size", "max"),
+    ])
+    df = agg.to_pandas()
+    df["avg_retailprice"] = (df["sum_retail"] / df["n_parts"]).round(6)
+    df["sum_retail"] = df["sum_retail"].round(4)
+    return df
+
+
+def supplier_nation_balance(sf_dir: str):
+    nation = read_testdata(sf_dir, "nation").to_pandas()
+    nmap = nation.set_index("n_nationkey")["n_name"].to_dict()
+    supp = read_testdata(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df.s_nationkey.map(nmap)
+        return df[["n_name", "s_acctbal"]]
+
+    agg = _preagg(supp.map_batches(tag, batch_format="pandas"), ["n_name"], [
+        ("n_suppliers", None, "count"),
+        ("sum_acctbal", "s_acctbal", "sum"),
+    ])
+    df = agg.to_pandas()
+    df["sum_acctbal"] = df["sum_acctbal"].round(4)
+    return df
+
+
+# ------------------------------------------------------------ events
+
+
+def events_hourly(sf_dir: str):
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["hour"] = df.ts.dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        return df[["event_type", "hour", "value"]]
+
+    agg = _preagg(ev.map_batches(tag, batch_format="pandas"),
+                  ["event_type", "hour"], [
+        ("n_events", None, "count"),
+        ("sum_value", "value", "sum"),
+    ])
+    df = agg.to_pandas()
+    df["avg_value"] = (df["sum_value"] / df["n_events"]).round(6)
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+def events_user_daily(sf_dir: str):
+    """Tumbling 1-day window per user (streaming-shaped → groupby window key,
+    ray_guide 'Streaming-shaped workloads')."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df.ts.dt.floor("D").dt.strftime("%Y-%m-%d")
+        return df[["user_id", "day", "value"]]
+
+    agg = _preagg(ev.map_batches(tag, batch_format="pandas"),
+                  ["user_id", "day"], [
+        ("n_events", None, "count"),
+        ("sum_value", "value", "sum"),
+    ])
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+def events_top_values(sf_dir: str):
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(t.schema.get_field_index("value"), "value",
+                            pc.round(t.column("value"), ndigits=6))
+
+    ev = ev.map_batches(rnd, batch_format="pyarrow")
+    # global top-k: distributed sort on the rounded value, event_id tie-break
+    return ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+def events_type_minmax(sf_dir: str):
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["ts_s"] = df.ts.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return df[["event_type", "ts_s"]]
+
+    agg = _preagg(ev.map_batches(tag, batch_format="pandas"), ["event_type"], [
+        ("n", None, "count"),
+        ("first_ts", "ts_s", "min"),
+        ("last_ts", "ts_s", "max"),
+    ])
+    return agg
+
+
+# --------------------------------------------------------- documents
+
+
+def doc_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: keep min doc_id per text (A7 semantics —
+    the reference's SHA-256 checksum dedup, create-tables.sql:253)."""
+    from ..functions.textkernels import md5_hex
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text_md5": md5_hex(df.text), "doc_id": df.doc_id})
+
+    agg = _preagg(docs.map_batches(h, batch_format="pandas"), ["text_md5"], [
+        ("keep_doc_id", "doc_id", "min"),
+        ("dup_count", None, "count"),
+    ])
+    return agg
+
+
+def doc_token_counts(sf_dir: str):
+    from ..functions.textkernels import token_count
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df.doc_id, "n_tokens": token_count(df.text)})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_quality_counts(sf_dir: str):
+    from ..functions.textkernels import quality_counts
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": df.doc_id.to_numpy()}
+        out.update(quality_counts(df.text))
+        return pd.DataFrame(out)
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_lang_stats(sf_dir: str):
+    docs = read_testdata(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = _preagg(docs, ["lang"], [
+        ("n_docs", None, "count"),
+        ("sum_chars", "n_chars", "sum"),
+        ("max_chars", "n_chars", "max"),
+    ])
+    df = agg.to_pandas()
+    df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(6)
+    return df
+
+
+def doc_source_stats(sf_dir: str):
+    docs = read_testdata(sf_dir, "documents", columns=["source", "n_chars"])
+    return _preagg(docs, ["source"], [
+        ("n_docs", None, "count"),
+        ("min_chars", "n_chars", "min"),
+        ("max_chars", "n_chars", "max"),
+    ])
+
+
+def doc_quality_scores(sf_dir: str):
+    """Composite quality score (no SQL oracle — heuristic float; rows-only)."""
+    from ..functions.textkernels import lang_id, quality_score
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df.doc_id,
+            "quality": quality_score(df.text).round(6),
+            "lang_guess": lang_id(df.text),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+# -------------------------------------------------------- embeddings
+
+
+def _query_vec(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas()
+    row = df.loc[df.vec_id.idxmin()]
+    return int(row.vec_id), np.asarray(row.embedding, dtype=np.float64)
+
+
+def ann_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-10 vs the min-vec_id query vector; the baseline
+    ANN path (numpy matmul per batch against a broadcast query)."""
+    qid, q = _query_vec(sf_dir)
+    qnorm = np.sqrt((q * q).sum())
+    emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        den = np.where(norms == 0, 1.0, norms) * qnorm
+        sims = (M @ q) / den
+        return pd.DataFrame({"vec_id": df.vec_id, "cosine_sim": sims})
+
+    ds = emb.map_batches(score, batch_format="pandas")
+    df = ds.to_pandas()
+    df = df[df.vec_id != qid]
+    df["cosine_sim"] = df["cosine_sim"].round(6)
+    df = df.sort_values(["cosine_sim", "vec_id"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def embedding_label_stats(sf_dir: str):
+    emb = read_testdata(sf_dir, "embeddings", columns=["label"])
+    return _preagg(emb, ["label"], [("n_vecs", None, "count")])
+
+
+# ----------------------------------------- geo over events-derived points
+# Points derived from `events` with INTEGER-ONLY / expression-identical
+# arithmetic so the DuckDB oracle matches exactly:
+#   lat = 50.7 + (event_id % 2900)/1000.0
+#   lon = 3.0 + ((event_id // 7) % 4300)/1000.0
+
+
+def _event_points(df: pd.DataFrame) -> pd.DataFrame:
+    eid = df.event_id.to_numpy(dtype=np.int64)
+    df = df.copy()
+    df["lat"] = 50.7 + (eid % 2900) / 1000.0
+    df["lon"] = 3.0 + ((eid // 7) % 4300) / 1000.0
+    return df
+
+
+def geo_tile_census(sf_dir: str):
+    """Per-tile point census — integer tiling (the per-cell census that feeds
+    the skew planner, north_rule)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "tile_x": ((eid // 7) % 4300) // 50,
+            "tile_y": (eid % 2900) // 50,
+        })
+
+    return _preagg(ev.map_batches(f, batch_format="pandas"),
+                   ["tile_x", "tile_y"], [("n_points", None, "count")])
+
+
+_N_SYN_STATIONS = 100
+
+
+def geo_knn_station(sf_dir: str):
+    """k=1 nearest synthetic station under a scaled-euclidean metric whose
+    expression is bit-identical in SQL; ties broken by station id. (The
+    haversine kNN path is exercised by the flagship + pytest oracle; this
+    query pins the join semantics under the driver's hash compare.)"""
+    sid = np.arange(_N_SYN_STATIONS, dtype=np.int64)
+    slat = 50.8 + ((sid * 37) % 270) / 100.0
+    slon = 3.1 + ((sid * 73) % 410) / 100.0
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lat = p.lat.to_numpy()[:, None]
+        lon = p.lon.to_numpy()[:, None]
+        d2 = (lat - slat[None, :]) * (lat - slat[None, :]) * 1.8 \
+            + (lon - slon[None, :]) * (lon - slon[None, :])
+        best = np.argmin(d2, axis=1)  # first (= lowest sid) wins ties
+        return pd.DataFrame({"event_id": p.event_id, "station": sid[best]})
+
+    return ev.map_batches(f, batch_format="pandas")
+
+
+_N_RECTS = 40
+
+
+def _rects():
+    rid = np.arange(_N_RECTS, dtype=np.int64)
+    rlon0 = 3.0 + ((rid * 97) % 350) / 100.0
+    rlat0 = 50.7 + ((rid * 61) % 240) / 100.0
+    w = 0.3 + (rid % 5) / 10.0
+    h = 0.25 + (rid % 4) / 10.0
+    return rid, rlon0, rlat0, w, h
+
+
+def geo_point_in_rect(sf_dir: str):
+    """PIP join against broadcast rectangles; min rect_id tie-break, −1 = no
+    match (the J2 landcover-join semantics over an SQL-expressible layer)."""
+    rid, rlon0, rlat0, w, h = _rects()
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lat = p.lat.to_numpy()[:, None]
+        lon = p.lon.to_numpy()[:, None]
+        inside = ((lon >= rlon0[None, :]) & (lon <= (rlon0 + w)[None, :])
+                  & (lat >= rlat0[None, :]) & (lat <= (rlat0 + h)[None, :]))
+        first = np.where(inside.any(axis=1),
+                         rid[np.argmax(inside, axis=1)], -1)
+        return pd.DataFrame({"event_id": p.event_id, "rect_id": first})
+
+    return ev.map_batches(f, batch_format="pandas")
+
+
+# ------------------------------------------------- flagship (rows-only)
+
+_FLAG_VERSION = "v1"
+
+
+def _flagship_out(sf: float) -> str:
+    """Run (once, cached+resumable) the flagship at scale sf; returns out dir."""
+    from . import flagship as fl
+
+    img_dir = synth.ensure_images(sf)
+    out = os.path.join(synth.CACHE_ROOT, f"flagout_{_FLAG_VERSION}_sf{sf:g}")
+    fl.run_flagship(img_dir, out, resume=True)
+    return out
+
+
+_ENRICH_SLIM = ["image_id", "capture_id", "file_class", "band", "has_gps",
+                "valid", "in_nl", "h3_r5", "h3_r7", "h3_r9", "s2_cell",
+                "grid_cell", "landcover_class", "landcover_confidence",
+                "landcover_year", "elevation_m", "elevation_src",
+                "weather_station_id", "weather_date", "tmin_c", "tmax_c",
+                "caption"]
+
+
+def flagship_enriched(sf_dir: str):
+    """The headline pipeline (north_star): H3/S2 assign + PIP + elevation +
+    kNN weather over the synthetic images table at this scale. Rows-only vs
+    the driver; row-for-row parity is enforced by tests/test_flagship.py
+    against the single-process reference-semantics oracle."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    return fl.read_enriched(out).select_columns(_ENRICH_SLIM)
+
+
+def flagship_captures(sf_dir: str):
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    caps = fl.read_captures(out)
+    keep = [c for c in caps.schema().names if not c.startswith("index_")]
+    return caps.select_columns(keep)
+
+
+def image_exact_dedup(sf_dir: str):
+    """Exact image dedup: hash-partition on phash, keep min image_id
+    (A7; groupby + per-group first)."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(["phash", "image_id"])
+    agg = _preagg(ds, ["phash"], [
+        ("keep_image_id", "image_id", "min"),
+        ("dup_count", None, "count"),
+    ])
+    return agg
+
+
+# ------------------------------------------- near-dup suite (rows-only)
+
+
+def dedup_minhash_docs(sf_dir: str):
+    """MinHash-LSH near-dup candidates: shingle→minhash per batch → explode
+    (band, key) → groupby band buckets → verified Jaccard pairs."""
+    from ..functions import sketch
+
+    n_perm, n_bands = 64, 16
+    a, b = sketch.minhash_params(n_perm)
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(df.doc_id, df.text):
+            sh = sketch.shingle_hashes(text, k=3)
+            sig = sketch.minhash_signature(sh, a, b)
+            for band, key in enumerate(sketch.lsh_band_keys(sig, n_bands)):
+                rows.append((did, band, key))
+        return pd.DataFrame(rows, columns=["doc_id", "band", "key"])
+
+    ds = docs.map_batches(sigs, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g.doc_id.unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        out = [(ids[i], ids[j]) for i in range(len(ids))
+               for j in range(i + 1, len(ids))]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    cand = (ds.groupby(["band", "key"])
+            .map_groups(pairs, batch_format="pandas").to_pandas()
+            .drop_duplicates().reset_index(drop=True))
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                             "doc_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=float)})
+    # verify candidates against exact shingle Jaccard (small candidate set)
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"]).to_pandas()
+    tmap = texts.set_index("doc_id")["text"].to_dict()
+    jac = [sketch.jaccard(sketch.shingle_hashes(tmap[x], 3),
+                          sketch.shingle_hashes(tmap[y], 3))
+           for x, y in zip(cand.doc_a, cand.doc_b)]
+    cand["jaccard"] = np.round(jac, 6)
+    return cand[cand.jaccard >= 0.5].reset_index(drop=True)
+
+
+def dedup_simhash_docs(sf_dir: str):
+    """64-bit SimHash per doc + hamming-bucket near-dup key (rows-only)."""
+    from ..functions import sketch
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        sh = [int(sketch.simhash64(sketch.shingle_hashes(t, 3))) for t in df.text]
+        return pd.DataFrame({"doc_id": df.doc_id,
+                             "simhash": np.array(sh, dtype=np.int64)})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_fingerprints(sf_dir: str):
+    from ..functions.textkernels import fingerprint64
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df.doc_id,
+                             "fingerprint": fingerprint64(df.text)})
+
+    return docs.map_batches(f, batch_format="pandas")

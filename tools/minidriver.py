@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's correctness gate: runs every queries()
+entry at a given sf and compares against oracle_sql() via DuckDB —
+row count + schema + order-insensitive value compare (columns sorted by name,
+rows sorted by all columns). Usage:
+
+    python tools/minidriver.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    try:
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def compare(name, ray_df, sql_df, tol=0.0):
+    a, b = normalize(ray_df), normalize(sql_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA mismatch: ray={list(a.columns)} sql={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS mismatch: ray={len(a)} sql={len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
+            av = np.asarray(av, dtype=np.float64)
+            bv = np.asarray(bv, dtype=np.float64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = both_nan | (av == bv)
+            if not eq.all():
+                i = int(np.flatnonzero(~eq)[0])
+                return f"VALUE mismatch col={c} row={i}: ray={av[i]!r} sql={bv[i]!r}"
+        else:
+            eq = pd.Series(av).astype(str).to_numpy() == pd.Series(bv).astype(str).to_numpy()
+            if not eq.all():
+                i = int(np.flatnonzero(~eq)[0])
+                return f"VALUE mismatch col={c} row={i}: ray={av[i]!r} sql={bv[i]!r}"
+    return None
+
+
+def run(sf_dir, only=None):
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            results[name] = f"RAY ERROR: {type(e).__name__}: {e}"
+            print(f"{name:28s} FAIL {results[name]}")
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            try:
+                sql_df = con.sql(oracles[name]).df()
+            except Exception as e:
+                results[name] = f"SQL ERROR: {type(e).__name__}: {e}"
+                print(f"{name:28s} FAIL {results[name]}")
+                continue
+            err = compare(name, ray_df, sql_df)
+            results[name] = err or "OK"
+            print(f"{name:28s} {'OK  ' if not err else 'FAIL'} "
+                  f"rows={len(ray_df)} {dt:.1f}s {err or ''}")
+        else:
+            results[name] = f"rows-only ({len(ray_df)})"
+            print(f"{name:28s} ROWS rows={len(ray_df)} {dt:.1f}s")
+    bad = {k: v for k, v in results.items()
+           if v != "OK" and not v.startswith("rows-only")}
+    print(f"\n{len(results) - len(bad)}/{len(results)} passing; failures: {list(bad) or 'none'}")
+    return bad
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.001"
+    only = set(a for a in args if not a.startswith("/")) or None
+    bad = run(sf_dir, only)
+    sys.exit(1 if bad else 0)
