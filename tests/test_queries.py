@@ -1,0 +1,63 @@
+"""Driver-gate pre-flight: every oracle-backed queries() entry must match its
+DuckDB oracle at sf0.001 (schema + rows + order-insensitive values) — the
+same compare the driver performs at sf0.01."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def gate():
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    return entrymod, con, sf_dir
+
+
+ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+           "orders_per_segment", "top10_customers", "part_brand_stats",
+           "supplier_nation_balance", "events_hourly", "events_user_daily",
+           "events_top_values", "events_type_minmax", "doc_exact_dedup",
+           "doc_token_counts", "doc_quality_counts", "doc_lang_stats",
+           "doc_source_stats", "ann_topk_cosine", "embedding_label_stats",
+           "geo_tile_census", "geo_knn_station", "geo_point_in_rect"]
+
+ROWS_ONLY = ["doc_quality_scores", "doc_fingerprints", "dedup_minhash_docs",
+             "dedup_simhash_docs"]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(gate, name):
+    from tools.minidriver import compare, to_pandas
+
+    entrymod, con, sf_dir = gate
+    ray_df = to_pandas(entrymod.queries()[name](sf_dir))
+    sql_df = con.sql(entrymod.oracle_sql()[name]).df()
+    err = compare(name, ray_df, sql_df)
+    assert err is None, err
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(gate, name):
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    df = to_pandas(entrymod.queries()[name](sf_dir))
+    assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_oracle_keys_subset_of_queries(gate):
+    entrymod, _, _ = gate
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, o - q

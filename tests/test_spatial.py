@@ -1,0 +1,197 @@
+"""STRtree/PIP and bucketed-kNN correctness vs brute-force oracles, plus
+elevation bilinear sampling and band-alignment resampling."""
+
+import numpy as np
+import pytest
+
+from tiff_enrichment_pipeline_ray.functions.knn import BruteKNN, CellBucketKNN
+from tiff_enrichment_pipeline_ray.functions.pip import (
+    PolygonIndex,
+    STRtree,
+    point_in_polygon_pairs,
+    polygons_to_arrays,
+)
+from tiff_enrichment_pipeline_ray.functions.raster import (
+    ElevationGrid,
+    affine_bilinear_resample,
+)
+from tiff_enrichment_pipeline_ray.sources import synth
+
+
+def _random_polys(rng, n):
+    polys = []
+    for _ in range(n):
+        cx, cy = rng.uniform(0, 10, 2)
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.2, 1.5, nv)
+        polys.append(np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1))
+    return polys
+
+
+def _brute_pip(px, py, polys, ids):
+    """Independent crossing-number implementation (scalar loop oracle)."""
+    out = np.full(len(px), -1, dtype=np.int64)
+    for i, (x, y) in enumerate(zip(px, py)):
+        best = None
+        for pid, ring in zip(ids, polys):
+            inside = False
+            k = len(ring)
+            for j in range(k):
+                x0, y0 = ring[j]
+                x1, y1 = ring[(j + 1) % k]
+                if (y0 <= y < y1) or (y1 <= y < y0):
+                    xi = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+                    if x < xi:
+                        inside = not inside
+            if inside and (best is None or pid < best):
+                best = pid
+        if best is not None:
+            out[i] = best
+    return out
+
+
+class TestPIP:
+    def test_strtree_candidates_complete(self):
+        rng = np.random.default_rng(0)
+        polys = _random_polys(rng, 80)
+        arrs = polygons_to_arrays(polys)
+        tree = STRtree(arrs["bbox"])
+        px = rng.uniform(-1, 11, 500)
+        py = rng.uniform(-1, 11, 500)
+        pt, items = tree.query_points(px, py)
+        # oracle: brute bbox containment
+        got = set(zip(pt.tolist(), items.tolist()))
+        for i in range(len(px)):
+            for j, b in enumerate(arrs["bbox"]):
+                if b[0] <= px[i] <= b[2] and b[1] <= py[i] <= b[3]:
+                    assert (i, j) in got, (i, j)
+        for (i, j) in got:
+            b = arrs["bbox"][j]
+            assert b[0] <= px[i] <= b[2] and b[1] <= py[i] <= b[3]
+
+    def test_pip_matches_brute(self):
+        rng = np.random.default_rng(1)
+        polys = _random_polys(rng, 60)
+        ids = np.arange(60, dtype=np.int64)
+        idx = PolygonIndex(polys, ids)
+        px = rng.uniform(-1, 11, 1000)
+        py = rng.uniform(-1, 11, 1000)
+        got = idx.join(py, px)  # (lat, lon) = (y, x)
+        want = _brute_pip(px, py, polys, ids)
+        # idx.join returns polygon positions == ids here
+        assert (np.where(got >= 0, idx.ids[np.clip(got, 0, None)], -1)
+                == want).sum() == len(px)
+
+    def test_empty_layers(self):
+        idx = PolygonIndex([], [])
+        assert (idx.join(np.array([1.0]), np.array([1.0])) == -1).all()
+        pt, it = STRtree(np.empty((0, 4))).query_points(np.array([1.0]), np.array([2.0]))
+        assert len(pt) == 0 and len(it) == 0
+
+    def test_pairs_vectorized_consistency(self):
+        rng = np.random.default_rng(2)
+        polys = _random_polys(rng, 10)
+        arrs = polygons_to_arrays(polys)
+        px = rng.uniform(0, 10, 200)
+        py = rng.uniform(0, 10, 200)
+        pairs_pt = np.repeat(np.arange(200), 10)
+        pairs_poly = np.tile(np.arange(10), 200)
+        inside = point_in_polygon_pairs(px, py, arrs["x"], arrs["y"],
+                                        pairs_pt, pairs_poly)
+        want = _brute_pip(px, py, polys, np.arange(10))
+        # for each point the min inside poly must match the brute result
+        for i in range(200):
+            mask = inside[pairs_pt == i]
+            mine = np.flatnonzero(mask)
+            assert (mine.min() if len(mine) else -1) == want[i]
+
+
+class TestKNN:
+    def test_bucketed_equals_brute(self):
+        rng = np.random.default_rng(3)
+        slat = rng.uniform(50.7, 53.6, 400)
+        slon = rng.uniform(3.0, 7.3, 400)
+        brute = BruteKNN(slat, slon)
+        bucket = CellBucketKNN(slat, slon, cell_deg=0.5)
+        qlat = rng.uniform(50.5, 53.8, 2000)
+        qlon = rng.uniform(2.8, 7.5, 2000)
+        for k in (1, 3):
+            bi, bd = brute.query(qlat, qlon, k)
+            ci, cd = bucket.query(qlat, qlon, k)
+            assert (bi == ci).all()
+            np.testing.assert_allclose(bd, cd, rtol=1e-12)
+
+    def test_deterministic_tie_break(self):
+        # two stations at identical coords: lowest index must win
+        slat = np.array([52.0, 52.0, 53.0])
+        slon = np.array([5.0, 5.0, 6.0])
+        for impl in (BruteKNN(slat, slon), CellBucketKNN(slat, slon, 0.5)):
+            idx, _ = impl.query(np.array([52.001]), np.array([5.001]), k=2)
+            assert idx[0, 0] == 0 and idx[0, 1] == 1
+
+    def test_skewed_cluster(self):
+        rng = np.random.default_rng(4)
+        # dense cluster + sparse field (the urban-hotspot shape)
+        slat = np.concatenate([52.37 + rng.normal(0, 0.05, 300),
+                               rng.uniform(50.7, 53.6, 100)])
+        slon = np.concatenate([4.89 + rng.normal(0, 0.05, 300),
+                               rng.uniform(3.0, 7.3, 100)])
+        brute = BruteKNN(slat, slon)
+        bucket = CellBucketKNN(slat, slon, cell_deg=0.5)
+        qlat = rng.uniform(50.7, 53.6, 1500)
+        qlon = rng.uniform(3.0, 7.3, 1500)
+        bi, _ = brute.query(qlat, qlon, 1)
+        ci, _ = bucket.query(qlat, qlon, 1)
+        assert (bi == ci).all()
+
+
+class TestElevation:
+    def test_sample_matches_terrain(self):
+        tiles = synth.gen_elevation_tiles()
+        grid = ElevationGrid(tiles)
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(50.8, 53.5, 500)
+        lon = rng.uniform(3.1, 7.2, 500)
+        got = grid.sample(lat, lon)
+        want = synth.terrain_m(lat, lon)
+        # bilinear of a smooth field at 1/240° — within a few meters
+        assert np.isfinite(got).all()
+        assert np.abs(got - want).max() < 3.0
+
+    def test_outside_is_nan(self):
+        grid = ElevationGrid(synth.gen_elevation_tiles())
+        out = grid.sample(np.array([40.0, 60.0]), np.array([5.0, 5.0]))
+        assert np.isnan(out).all()
+
+    def test_exact_at_nodes(self):
+        tiles = synth.gen_elevation_tiles()
+        grid = ElevationGrid(tiles)
+        res = tiles["res_deg"][0]
+        lon = tiles["min_lon"].min() + (np.arange(5) + 0.5) * res
+        lat = tiles["min_lat"].min() + (np.arange(5) + 0.5) * res
+        got = grid.sample(lat, lon)
+        want = synth.terrain_m(lat, lon)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestResample:
+    def test_identity(self):
+        src = np.arange(20 * 30, dtype=np.float32).reshape(20, 30)
+        out = affine_bilinear_resample(src, 5.0, 52.0, 0.001, 0.001,
+                                       5.0, 52.0, 0.001, 0.001, 20, 30)
+        np.testing.assert_allclose(out, src, atol=1e-4)
+
+    def test_half_pixel_shift(self):
+        src = np.tile(np.arange(16, dtype=np.float32), (8, 1))
+        # shift east by half a pixel: interior becomes the mean of neighbors
+        out = affine_bilinear_resample(src, 0.0, 1.0, 0.1, 0.1,
+                                       0.05, 1.0, 0.1, 0.1, 8, 16)
+        np.testing.assert_allclose(out[:, :15],
+                                   (src[:, :15] + src[:, 1:]) / 2.0, atol=1e-4)
+
+    def test_out_of_bounds_zero_fill(self):
+        src = np.ones((4, 4), dtype=np.float32)
+        out = affine_bilinear_resample(src, 0.0, 1.0, 0.1, 0.1,
+                                       10.0, 1.0, 0.1, 0.1, 4, 4)
+        assert (out == 0).all()

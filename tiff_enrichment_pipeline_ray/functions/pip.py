@@ -48,6 +48,7 @@ class STRtree:
         order = np.concatenate(ordered)
         self.item_order = idx[order]              # leaf slot -> original item
         boxes = bboxes[order]
+        self.item_boxes = boxes                   # slot-ordered item bboxes
 
         # level 0 = leaf nodes (groups of _LEAF_CAP items)
         self.levels = []  # each: (node_bboxes (m,4), child_start, child_end)
@@ -96,9 +97,11 @@ class STRtree:
                         & (py[pt] >= cb[child, 1]) & (py[pt] <= cb[child, 3]))
                 pt, node = pt[keep], child[keep]
             else:
-                # children are leaf item slots
-                items = self.item_order[child]
-                return pt, items
+                # children are leaf item slots: final filter on ITEM bboxes
+                ib = self.item_boxes
+                keep = ((px[pt] >= ib[child, 0]) & (px[pt] <= ib[child, 2])
+                        & (py[pt] >= ib[child, 1]) & (py[pt] <= ib[child, 3]))
+                return pt[keep], self.item_order[child[keep]]
         raise AssertionError("unreachable")
 
 

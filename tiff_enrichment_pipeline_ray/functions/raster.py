@@ -102,12 +102,13 @@ def affine_bilinear_resample(src: np.ndarray,
     FC, FR = np.meshgrid(fc, fr)
     c0 = np.floor(FC).astype(np.int64)
     r0 = np.floor(FR).astype(np.int64)
-    wc = FC - c0
-    wr = FR - r0
     valid = (c0 >= 0) & (c0 <= sw - 2) & (r0 >= 0) & (r0 <= sh - 2)
-    # edge rows/cols: nearest within bounds (contributes only at exact edges)
+    # edge rows/cols: clamp base cell, weights relative to the CLAMPED base
+    # (constant extrapolation half a pixel beyond centers)
     c0c = np.clip(c0, 0, sw - 2)
     r0c = np.clip(r0, 0, sh - 2)
+    wc = np.clip(FC - c0c, 0.0, 1.0)
+    wr = np.clip(FR - r0c, 0.0, 1.0)
     s = src.astype(np.float64)
     v = (s[r0c, c0c] * (1 - wr) * (1 - wc) + s[r0c, c0c + 1] * (1 - wr) * wc
          + s[r0c + 1, c0c] * wr * (1 - wc) + s[r0c + 1, c0c + 1] * wr * wc)

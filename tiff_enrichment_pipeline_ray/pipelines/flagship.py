@@ -80,6 +80,16 @@ def _make_part_writer(out_dir: str):
     return part_writer
 
 
+def _enrich_concurrency(cfg: PipelineConfig) -> int:
+    """Clamp the actor-pool size so it can never starve the task stages: the
+    pool holds its CPUs for the whole execution, so cap at half the cluster
+    (a pool that reserves every CPU serializes the pipeline — ray_guide)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(cfg.enrich_concurrency, cpus // 2))
+
+
 def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict):
     """Build the lazy enriched Dataset over the given input files."""
     import ray.data as rd
@@ -95,7 +105,7 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict):
         fn_constructor_kwargs=layer_kwargs,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.enrich_concurrency,
+        concurrency=_enrich_concurrency(cfg),
         num_cpus=1,
     )
     return ds.drop_columns(ENRICHED_DROP)
@@ -137,7 +147,8 @@ def run_flagship(input_dir: str, out_dir: str,
                  checkpoint_partitions: int = 1,
                  resume: bool = True,
                  with_captures: bool = True,
-                 layers_dir: str | None = None) -> dict:
+                 layers_dir: str | None = None,
+                 limit_partitions: int | None = None) -> dict:
     """Run the flagship pipeline; returns a summary dict (A1 semantics:
     main.py:441-459 — totals, duration, rows/s)."""
     import glob
@@ -156,6 +167,8 @@ def run_flagship(input_dir: str, out_dir: str,
     done = manifest.done_partitions()
     partitions = plan_partitions(files, checkpoint_partitions)
     pending = [(pid, fs) for pid, fs in partitions if pid not in done]
+    if limit_partitions is not None:
+        pending = pending[:limit_partitions]  # simulated-kill / paced resume
 
     layer_kwargs = enrich_stage.put_layers(layers_dir)
     t0 = time.time()
@@ -163,9 +176,15 @@ def run_flagship(input_dir: str, out_dir: str,
     total_caps = 0
     for pid, part_files in pending:
         t_start = time.time()
-        # --- skew plan (sampled light census; cheap vs the decode pass) ---
-        counts = census_counts(part_files, cell_col=f"h3_r{cfg.cell_partition_res}")
-        salts = salt_map(counts, cfg.partition_row_budget)
+        # --- skew plan (sampled light census; skipped when the partition
+        # can't exceed the budget — parquet row counts are free metadata) ---
+        est_rows = sum(pq.read_metadata(f).num_rows for f in part_files)
+        if est_rows > cfg.partition_row_budget:
+            counts = census_counts(part_files,
+                                   cell_col=f"h3_r{cfg.cell_partition_res}")
+            salts = salt_map(counts, cfg.partition_row_budget)
+        else:
+            salts = {}
 
         enriched = enriched_dataset(part_files, cfg, layer_kwargs)
         enriched = enriched.map_batches(
@@ -190,9 +209,10 @@ def run_flagship(input_dir: str, out_dir: str,
             cds = capture_dataset(part_files, cfg)
             cds.write_parquet(cap_tmp)
             os.replace(cap_tmp, cap_part)
-            import ray.data as rd
+            import glob as _g
 
-            caps = rd.read_parquet(cap_part).count()
+            caps = sum(pq.read_metadata(f).num_rows
+                       for f in _g.glob(os.path.join(cap_part, "*.parquet")))
         manifest.commit(pid, part_files, rows, caps, t_start,
                         lineage.to_dict("records"))
         total_rows += rows
