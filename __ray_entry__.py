@@ -56,9 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.doc_fingerprints,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
-        # embeddings: similarity search
+        # embeddings: similarity search (brute baseline + IVF scale path)
         "ann_topk_cosine": Q.ann_topk_cosine,
+        "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_label_stats": Q.embedding_label_stats,
+        # multimodal plumbing (actor-pool feature extraction)
+        "image_features": Q.image_features,
         # geospatial joins with exact SQL parity (events-derived points)
         "geo_tile_census": Q.geo_tile_census,
         "geo_knn_station": Q.geo_knn_station,

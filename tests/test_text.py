@@ -1,0 +1,86 @@
+"""Text kernels + dedup sketch unit tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tiff_enrichment_pipeline_ray.functions import sketch, textkernels as tk
+
+
+class TestTextKernels:
+    def test_md5_matches_duckdb(self):
+        import duckdb
+
+        s = pd.Series(["hello world", "", "Ünïcode tëxt"])
+        got = tk.md5_hex(s)
+        con = duckdb.connect()
+        for text, h in zip(s, got):
+            want = con.sql("select md5(?)", params=[text]).fetchone()[0]
+            assert h == want
+
+    def test_token_count_single_space_semantics(self):
+        s = pd.Series(["a b  c", "", "one"])
+        assert tk.token_count(s).tolist() == [4, 1, 1]
+
+    def test_quality_counts(self):
+        s = pd.Series(["Ab1. c,"])
+        q = tk.quality_counts(s)
+        assert q["n_chars"][0] == 7 and q["n_spaces"][0] == 1
+        assert q["n_periods"][0] == 1 and q["n_commas"][0] == 1
+        assert q["n_digits"][0] == 1 and q["n_upper"][0] == 1
+
+    def test_quality_score_range_and_order(self):
+        good = "The quick brown fox jumps over the lazy dog and runs to the hills. " * 4
+        bad = "3141592653 5897932384 6264338327"
+        s = tk.quality_score(pd.Series([good, bad]))
+        assert 0 <= s[1] < s[0] <= 1
+
+    def test_lang_id(self):
+        s = pd.Series(["the cat and the dog of the house",
+                       "der hund und die katze",
+                       "le chat et la maison",
+                       "zzz qqq xxx"])
+        assert tk.lang_id(s).tolist() == ["en", "de", "fr", "und"]
+
+    def test_fingerprint_deterministic(self):
+        s = pd.Series(["doc one", "doc two"])
+        a = tk.fingerprint64(s)
+        b = tk.fingerprint64(s)
+        assert (a == b).all() and a[0] != a[1] and (a >= 0).all()
+
+
+class TestSketches:
+    def test_minhash_similarity_estimate(self):
+        a_text = "the quick brown fox jumps over the lazy dog " * 5
+        b_text = a_text.replace("lazy", "sleepy")
+        a_sh = sketch.shingle_hashes(a_text, 3)
+        b_sh = sketch.shingle_hashes(b_text, 3)
+        true_j = sketch.jaccard(a_sh, b_sh)
+        pa_, pb_ = sketch.minhash_params(256)
+        sa = sketch.minhash_signature(a_sh, pa_, pb_)
+        sb = sketch.minhash_signature(b_sh, pa_, pb_)
+        est = (sa == sb).mean()
+        assert est == pytest.approx(true_j, abs=0.15)
+
+    def test_lsh_identical_docs_collide(self):
+        sh = sketch.shingle_hashes("identical text content here", 3)
+        a, b = sketch.minhash_params(64)
+        s1 = sketch.minhash_signature(sh, a, b)
+        k1 = sketch.lsh_band_keys(s1, 16)
+        k2 = sketch.lsh_band_keys(s1.copy(), 16)
+        assert (k1 == k2).all()
+
+    def test_simhash_near_docs_low_hamming(self):
+        a_text = "spark ray data processing engine with many operators " * 10
+        b_text = a_text + "tail"
+        ha = sketch.simhash64(sketch.shingle_hashes(a_text, 3))
+        hb = sketch.simhash64(sketch.shingle_hashes(b_text, 3))
+        hc = sketch.simhash64(sketch.shingle_hashes("completely different words entirely", 3))
+        assert sketch.hamming64(ha, hb)[()] < sketch.hamming64(ha, hc)[()]
+
+    def test_jaccard_edges(self):
+        e = np.empty(0, dtype=np.uint64)
+        x = sketch.shingle_hashes("a b c d", 3)
+        assert sketch.jaccard(e, e) == 1.0
+        assert sketch.jaccard(x, e) == 0.0
+        assert sketch.jaccard(x, x) == 1.0

@@ -69,7 +69,10 @@ class PipelineConfig:
     enrich_weather: bool = True
     # Ray execution knobs
     batch_size: int = 1024
-    enrich_concurrency: int = 4
+    # 0 = auto: cluster CPUs − 2 (Ray fuses the stateless decode/georef/cells
+    # chain into the enrichment actor stage, so the pool should own most of
+    # the node; 2 CPUs stay free for the read + write/groupby stages)
+    enrich_concurrency: int = 0
     capture_concurrency: int = 0  # 0 = let Ray size the groupby stage
     # skew / partitioning
     partition_row_budget: int = DEFAULT_PARTITION_ROW_BUDGET

@@ -51,8 +51,9 @@ def decode_meta(raw: bytes) -> dict:
     return out
 
 
-def encode_image(pixels: np.ndarray, fmt: str, meta: dict) -> bytes:
-    """Encode a 2-D uint16 pixel grid + metadata dict into the container."""
+def encode_image(pixels: np.ndarray, fmt: str, meta: dict, level: int = 6) -> bytes:
+    """Encode a 2-D uint16 pixel grid + metadata dict into the container.
+    `level` = zlib effort (decode is level-independent; hot writers use 1)."""
     px = np.ascontiguousarray(pixels, dtype="<u2")
     h, w = px.shape
     mb = encode_meta(meta)
@@ -60,12 +61,12 @@ def encode_image(pixels: np.ndarray, fmt: str, meta: dict) -> bytes:
     if code == FMT_RAW:
         payload = px.tobytes()
     elif code == FMT_PNG:
-        payload = zlib.compress(px.tobytes(), 6)
+        payload = zlib.compress(px.tobytes(), level)
     else:  # lossyq
         mx = float(px.max()) if px.size else 0.0
         scale = mx if mx > 0 else 1.0
         q = np.round(px.astype(np.float32) * (255.0 / scale)).astype(np.uint8)
-        payload = struct.pack("<f", scale) + zlib.compress(q.tobytes(), 6)
+        payload = struct.pack("<f", scale) + zlib.compress(q.tobytes(), level)
     return (_HDR.pack(MAGIC, code, w, h, len(mb)) + mb
             + struct.pack("<I", len(payload)) + payload)
 

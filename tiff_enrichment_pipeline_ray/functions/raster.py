@@ -99,19 +99,22 @@ def affine_bilinear_resample(src: np.ndarray,
     lat = dst_north - (rows + 0.5) * dst_py
     fc = (lon - src_west) / src_px - 0.5          # (w,)
     fr = (src_north - lat) / src_py - 0.5         # (h,)
-    FC, FR = np.meshgrid(fc, fr)
-    c0 = np.floor(FC).astype(np.int64)
-    r0 = np.floor(FR).astype(np.int64)
-    valid = (c0 >= 0) & (c0 <= sw - 2) & (r0 >= 0) & (r0 <= sh - 2)
-    # edge rows/cols: clamp base cell, weights relative to the CLAMPED base
-    # (constant extrapolation half a pixel beyond centers)
+    # axis-aligned affine ⇒ the mapping is SEPARABLE: interpolate rows, then
+    # columns (two 1-D gathers instead of four (H,W) fancy-index gathers).
+    c0 = np.floor(fc).astype(np.int64)
+    r0 = np.floor(fr).astype(np.int64)
+    # clamp base cell; weights relative to the CLAMPED base (constant
+    # extrapolation half a pixel beyond centers)
     c0c = np.clip(c0, 0, sw - 2)
     r0c = np.clip(r0, 0, sh - 2)
-    wc = np.clip(FC - c0c, 0.0, 1.0)
-    wr = np.clip(FR - r0c, 0.0, 1.0)
-    s = src.astype(np.float64)
-    v = (s[r0c, c0c] * (1 - wr) * (1 - wc) + s[r0c, c0c + 1] * (1 - wr) * wc
-         + s[r0c + 1, c0c] * wr * (1 - wc) + s[r0c + 1, c0c + 1] * wr * wc)
-    near = (FC >= -0.5) & (FC <= sw - 0.5) & (FR >= -0.5) & (FR <= sh - 0.5)
-    v = np.where(valid | near, v, 0.0)
-    return v.astype(np.float32)
+    wc = np.clip(fc - c0c, 0.0, 1.0).astype(np.float32)
+    wr = np.clip(fr - r0c, 0.0, 1.0).astype(np.float32)
+    s = np.asarray(src, dtype=np.float32)
+    rows_interp = s[r0c] * (1.0 - wr)[:, None] + s[r0c + 1] * wr[:, None]
+    v = rows_interp[:, c0c] * (1.0 - wc)[None, :] \
+        + rows_interp[:, c0c + 1] * wc[None, :]
+    near_c = (fc >= -0.5) & (fc <= sw - 0.5)
+    near_r = (fr >= -0.5) & (fr <= sh - 0.5)
+    v *= near_r[:, None].astype(np.float32)
+    v *= near_c[None, :].astype(np.float32)
+    return v

@@ -81,13 +81,17 @@ def _make_part_writer(out_dir: str):
 
 
 def _enrich_concurrency(cfg: PipelineConfig) -> int:
-    """Clamp the actor-pool size so it can never starve the task stages: the
-    pool holds its CPUs for the whole execution, so cap at half the cluster
-    (a pool that reserves every CPU serializes the pipeline — ray_guide)."""
+    """Size the enrichment actor pool. Ray fuses the whole stateless
+    map_batches chain into this stage, so the pool does ~all per-row compute:
+    give it CPUs−2 (auto), leaving slots for the read and the shuffle/write.
+    A pool that reserves every CPU starves those and serializes (ray_guide);
+    an explicit cfg value is still clamped to half the cluster."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, min(cfg.enrich_concurrency, cpus // 2))
+    if cfg.enrich_concurrency <= 0:
+        return max(1, cpus - 2)
+    return max(1, min(cfg.enrich_concurrency, max(1, cpus // 2)))
 
 
 def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict):
@@ -123,8 +127,9 @@ def capture_dataset(files, cfg: PipelineConfig):
             pa.compute.equal(t.column("file_class"), pa.scalar("micasense"))),
         batch_format="pyarrow")
     ds = ds.select_columns(capture_stage.CAPTURE_SHUFFLE_COLS)
-    grouped = ds.groupby("capture_id").map_groups(
-        capture_stage.process_capture, batch_format="pandas")
+    ds = ds.map_batches(capture_stage.add_capture_bucket, batch_format="pandas")
+    grouped = ds.groupby("bucket").map_groups(
+        capture_stage.process_bucket, batch_format="pandas")
 
     def cap_cells(t: pa.Table) -> pa.Table:
         from ..functions.cells import hex7_cells_multi, s2_cell
@@ -174,17 +179,26 @@ def run_flagship(input_dir: str, out_dir: str,
     t0 = time.time()
     total_rows = 0
     total_caps = 0
+    phases = {"census": 0.0, "enrich_write": 0.0, "captures": 0.0}
     for pid, part_files in pending:
         t_start = time.time()
-        # --- skew plan (sampled light census; skipped when the partition
-        # can't exceed the budget — parquet row counts are free metadata) ---
+        # --- skew plan. Bin budget: bounded above by the configured row
+        # budget (north_rule size cap) and below so writes parallelize
+        # (≈ 2 output bins per CPU). Parquet row counts are free metadata.
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
         est_rows = sum(pq.read_metadata(f).num_rows for f in part_files)
-        if est_rows > cfg.partition_row_budget:
+        bin_budget = int(min(cfg.partition_row_budget,
+                             max(4096, est_rows // (2 * cpus))))
+        if est_rows > bin_budget:
             counts = census_counts(part_files,
                                    cell_col=f"h3_r{cfg.cell_partition_res}")
-            salts = salt_map(counts, cfg.partition_row_budget)
+            salts = salt_map(counts, bin_budget)
         else:
             salts = {}
+        phases["census"] += time.time() - t_start
+        t_ph = time.time()
 
         enriched = enriched_dataset(part_files, cfg, layer_kwargs)
         enriched = enriched.map_batches(
@@ -199,6 +213,8 @@ def run_flagship(input_dir: str, out_dir: str,
                    .to_pandas())
         os.replace(tmp_dir, part_dir)
         rows = int(lineage["rows"].sum())
+        phases["enrich_write"] += time.time() - t_ph
+        t_ph = time.time()
 
         caps = 0
         if with_captures:
@@ -213,6 +229,7 @@ def run_flagship(input_dir: str, out_dir: str,
 
             caps = sum(pq.read_metadata(f).num_rows
                        for f in _g.glob(os.path.join(cap_part, "*.parquet")))
+        phases["captures"] += time.time() - t_ph
         manifest.commit(pid, part_files, rows, caps, t_start,
                         lineage.to_dict("records"))
         total_rows += rows
@@ -229,6 +246,7 @@ def run_flagship(input_dir: str, out_dir: str,
         "rows_total_manifest": int(sum(r["row_count"] for r in recs)),
         "duration_sec": round(dur, 3),
         "rows_per_sec": round(total_rows / dur, 1) if dur > 0 and total_rows else 0.0,
+        "phases_sec": {k: round(v, 2) for k, v in phases.items()},
         "out_dir": out_dir,
     }
 

@@ -448,6 +448,37 @@ def embedding_label_stats(sf_dir: str):
     return _preagg(emb, ["label"], [("n_vecs", None, "count")])
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF (inverted-file) ANN — the scale path; recall vs brute force is
+    asserted in tests/test_ann.py (approximate by design → rows-only)."""
+    from ..stages.ann import ann_ivf_topk as _ivf
+
+    return _ivf(sf_dir)
+
+
+def image_features(sf_dir: str):
+    """Actor-pool feature extraction over the synthetic images table
+    (multimodal plumbing: decode → 64-dim embedding per image)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import image_features_dataset
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+    feats = image_features_dataset(ds)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        F = np.stack(df.feature.to_numpy())
+        return pd.DataFrame({
+            "image_id": df.image_id,
+            "decode_ok": df.decode_ok,
+            "feat_norm": np.round(np.sqrt((F * F).sum(1)), 5),
+            "feat_mean": np.round(F.mean(1), 6),
+        })
+
+    return feats.map_batches(explode, batch_format="pandas")
+
+
 # ----------------------------------------- geo over events-derived points
 # Points derived from `events` with INTEGER-ONLY / expression-identical
 # arithmetic so the DuckDB oracle matches exactly:
@@ -615,17 +646,31 @@ def dedup_minhash_docs(sf_dir: str):
 
     ds = docs.map_batches(sigs, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g.doc_id.unique().tolist())
-        if len(ids) < 2:
+    # shuffle on a HASH BUCKET of the LSH key, not the raw (band, key) pair:
+    # most buckets hold singletons, and per-group engine overhead at
+    # n_docs × n_bands groups dwarfs the work (same fix as the capture
+    # branch). The inner pandas groupby recovers the exact buckets.
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["kbucket"] = (df["key"].to_numpy() % 256).astype(np.int64)
+        return df
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_, _), g in df.groupby(["band", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = sorted(g.doc_id.unique().tolist())
+            out.extend((ids[i], ids[j]) for i in range(len(ids))
+                       for j in range(i + 1, len(ids)))
+        if not out:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    cand = (ds.groupby(["band", "key"])
-            .map_groups(pairs, batch_format="pandas").to_pandas()
+    cand = (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("kbucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
             .drop_duplicates().reset_index(drop=True))
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),

@@ -1,26 +1,31 @@
-"""Stage 6: per-capture MicaSense processing — groupby(capture_id).map_groups.
+"""Stage 6: per-capture MicaSense processing — bucketed groupby.map_groups.
 
 The capture-set assembly that the reference does with filename grouping +
 sequential loops (main.py:268-292, processor.py:177-298) becomes ONE shuffle
-on `capture_id` followed by a vectorized per-group kernel:
+keyed on a hash BUCKET of capture_id (all 5 bands of a capture land in the
+same bucket; ~B groups instead of ~n_captures groups, amortizing the
+per-group engine overhead), followed by a tight per-capture kernel:
 
   1. complete-set check (5 bands, J6 semantics: main.py:90-99) — incomplete
      sets emit a status row instead of raising;
   2. align: resample bands 1,2,4,5 onto the band-3 grid, bilinear
      (processor.py:300-359); without GPS/transform the bands stack as-is
-     (identity transform path); clip → uint16;
+     (identity path); clip → uint16;
   3. radiometric calibration ×10000 clip [0,65535] → uint16
      (processor.py:361-399);
   4. the 8 vegetation indices on the calibrated float32 bands with the exact
      processor.py:479-550 math, quantized (x+1)·32767.5 → uint16
      (processor.py:419) and re-encoded as png-format blobs;
-  5. quality metrics: NDVI coverage fractions (indices.py:106-117) + per-band
-     means.
+  5. quality metrics: NDVI coverage fractions (indices.py:106-117).
 
+Partitioning assumption: bucket = blake2b(capture_id) % B co-locates each
+capture's bands; B is sized so a bucket's decoded pixels fit a worker heap.
 Band order inside the stack is sorted band number (processor.py:325).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -29,86 +34,84 @@ from ..config import ALL_INDICES, REFERENCE_BAND
 from ..functions import codec, indices
 from ..functions.raster import affine_bilinear_resample
 
-_OUT_COLS = ["capture_id", "status", "n_bands", "lat", "lon", "alt_m", "ts_raw",
-             "w", "h", "caption"]
+N_CAPTURE_BUCKETS = 64
 
 
-def _empty_out():
-    d = {c: pd.Series(dtype=o) for c, o in zip(
-        _OUT_COLS, [str, str, "int32", float, float, float, str, "int32", "int32", str])}
+def add_capture_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["bucket"] = [
+        int.from_bytes(hashlib.blake2b(c.encode(), digest_size=4).digest(),
+                       "big") % N_CAPTURE_BUCKETS
+        for c in df["capture_id"]
+    ]
+    return df
+
+
+def _nan_row(cid, status, n_bands, ref):
+    rec = {
+        "capture_id": cid, "status": status, "n_bands": np.int32(n_bands),
+        "lat": ref.get("lat", np.nan), "lon": ref.get("lon", np.nan),
+        "alt_m": ref.get("alt_m", np.nan), "ts_raw": ref.get("ts_raw", ""),
+        "w": np.int32(ref.get("w", 0)), "h": np.int32(ref.get("h", 0)),
+        "caption": ref.get("caption", ""),
+    }
     for name in ALL_INDICES:
-        d[f"mean_{name}"] = pd.Series(dtype=float)
-        d[f"index_{name}"] = pd.Series(dtype=object)
-    d["coverage_gt_02"] = pd.Series(dtype=float)
-    d["coverage_gt_05"] = pd.Series(dtype=float)
-    return pd.DataFrame(d)
+        rec[f"mean_{name}"] = np.nan
+        rec[f"index_{name}"] = None
+    rec["coverage_gt_02"] = np.nan
+    rec["coverage_gt_05"] = np.nan
+    return rec
 
 
-def process_capture(group: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
-    """One capture group (rows = its band images) → one result row."""
-    cid = group["capture_id"].iloc[0]
-    if not cid:
-        return _empty_out()
-    g = group.sort_values("band")  # deterministic band order (processor.py:325)
-    bands = g["band"].to_numpy()
-    ref_rows = g[g["band"] == REFERENCE_BAND]
+def _one_capture(cid: str, cols: dict, idx: np.ndarray,
+                 index_names=ALL_INDICES) -> dict:
+    """cols: dict of column -> full numpy/object arrays; idx: row indices of
+    this capture's band images (any order)."""
+    bands = cols["band"][idx]
+    order = np.argsort(bands, kind="stable")  # processor.py:325 sorted bands
+    idx = idx[order]
+    bands = bands[order]
+    first = {k: cols[k][idx[0]] for k in
+             ("lat", "lon", "alt_m", "ts_raw", "w", "h", "caption")}
+    if list(bands) != [1, 2, 3, 4, 5]:
+        return _nan_row(cid, "incomplete_set", len(idx), first)
 
-    def _row(status, n_bands, ref):
-        rec = {
-            "capture_id": cid, "status": status, "n_bands": np.int32(n_bands),
-            "lat": ref.get("lat", np.nan), "lon": ref.get("lon", np.nan),
-            "alt_m": ref.get("alt_m", np.nan), "ts_raw": ref.get("ts_raw", ""),
-            "w": np.int32(ref.get("w", 0)), "h": np.int32(ref.get("h", 0)),
-            "caption": ref.get("caption", ""),
-        }
-        for name in ALL_INDICES:
-            rec[f"mean_{name}"] = np.nan
-            rec[f"index_{name}"] = None
-        rec["coverage_gt_02"] = np.nan
-        rec["coverage_gt_05"] = np.nan
-        return rec
-
-    first = g.iloc[0].to_dict()
-    if sorted(bands.tolist()) != [1, 2, 3, 4, 5]:
-        return pd.DataFrame([_row("incomplete_set", len(g), first)])
-    if not g["decode_ok"].all():
-        return pd.DataFrame([_row("failed_decode", 5, first)])
-
-    ref = ref_rows.iloc[0].to_dict()
-    decoded = {}
-    for _, r in g.iterrows():
-        px = codec.decode_pixels_only(r["bytes"])
+    ref_pos = idx[2]  # band 3 after sort
+    ref = {k: cols[k][ref_pos] for k in
+           ("lat", "lon", "alt_m", "ts_raw", "w", "h", "caption",
+            "west", "north", "px_deg", "py_deg", "has_gps")}
+    decoded = []
+    for i in idx:
+        px = codec.decode_pixels_only(cols["bytes"][i])
         if px is None:
-            return pd.DataFrame([_row("failed_decode", 5, first)])
-        decoded[int(r["band"])] = (px, r)
-
-    ref_px, ref_r = decoded[REFERENCE_BAND]
+            return _nan_row(cid, "failed_decode", 5, first)
+        decoded.append(px)
+    ref_px = decoded[REFERENCE_BAND - 1]
     H, W = ref_px.shape
-    have_geo = bool(ref_r["has_gps"]) and np.isfinite(ref_r["px_deg"])
-    stack = np.zeros((5, H, W), dtype=np.float32)
-    for i, b in enumerate(sorted(decoded)):
-        px, r = decoded[b]
-        if b == REFERENCE_BAND or not have_geo or not np.isfinite(r["px_deg"]):
-            # identity path: same grid (or no georef) → direct stack
+    have_geo = bool(ref["has_gps"]) and np.isfinite(ref["px_deg"])
+    stack = np.empty((5, H, W), dtype=np.float32)
+    for k, (b, px) in enumerate(zip(bands, decoded)):
+        i = idx[k]
+        if (b == REFERENCE_BAND or not have_geo
+                or not np.isfinite(cols["px_deg"][i])):
             src = px.astype(np.float32)
             if src.shape != (H, W):
                 src = affine_bilinear_resample(
                     px, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0,
                     src.shape[1] / W, src.shape[0] / H, H, W)
-            stack[i] = src[:H, :W]
+            stack[k] = src[:H, :W]
         else:
-            stack[i] = affine_bilinear_resample(
+            stack[k] = affine_bilinear_resample(
                 px,
-                float(r["west"]), float(r["north"]),
-                float(r["px_deg"]), float(r["py_deg"]),
-                float(ref_r["west"]), float(ref_r["north"]),
-                float(ref_r["px_deg"]), float(ref_r["py_deg"]),
+                float(cols["west"][i]), float(cols["north"][i]),
+                float(cols["px_deg"][i]), float(cols["py_deg"][i]),
+                float(ref["west"]), float(ref["north"]),
+                float(ref["px_deg"]), float(ref["py_deg"]),
                 H, W)
-    aligned_u16 = np.clip(stack, 0, 65535).astype("uint16")  # processor.py:345
-    calib_u16 = indices.calibrate(aligned_u16.astype("float32"))  # :381-385
-    calib_f = calib_u16.astype("float32")
+    aligned_u16 = np.clip(stack, 0, 65535).astype("uint16")   # :345
+    calib_f = indices.calibrate(aligned_u16.astype("float32")).astype("float32")
 
-    rec = _row("ok", 5, ref)
+    rec = _nan_row(cid, "ok", 5, ref)
     ndvi_f = None
     for name in index_names:
         val = indices.compute_index(name, calib_f)
@@ -117,13 +120,39 @@ def process_capture(group: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFram
         q = indices.quantize_index(val)
         rec[f"mean_{name}"] = float(val.mean())
         rec[f"index_{name}"] = codec.encode_image(
-            q, "png", {"Index": name.upper(), "Capture Id": cid})
+            q, "png", {"Index": name.upper(), "Capture Id": cid}, level=1)
     if ndvi_f is None:
         ndvi_f = indices.compute_index("ndvi", calib_f)
     cov = indices.vegetation_coverage(ndvi_f)
     rec["coverage_gt_02"] = cov["coverage_gt_02"]
     rec["coverage_gt_05"] = cov["coverage_gt_05"]
-    return pd.DataFrame([rec])
+    return rec
+
+
+def process_bucket(df: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
+    """One hash bucket of captures → one row per capture (deterministic
+    capture_id order)."""
+    cols = {c: df[c].to_numpy() for c in df.columns}
+    cids = cols["capture_id"]
+    order = np.argsort(cids, kind="stable")
+    sorted_ids = cids[order]
+    boundaries = np.flatnonzero(
+        np.concatenate([[True], sorted_ids[1:] != sorted_ids[:-1]]))
+    rows = []
+    for s, e in zip(boundaries, np.append(boundaries[1:], len(sorted_ids))):
+        idx = order[s:e]
+        cid = sorted_ids[s]
+        if not cid:
+            continue
+        rows.append(_one_capture(cid, cols, idx, index_names))
+    if not rows:
+        return pd.DataFrame([_nan_row("", "empty", 0, {})]).iloc[0:0]
+    return pd.DataFrame(rows)
+
+
+# compatibility shim for single-capture tests
+def process_capture(group: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
+    return process_bucket(group, index_names)
 
 
 # slim column set shipped through the capture shuffle (bytes dominate; every

@@ -50,9 +50,38 @@ def census_counts(files: list, cell_col: str = "h3_r5", frac: float = 0.125):
 
 
 def salt_map(counts: pd.Series, budget: int) -> dict:
-    """cell → number of salt buckets (≥1)."""
-    f = np.ceil(counts.to_numpy() * _SAFETY / budget).astype(np.int64)
-    return {int(k): max(1, int(v)) for k, v in zip(counts.index, f)}
+    """Range-partition plan over sorted cells with hot-cell salting.
+
+    Cells are sorted by id and binned so each bin's estimated rows ≲ budget
+    (cell-contiguous output ranges → the manifest's cell_lo/cell_hi lineage
+    stays meaningful); a cell whose own estimate exceeds the budget gets a
+    dedicated bin plus F = ceil(est·safety/budget) salt buckets.
+
+    Returns {"cells": sorted int64 array, "bins": int64, "factors": int64} —
+    unseen cells (the census is sampled) fall into the bin of their
+    searchsorted neighbor.
+    """
+    cells = np.asarray(sorted(int(c) for c in counts.index), dtype=np.int64)
+    cnt = counts.loc[cells].to_numpy(dtype=np.float64) * _SAFETY
+    bins = np.zeros(len(cells), dtype=np.int64)
+    factors = np.ones(len(cells), dtype=np.int64)
+    b = 0
+    acc = 0.0
+    for i in range(len(cells)):
+        if cnt[i] > budget:
+            if acc > 0:
+                b += 1
+                acc = 0.0
+            bins[i] = b
+            factors[i] = max(1, int(np.ceil(cnt[i] / budget)))
+            b += 1
+        else:
+            if acc + cnt[i] > budget and acc > 0:
+                b += 1
+                acc = 0.0
+            bins[i] = b
+            acc += cnt[i]
+    return {"cells": cells, "bins": bins, "factors": factors}
 
 
 def _salt_hash(image_ids: np.ndarray) -> np.ndarray:
@@ -62,11 +91,23 @@ def _salt_hash(image_ids: np.ndarray) -> np.ndarray:
     ], dtype=np.int64)
 
 
-def add_part_key(batch: pa.Table, salt_by_cell: dict, cell_col: str = "h3_r5") -> pa.Table:
-    """Append `part_key` = '<cell>:<salt>' (stable hash of image_id mod F)."""
+def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5") -> pa.Table:
+    """Append `part_key` = '<bin>' (or '<bin>:<salt>' for hot cells, salt =
+    stable blake2b(image_id) mod F — never row position)."""
     cells = batch.column(cell_col).to_numpy()
-    ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
-    factors = np.array([salt_by_cell.get(int(c), 1) for c in cells], dtype=np.int64)
-    salts = np.where(factors > 1, _salt_hash(ids) % factors, 0)
-    keys = np.array([f"{c}:{s}" for c, s in zip(cells, salts)], dtype=object)
+    n = len(cells)
+    if not plan or len(plan.get("cells", ())) == 0:
+        keys = np.zeros(n, dtype=np.int64).astype(str)
+        return batch.append_column("part_key", pa.array(keys))
+    pc_ = plan["cells"]
+    pos = np.clip(np.searchsorted(pc_, cells, side="right") - 1, 0, len(pc_) - 1)
+    bins = plan["bins"][pos]
+    factors = np.where(pc_[pos] == cells, plan["factors"][pos], 1)
+    if (factors > 1).any():
+        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        salts = np.where(factors > 1, _salt_hash(ids) % factors, 0)
+    else:
+        salts = np.zeros(n, dtype=np.int64)
+    keys = np.array([f"{b}" if s == 0 and f == 1 else f"{b}:{s}"
+                     for b, s, f in zip(bins, salts, factors)], dtype=object)
     return batch.append_column("part_key", pa.array(keys.astype(str)))
