@@ -286,6 +286,29 @@ class TestResume:
                     hashlib.sha256(f2.read()).digest(), pa_
 
 
+class TestEnricherVariants:
+    def test_actor_pool_matches_cached_task(self, tiny_images_dir, layers_dir):
+        """The Enricher actor-pool stage and the cached-task stage must
+        produce identical enrichment (same broadcast layers, same kernels)."""
+        import glob as g
+
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+        from tiff_enrichment_pipeline_ray.stages import enrich as E
+
+        files = sorted(g.glob(os.path.join(tiny_images_dir, "*.parquet")))[:2]
+        cfg = PipelineConfig()
+        kw = E.put_layers(layers_dir)
+        cols = ["image_id", "h3_r7", "s2_cell", "landcover_class",
+                "elevation_m", "weather_station_id", "tmin_c"]
+        a = (flagship.enriched_dataset(files, cfg, kw, actor_pool=False)
+             .select_columns(cols).to_pandas()
+             .sort_values("image_id").reset_index(drop=True))
+        b = (flagship.enriched_dataset(files, cfg, kw, actor_pool=True)
+             .select_columns(cols).to_pandas()
+             .sort_values("image_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
 class TestSkew:
     def test_partition_budget_respected(self, tiny_images_dir, layers_dir,
                                         tmp_path):

@@ -42,8 +42,11 @@ REFERENCE_BAND = 3  # alignment reference (processor.py:303)
 ALL_INDICES = ("ndvi", "ndre", "gndvi", "savi", "msavi", "evi", "osavi", "ndwi")
 
 # --- Synthetic-fixture scale: rows per unit scale factor (FIXTURES.md:
-#     t1 ≈ 1-2k @ sf0.001, t2 ≈ 20k @ sf0.01, bench ≈ 200k @ sf0.1) ---
-IMAGES_PER_SF = 2_000_000
+#     bench "≈200k+, driver may scale"). 5M/sf ⇒ smoke ≈ 5k @ sf0.001,
+#     correctness ≈ 50k @ sf0.01, bench ≈ 500k @ sf0.1 — sized so the bench
+#     job runs minutes, not seconds: scaling efficiency measured on a job
+#     where compute dominates cluster bootstrap, as at real scale. ---
+IMAGES_PER_SF = 5_000_000
 
 # --- Grid tiling used by the elevation layer and the bucketed kNN ---
 GRID_CELL_DEG = 0.05  # ~3.5 km N-S
@@ -69,10 +72,11 @@ class PipelineConfig:
     enrich_weather: bool = True
     # Ray execution knobs
     batch_size: int = 1024
-    # 0 = auto: cluster CPUs − 2 (Ray fuses the stateless decode/georef/cells
-    # chain into the enrichment actor stage, so the pool should own most of
-    # the node; 2 CPUs stay free for the read + write/groupby stages)
+    # 0 = auto-size the actor pool (cluster CPUs / 2) when enrich_actor_pool
+    # is on; the default execution uses the cached-task enricher instead
+    # (fuses with the read/decode chain, elastic across all CPUs)
     enrich_concurrency: int = 0
+    enrich_actor_pool: bool = False
     capture_concurrency: int = 0  # 0 = let Ray size the groupby stage
     # skew / partitioning
     partition_row_budget: int = DEFAULT_PARTITION_ROW_BUDGET

@@ -6,20 +6,26 @@ regular branch → summary/validation), as ONE streaming DAG per checkpoint
 partition:
 
   read_parquet(images, pruned)
-    → map_batches(extract_meta)            # decode+EXIF+stats   (stateless)
-    → map_batches(georef)                  # GSD/affine          (fused)
-    → map_batches(validate)                # issue columns       (fused)
-    → map_batches(assign_cells)            # hex7 r5-9 + S2 + grid (fused)
-    → map_batches(Enricher, concurrency=N) # PIP + elevation + kNN (actor pool)
-    → drop bytes → add part_key (salted)   # skew-bounded layout
+    → map_batches(extract_meta)            # decode+EXIF+stats   ┐ ONE fused
+    → map_batches(georef)                  # GSD/affine          │ task per
+    → map_batches(validate)                # issue columns       │ block,
+    → map_batches(assign_cells)            # hex7 r5-9 + S2 + grid │ elastic
+    → map_batches(enrich_batch_cached)     # PIP + elev + kNN    │ across all
+    → map_batches(capture_split_stage)     # complete-in-block   │ CPUs
+      #  captures: align/calibrate/8 indices computed + written  │ (worker-
+      #  HERE (no shuffle); orphan rows spilled; bytes dropped   ┘  cached
+      #                                                             indexes)
+    → add part_key (salted range bins)     # skew-bounded layout
     → groupby(part_key).map_groups(write)  # partitioned parquet + lineage
 
-  read_parquet(images)                     # capture branch (second pass,
-    → map_batches(extract_meta_light)      #   header-only — no pixel decode)
-    → filter micasense → select slim cols
-    → groupby(capture_id).map_groups(process_capture)   # align/calib/indices
-    → map_batches(assign_cells_on_captures)
-    → write_parquet(captures/)
+  read_parquet(orphan spill, tiny)         # block-boundary + incomplete sets
+    → groupby(capture bucket).map_groups(process_bucket) → captures/
+
+(The `Enricher` actor-pool variant of the enrichment stage is selectable via
+PipelineConfig.enrich_actor_pool — identical results, used when state must
+pin accelerators; the default cached-task form fuses the entire per-row chain
+into one task stage. The skew census runs first as a sampled header-only
+pass.)
 
 Checkpoint/resume: partitions = deterministic groups of input files; each
 commits atomically then appends a manifest line (state/manifest.py). A re-run
@@ -39,6 +45,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import PipelineConfig
+from ..functions import codec
 from ..sources import synth
 from ..stages import capture as capture_stage
 from ..stages import enrich as enrich_stage
@@ -80,6 +87,32 @@ def _make_part_writer(out_dir: str):
     return part_writer
 
 
+def tune_data_context():
+    """Raise the streaming executor's object-store budget to what the node
+    actually has: the default conservative cap throttles read/map concurrency
+    to a handful of tasks on wide binary rows (measured 2-3× on the read).
+    Safe: the budget only gates task launches; blocks still spill if the
+    store fills."""
+    import ray
+    from ray.data import DataContext, ExecutionResources
+
+    ctx = DataContext.get_current()
+    try:
+        total = ray.cluster_resources().get("object_store_memory")
+        if total:
+            ctx.execution_options.resource_limits = ExecutionResources(
+                object_store_memory=float(total) * 0.8)
+    except Exception:
+        pass
+    # per-operator resource reservation guarantees each op a fixed slice of
+    # the cluster; with one dominant fused task stage that caps it at ~60%
+    # utilization (measured 2.4×). Our DAGs are task-only chains + one
+    # shuffle, so the anti-starvation reservation isn't needed.
+    if hasattr(ctx, "op_resource_reservation_enabled"):
+        ctx.op_resource_reservation_enabled = False
+    return ctx
+
+
 def _enrich_concurrency(cfg: PipelineConfig) -> int:
     """Size the enrichment actor pool. Ray fuses the whole stateless
     map_batches chain into this stage, so the pool does ~all per-row compute:
@@ -90,33 +123,195 @@ def _enrich_concurrency(cfg: PipelineConfig) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if cfg.enrich_concurrency <= 0:
-        return max(1, cpus - 2)
+        # captures are processed in the TASK stage downstream of this pool
+        # (fused single pass): split the node between the pool (decode/
+        # enrich) and the tasks (capture align/indices + partitioned write)
+        return max(1, cpus // 2)
     return max(1, min(cfg.enrich_concurrency, max(1, cpus // 2)))
 
 
-def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict):
-    """Build the lazy enriched Dataset over the given input files."""
+def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
+                     caps_dir: str | None = None,
+                     orphan_dir: str | None = None,
+                     actor_pool: bool | None = None):
+    """Build the lazy enriched Dataset over the given input files (full
+    schema: metadata + georef + cells + enrichment + pixel stats +
+    validation). When ``caps_dir`` is given, complete-in-block captures are
+    processed and written as a side effect of the single decode stage and
+    orphan rows are spilled to ``orphan_dir`` (see
+    _make_decode_stats_capture_stage).
+
+    Enrichment state (STRtree, kNN buckets, elevation grid) is broadcast via
+    ``ray.put`` and built once per worker. Two equivalent executions:
+    - default: cached-task stage (`enrich_batch_cached`) — fuses with the
+      whole stateless chain into one task per block, elastic across all CPUs;
+    - ``actor_pool=True`` (or cfg.enrich_actor_pool): explicit
+      ``map_batches(Enricher, concurrency=N)`` pool — the shape to use when
+      the state must pin accelerators or serve long-lived connections.
+    Results are identical (tested)."""
+    import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(files)
-    ds = ds.map_batches(extract_meta, batch_format="pyarrow", batch_size=cfg.batch_size)
+    if actor_pool is None:
+        actor_pool = cfg.enrich_actor_pool
+    # ~4 blocks per CPU: enough parallelism without over-splitting (the
+    # downstream part_key shuffle pays O(blocks × partitions) object
+    # fetches — 560→128 blocks measured 43→30 s at 500k rows)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(files, override_num_blocks=4 * cpus)
+    ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=cfg.batch_size)
     ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow", batch_size=cfg.batch_size)
+    if actor_pool:
+        ds = ds.map_batches(
+            enrich_stage.Enricher,
+            fn_constructor_kwargs=layer_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=_enrich_concurrency(cfg),
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            enrich_stage.enrich_batch_cached,
+            fn_kwargs=layer_kwargs,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+    # the ONE pixel-decode stage (stats + in-block captures), then the
+    # validators that depend on the decoded stats
+    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir, orphan_dir),
+                        batch_format="pyarrow", batch_size=None)
     if cfg.validate:
         ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(assign_cells, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(
-        enrich_stage.Enricher,
-        fn_constructor_kwargs=layer_kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=_enrich_concurrency(cfg),
-        num_cpus=1,
-    )
-    return ds.drop_columns(ENRICHED_DROP)
+    return ds
+
+
+def _make_decode_stats_capture_stage(caps_dir: str | None,
+                                     orphan_dir: str | None):
+    """The ONE pixel-decode stage of the main pass. Per block:
+
+    - decode every row's payload once → per-image stats columns
+      (min/max/mean/std/zero-ratio — A4 semantics, rasterio_utils.py:257-296
+      with exact merge) and the payload-level ``decode_ok``;
+    - complete-in-block captures: align/calibrate/index them HERE from the
+      already-decoded pixels and write the capture rows as side-effect
+      parquet (content-hash named → idempotent under task retry; no shuffle);
+    - orphan micasense rows (block-boundary / incomplete): spill slim rows +
+      bytes to ``orphan_dir`` for the tiny follow-up bucketed shuffle;
+    - return the block without ``bytes``.
+
+    With caps_dir=None the capture branch is skipped (stats only)."""
+
+    def decode_stage(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        blobs = t.column("bytes").to_pylist()
+        hdr_ok = t.column("decode_ok").to_numpy(zero_copy_only=False)
+        n = len(blobs)
+        decode_ok = np.zeros(n, dtype=bool)
+        px_min = np.zeros(n, dtype=np.int32)
+        px_max = np.zeros(n, dtype=np.int32)
+        px_mean = np.full(n, np.nan)
+        px_std = np.full(n, np.nan)
+        zero_ratio = np.full(n, np.nan)
+        pixels = [None] * n
+        for i, blob in enumerate(blobs):
+            if not hdr_ok[i]:
+                continue
+            px = codec.decode_pixels_only(blob)
+            if px is None:
+                continue
+            decode_ok[i] = True
+            pixels[i] = px
+            f = px.astype(np.float64)
+            px_min[i] = int(px.min())
+            px_max[i] = int(px.max())
+            px_mean[i] = float(f.mean())
+            px_std[i] = float(f.std())
+            zero_ratio[i] = float((px == 0).mean())
+
+        out = t.set_column(t.schema.get_field_index("decode_ok"), "decode_ok",
+                           pa.array(decode_ok))
+        for name, arr in (("px_min", px_min), ("px_max", px_max),
+                          ("px_mean", px_mean), ("px_std", px_std),
+                          ("zero_ratio", zero_ratio)):
+            out = out.append_column(name, pa.array(arr))
+
+        if caps_dir is not None:
+            import pyarrow.compute as pc
+
+            mask = pc.and_(
+                pc.equal(t.column("file_class"), pa.scalar("micasense")),
+                pc.not_equal(t.column("capture_id"), pa.scalar("")))
+            midx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if len(midx):
+                mica = t.select(capture_stage.CAPTURE_SHUFFLE_COLS) \
+                    .take(pa.array(midx)).to_pandas()
+                mica["_px"] = [pixels[i] for i in midx]
+                done, orphans = capture_stage.split_local_complete(mica)
+                if len(done):
+                    res = capture_stage.process_bucket(done)
+                    res_t = _cap_cells(pa.Table.from_pandas(res, preserve_index=False))
+                    tag = _h.blake2b("|".join(sorted(res["capture_id"])).encode(),
+                                     digest_size=10).hexdigest()
+                    os.makedirs(caps_dir, exist_ok=True)
+                    final = os.path.join(caps_dir, f"local-{tag}.parquet")
+                    pq.write_table(res_t, final + ".tmp", compression="zstd")
+                    os.replace(final + ".tmp", final)
+                if len(orphans):
+                    orphans = orphans.drop(columns=["_px"])
+                    tag = _h.blake2b("|".join(sorted(orphans["image_id"])).encode(),
+                                     digest_size=10).hexdigest()
+                    os.makedirs(orphan_dir, exist_ok=True)
+                    final = os.path.join(orphan_dir, f"orph-{tag}.parquet")
+                    pq.write_table(
+                        pa.Table.from_pandas(orphans, preserve_index=False),
+                        final + ".tmp", compression="zstd")
+                    os.replace(final + ".tmp", final)
+        return out.drop_columns(ENRICHED_DROP)
+
+    return decode_stage
+
+
+def _run_orphan_captures(orphan_dir: str, caps_dir: str, cfg: PipelineConfig):
+    """Shuffle + process the spilled orphan rows (a few % of micasense rows:
+    block-boundary captures and genuinely incomplete sets)."""
+    import glob as _g
+
+    import ray.data as rd
+
+    files = sorted(_g.glob(os.path.join(orphan_dir, "*.parquet")))
+    if not files:
+        return
+    ds = rd.read_parquet(files)
+    ds = ds.map_batches(capture_stage.add_capture_bucket, batch_format="pandas")
+    grouped = ds.groupby("bucket").map_groups(
+        capture_stage.process_bucket, batch_format="pandas")
+    grouped.map_batches(_cap_cells, batch_format="pyarrow").write_parquet(caps_dir)
+
+
+def _cap_cells(t: pa.Table) -> pa.Table:
+    from ..functions.cells import hex7_cells_multi, s2_cell
+
+    # robust to all-null blocks (arrow `null` type → object array of Nones)
+    lat_raw = pd.to_numeric(t.column("lat").to_pandas(), errors="coerce") \
+        .to_numpy(dtype=np.float64)
+    lon_raw = pd.to_numeric(t.column("lon").to_pandas(), errors="coerce") \
+        .to_numpy(dtype=np.float64)
+    lat = np.nan_to_num(lat_raw, nan=0.0)
+    lon = np.nan_to_num(lon_raw, nan=0.0)
+    ok = np.isfinite(lat_raw)
+    multi = hex7_cells_multi(lat, lon, (5, 7, 9))
+    out = t
+    for r in (5, 7, 9):
+        out = out.append_column(f"h3_r{r}", pa.array(np.where(ok, multi[r], -1)))
+    out = out.append_column("s2_cell", pa.array(np.where(ok, s2_cell(lat, lon, 16), -1)))
+    return out
 
 
 def capture_dataset(files, cfg: PipelineConfig):
-    """Build the lazy per-capture Dataset (second pass, header-only decode)."""
+    """Lazy full-shuffle variant (kept for API completeness/tests)."""
     import ray.data as rd
 
     ds = rd.read_parquet(files)
@@ -130,21 +325,7 @@ def capture_dataset(files, cfg: PipelineConfig):
     ds = ds.map_batches(capture_stage.add_capture_bucket, batch_format="pandas")
     grouped = ds.groupby("bucket").map_groups(
         capture_stage.process_bucket, batch_format="pandas")
-
-    def cap_cells(t: pa.Table) -> pa.Table:
-        from ..functions.cells import hex7_cells_multi, s2_cell
-
-        lat = np.nan_to_num(t.column("lat").to_numpy(zero_copy_only=False), nan=0.0)
-        lon = np.nan_to_num(t.column("lon").to_numpy(zero_copy_only=False), nan=0.0)
-        ok = np.isfinite(t.column("lat").to_numpy(zero_copy_only=False))
-        multi = hex7_cells_multi(lat, lon, (5, 7, 9))
-        out = t
-        for r in (5, 7, 9):
-            out = out.append_column(f"h3_r{r}", pa.array(np.where(ok, multi[r], -1)))
-        out = out.append_column("s2_cell", pa.array(np.where(ok, s2_cell(lat, lon, 16), -1)))
-        return out
-
-    return grouped.map_batches(cap_cells, batch_format="pyarrow")
+    return grouped.map_batches(_cap_cells, batch_format="pyarrow")
 
 
 def run_flagship(input_dir: str, out_dir: str,
@@ -159,6 +340,7 @@ def run_flagship(input_dir: str, out_dir: str,
     import glob
 
     cfg = cfg or PipelineConfig()
+    tune_data_context()
     layers_dir = layers_dir or synth.ensure_layers()
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
@@ -200,7 +382,18 @@ def run_flagship(input_dir: str, out_dir: str,
         phases["census"] += time.time() - t_start
         t_ph = time.time()
 
-        enriched = enriched_dataset(part_files, cfg, layer_kwargs)
+        cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
+        cap_tmp = cap_part + ".tmp"
+        orph_tmp = os.path.join(out_dir, "captures", f"orph={pid:05d}.tmp")
+        if with_captures:
+            shutil.rmtree(cap_tmp, ignore_errors=True)
+            shutil.rmtree(cap_part, ignore_errors=True)
+            shutil.rmtree(orph_tmp, ignore_errors=True)
+            os.makedirs(cap_tmp, exist_ok=True)
+        enriched = enriched_dataset(
+            part_files, cfg, layer_kwargs,
+            caps_dir=cap_tmp if with_captures else None,
+            orphan_dir=orph_tmp if with_captures else None)
         enriched = enriched.map_batches(
             lambda t, _s=salts: add_part_key(t, _s, f"h3_r{cfg.cell_partition_res}"),
             batch_format="pyarrow")
@@ -218,12 +411,8 @@ def run_flagship(input_dir: str, out_dir: str,
 
         caps = 0
         if with_captures:
-            cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
-            cap_tmp = cap_part + ".tmp"
-            shutil.rmtree(cap_tmp, ignore_errors=True)
-            shutil.rmtree(cap_part, ignore_errors=True)
-            cds = capture_dataset(part_files, cfg)
-            cds.write_parquet(cap_tmp)
+            _run_orphan_captures(orph_tmp, cap_tmp, cfg)
+            shutil.rmtree(orph_tmp, ignore_errors=True)
             os.replace(cap_tmp, cap_part)
             import glob as _g
 

@@ -378,7 +378,8 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def images_dir_for_sf(sf: float) -> str:
-    return os.path.join(CACHE_ROOT, f"images_sf{sf:g}")
+    # cache key includes the row count so IMAGES_PER_SF changes invalidate
+    return os.path.join(CACHE_ROOT, f"images_sf{sf:g}_n{n_images_for_sf(sf)}")
 
 
 def ensure_images(sf: float, n_write_tasks: int = 32) -> str:

@@ -47,13 +47,21 @@ def add_capture_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _f(v):
+    """None/NA → nan float (blocks read back from spills may be object)."""
+    try:
+        return float(v) if v is not None else np.nan
+    except (TypeError, ValueError):
+        return np.nan
+
+
 def _nan_row(cid, status, n_bands, ref):
     rec = {
         "capture_id": cid, "status": status, "n_bands": np.int32(n_bands),
-        "lat": ref.get("lat", np.nan), "lon": ref.get("lon", np.nan),
-        "alt_m": ref.get("alt_m", np.nan), "ts_raw": ref.get("ts_raw", ""),
-        "w": np.int32(ref.get("w", 0)), "h": np.int32(ref.get("h", 0)),
-        "caption": ref.get("caption", ""),
+        "lat": _f(ref.get("lat")), "lon": _f(ref.get("lon")),
+        "alt_m": _f(ref.get("alt_m")), "ts_raw": ref.get("ts_raw", ""),
+        "w": np.int32(ref.get("w") or 0), "h": np.int32(ref.get("h") or 0),
+        "caption": ref.get("caption", "") or "",
     }
     for name in ALL_INDICES:
         rec[f"mean_{name}"] = np.nan
@@ -81,8 +89,9 @@ def _one_capture(cid: str, cols: dict, idx: np.ndarray,
            ("lat", "lon", "alt_m", "ts_raw", "w", "h", "caption",
             "west", "north", "px_deg", "py_deg", "has_gps")}
     decoded = []
+    pre = cols.get("_px")  # pixels already decoded by the stats stage
     for i in idx:
-        px = codec.decode_pixels_only(cols["bytes"][i])
+        px = pre[i] if pre is not None else codec.decode_pixels_only(cols["bytes"][i])
         if px is None:
             return _nan_row(cid, "failed_decode", 5, first)
         decoded.append(px)
@@ -153,6 +162,31 @@ def process_bucket(df: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
 # compatibility shim for single-capture tests
 def process_capture(group: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
     return process_bucket(group, index_names)
+
+
+def split_local_complete(df: pd.DataFrame):
+    """Split a block's rows into (complete-in-block captures, orphan rows).
+
+    A capture has ≤1 row per band (image_id is unique), so a capture whose
+    full band set {1..5} appears inside one block is globally complete and
+    can be processed WITHOUT any shuffle; rows of captures only partially
+    present in this block are orphans, shuffled by capture bucket and decided
+    globally (complete vs incomplete_set). This keeps the wide `bytes`
+    column out of the all-to-all exchange for co-located captures —
+    SURVEY §7.4-3 (never shuffle pixels when metadata suffices).
+    """
+    cid = df["capture_id"].to_numpy()
+    band = df["band"].to_numpy()
+    order = np.argsort(cid, kind="stable")
+    sc = cid[order]
+    starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+    ends = np.append(starts[1:], len(sc))
+    complete_mask = np.zeros(len(df), dtype=bool)
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        if len(idx) == 5 and sorted(band[idx].tolist()) == [1, 2, 3, 4, 5]:
+            complete_mask[idx] = True
+    return df[complete_mask], df[~complete_mask]
 
 
 # slim column set shipped through the capture shuffle (bytes dominate; every

@@ -76,6 +76,27 @@ def put_layers(layers_dir: str) -> dict:
     return {"layers_ref": ray.put(load_layers(layers_dir))}
 
 
+_WORKER_ENRICHER: dict = {}
+
+
+def enrich_batch_cached(batch: pa.Table, layers_ref=None) -> pa.Table:
+    """Stateless-task variant of the Enricher with a per-worker-process
+    index cache: the broadcast layers are ``ray.get`` once per worker and the
+    built indexes (STRtree/kNN buckets/elevation grid) are reused for every
+    subsequent batch that worker processes — the same build-once semantics as
+    the actor pool, but as a plain task so Ray fuses it with the upstream
+    read/decode chain and schedules it elastically across ALL cpus (no pool
+    sizing). Used by the flagship's single-pass DAG; the ``Enricher`` actor
+    pool remains the API for long-lived services / GPU-style stages."""
+    key = layers_ref.hex() if hasattr(layers_ref, "hex") else id(layers_ref)
+    e = _WORKER_ENRICHER.get(key)
+    if e is None:
+        e = Enricher(layers_ref=layers_ref)
+        _WORKER_ENRICHER.clear()
+        _WORKER_ENRICHER[key] = e
+    return e(batch)
+
+
 class Enricher:
     """Actor-pool batch enricher; indexes built once per actor."""
 

@@ -131,6 +131,7 @@ def extract_meta_light(batch: pa.Table) -> pa.Table:
     lon_s = [""] * n
     alt_s = [""] * n
     ts_s = [""] * n
+    cam = [""] * n
     for i, blob in enumerate(blobs):
         hm = codec.decode_header_meta(blob)
         if hm is None:
@@ -141,6 +142,7 @@ def extract_meta_light(batch: pa.Table) -> pa.Table:
         lon_s[i] = meta.get("GPS Longitude", "")
         alt_s[i] = meta.get("GPS Altitude", "")
         ts_s[i] = meta.get("Date/Time Original", "")
+        cam[i] = meta.get("Camera Model Name", "")
 
     sid = pd.Series(ids, dtype="string")
     m = sid.str.extract(r"^IMG_(\d{4,})_([1-5])$")
@@ -152,6 +154,7 @@ def extract_meta_light(batch: pa.Table) -> pa.Table:
     lon = geo.parse_gps_coords(pd.Series(lon_s))
     has_gps = np.array([bool(a) and bool(b) for a, b in zip(lat_s, lon_s)])
     alt = geo.parse_altitude(pd.Series(alt_s))
+    ts = geo.parse_exif_datetime(pd.Series(ts_s))
 
     cols = {
         "decode_ok": decode_ok,
@@ -162,11 +165,13 @@ def extract_meta_light(batch: pa.Table) -> pa.Table:
         "lat": np.where(has_gps, lat, np.nan),
         "lon": np.where(has_gps, lon, np.nan),
         "alt_m": alt,
+        "camera": np.array(cam, dtype=object).astype(str),
         "ts_raw": np.array(ts_s, dtype=object).astype(str),
     }
     out = batch
     for k, v in cols.items():
         out = out.append_column(k, pa.array(v))
+    out = out.append_column("ts", pa.Array.from_pandas(ts, type=pa.timestamp("us")))
     return out
 
 

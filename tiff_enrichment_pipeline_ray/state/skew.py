@@ -26,7 +26,7 @@ import pyarrow as pa
 _SAFETY = 1.3
 
 
-def census_counts(files: list, cell_col: str = "h3_r5", frac: float = 0.125):
+def census_counts(files: list, cell_col: str = "h3_r5", frac: float = 0.04):
     """Light sampled census: cell → estimated row count (pandas Series)."""
     import ray.data as rd
 
