@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_stats": Q.doc_lang_stats,
         "doc_source_stats": Q.doc_source_stats,
         "doc_quality_scores": Q.doc_quality_scores,
+        "doc_token_counts_regex": Q.doc_token_counts_regex,
         "doc_fingerprints": Q.doc_fingerprints,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_label_stats": Q.embedding_label_stats,
+        "embedding_near_dup": Q.embedding_near_dup,
         # multimodal plumbing (actor-pool feature extraction)
         "image_features": Q.image_features,
         # geospatial joins with exact SQL parity (events-derived points)
@@ -70,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_enriched": Q.flagship_enriched,
         "flagship_captures": Q.flagship_captures,
         "image_exact_dedup": Q.image_exact_dedup,
+        "px_histogram": Q.px_histogram,
+        "band_stats_by_class": Q.band_stats_by_class,
+        "enriched_daily_stats": Q.enriched_daily_stats,
+        "file_class_counts": Q.file_class_counts,
+        "gps_export": Q.gps_export,
+        "validation_report": Q.validation_report,
     }
 
 

@@ -154,20 +154,27 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
 
     if actor_pool is None:
         actor_pool = cfg.enrich_actor_pool
-    # ~4 blocks per CPU: enough parallelism without over-splitting (the
-    # downstream part_key shuffle pays O(blocks × partitions) object
-    # fetches — 560→128 blocks measured 43→30 s at 500k rows)
+    # block sizing: ~4k rows per block (data-sized, cluster-independent),
+    # floored at 4 blocks/CPU for small inputs. Over-splitting makes the
+    # part_key shuffle pay O(blocks × partitions) object fetches (measured
+    # 43→30 s at 500k rows); huge blocks make the decode stage hold too many
+    # decoded pixels per task.
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    ds = rd.read_parquet(files, override_num_blocks=4 * cpus)
-    ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(assign_cells, batch_format="pyarrow", batch_size=cfg.batch_size)
+    try:
+        est_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        est_rows = 0
+    nblocks = max(4 * cpus, est_rows // 4096)
+    ds = rd.read_parquet(files, override_num_blocks=nblocks)
+    ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(assign_cells, batch_format="pyarrow", batch_size=None)
     if actor_pool:
         ds = ds.map_batches(
             enrich_stage.Enricher,
             fn_constructor_kwargs=layer_kwargs,
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,
             concurrency=_enrich_concurrency(cfg),
             num_cpus=1,
         )
@@ -176,14 +183,14 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
             enrich_stage.enrich_batch_cached,
             fn_kwargs=layer_kwargs,
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,
         )
     # the ONE pixel-decode stage (stats + in-block captures), then the
     # validators that depend on the decoded stats
     ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir, orphan_dir),
                         batch_format="pyarrow", batch_size=None)
     if cfg.validate:
-        ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=cfg.batch_size)
+        ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=None)
     return ds
 
 
@@ -215,7 +222,12 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
         px_mean = np.full(n, np.nan)
         px_std = np.full(n, np.nan)
         zero_ratio = np.full(n, np.nan)
+        phash_ok = np.zeros(n, dtype=bool)
+        stored_ph = t.column("phash").to_numpy(zero_copy_only=False)
+        fmts = t.column("fmt").to_pylist()
         pixels = [None] * n
+        import hashlib as _hh
+
         for i, blob in enumerate(blobs):
             if not hdr_ok[i]:
                 continue
@@ -230,12 +242,21 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
             px_mean[i] = float(f.mean())
             px_std[i] = float(f.std())
             zero_ratio[i] = float((px == 0).mean())
+            # V4 integrity (rasterio_utils.py:118-155): verify the stored
+            # phash against the decoded pixels (lossless formats only —
+            # lossyq legitimately reconstructs different bits)
+            if fmts[i] in ("raw", "png"):
+                hsh = _hh.blake2b(np.ascontiguousarray(px, "<u2").tobytes(),
+                                  digest_size=8).digest()
+                phash_ok[i] = (int.from_bytes(hsh, "big") >> 1) == stored_ph[i]
+            else:
+                phash_ok[i] = True
 
         out = t.set_column(t.schema.get_field_index("decode_ok"), "decode_ok",
                            pa.array(decode_ok))
         for name, arr in (("px_min", px_min), ("px_max", px_max),
                           ("px_mean", px_mean), ("px_std", px_std),
-                          ("zero_ratio", zero_ratio)):
+                          ("zero_ratio", zero_ratio), ("phash_ok", phash_ok)):
             out = out.append_column(name, pa.array(arr))
 
         if caps_dir is not None:
@@ -315,8 +336,8 @@ def capture_dataset(files, cfg: PipelineConfig):
     import ray.data as rd
 
     ds = rd.read_parquet(files)
-    ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(
         lambda t: t.filter(
             pa.compute.equal(t.column("file_class"), pa.scalar("micasense"))),
@@ -371,8 +392,11 @@ def run_flagship(input_dir: str, out_dir: str,
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
         est_rows = sum(pq.read_metadata(f).num_rows for f in part_files)
+        # bins: bounded above by the configured budget, below only so the
+        # partition count stays modest (too many bins makes the shuffle pay
+        # O(blocks × bins) object fetches)
         bin_budget = int(min(cfg.partition_row_budget,
-                             max(4096, est_rows // (2 * cpus))))
+                             max(8192, est_rows // 32)))
         if est_rows > bin_budget:
             counts = census_counts(part_files,
                                    cell_col=f"h3_r{cfg.cell_partition_res}")

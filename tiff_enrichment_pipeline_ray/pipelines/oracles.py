@@ -138,6 +138,12 @@ ORACLES["doc_token_counts"] = """
 SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 """
 
+ORACLES["doc_token_counts_regex"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_re
+FROM documents
+"""
+
 ORACLES["doc_quality_counts"] = """
 SELECT doc_id,
        length(text) AS n_chars,

@@ -609,6 +609,145 @@ def flagship_captures(sf_dir: str):
     return caps.select_columns(keep)
 
 
+def px_histogram(sf_dir: str):
+    """Corpus-wide 256-bin pixel histogram (A5, processor.py:579-598):
+    per-batch np.histogram partials merged by a Sum aggregate — the
+    partial+final stats pattern of rasterio_utils.py:257-296, exact."""
+    import ray.data as rd
+
+    from ..functions import codec as C
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["bytes"])
+
+    def partial(t):
+        import pyarrow as _pa
+
+        counts = np.zeros(256, dtype=np.int64)
+        for blob in t.column("bytes").to_pylist():
+            px = C.decode_pixels_only(blob)
+            if px is not None:
+                counts += np.histogram(px, bins=256, range=(0, 65536))[0]
+        return _pa.table({"bin": np.arange(256, dtype=np.int64), "count": counts})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("count", alias_name="count")))
+    return agg
+
+
+def band_stats_by_class(sf_dir: str):
+    """Corpus-level per-(file_class, band) stats with EXACT merge
+    (count/sum/sumsq — fixes the reference's biased std merge,
+    SURVEY §7.4-5)."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["file_class", "band", "decode_ok", "px_mean", "px_std", "w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.decode_ok]
+        npx = df.w.astype(float) * df.h.astype(float)
+        s = df.px_mean * npx
+        ss = (df.px_std ** 2 + df.px_mean ** 2) * npx
+        g = pd.DataFrame({"file_class": df.file_class, "band": df.band,
+                          "n_px": npx, "sum_px": s, "sumsq_px": ss}) \
+            .groupby(["file_class", "band"], as_index=False, sort=False).sum()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["file_class", "band"])
+           .aggregate(Sum("n_px", alias_name="n_px"),
+                      Sum("sum_px", alias_name="sum_px"),
+                      Sum("sumsq_px", alias_name="sumsq_px")))
+    df = agg.to_pandas()
+    df["mean_px"] = (df.sum_px / df.n_px).round(6)
+    var = df.sumsq_px / df.n_px - (df.sum_px / df.n_px) ** 2
+    df["std_px"] = np.sqrt(np.clip(var, 0, None)).round(6)
+    return df[["file_class", "band", "n_px", "mean_px", "std_px"]]
+
+
+def enriched_daily_stats(sf_dir: str):
+    """A2 daily processing stats over the enriched table: per capture-date
+    counts, valid counts, mean elevation."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["ts", "valid", "elevation_m", "has_gps"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df.ts).dt.strftime("%Y-%m-%d").fillna("unknown")
+        return pd.DataFrame({
+            "date": d,
+            "n": 1,
+            "n_valid": df.valid.astype(int),
+            "sum_elev": df.elevation_m.fillna(0.0),
+            "n_elev": df.elevation_m.notna().astype(int),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(tag, batch_format="pandas")
+           .groupby("date")
+           .aggregate(Sum("n", alias_name="n_images"),
+                      Sum("n_valid", alias_name="n_valid"),
+                      Sum("sum_elev", alias_name="sum_elev"),
+                      Sum("n_elev", alias_name="n_elev")))
+    df = agg.to_pandas()
+    df["mean_elevation"] = (df.sum_elev / df.n_elev.clip(lower=1)).round(4)
+    return df.drop(columns=["sum_elev"])
+
+
+def file_class_counts(sf_dir: str):
+    """A8 distinct file-type counts over the enriched table."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(["file_class", "fmt"])
+    return _preagg(ds, ["file_class", "fmt"], [("n", None, "count")])
+
+
+def gps_export(sf_dir: str):
+    """K7 GPS exporter (scripts/extract_gps_to_csv_json.py:22-57): per-image
+    lat/lon/alt projection of the enriched table."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["image_id", "has_gps", "lat", "lon", "alt_m"])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.has_gps].copy()
+        for c in ("lat", "lon", "alt_m"):
+            df[c] = df[c].round(8)
+        return df.drop(columns=["has_gps"])
+
+    return ds.map_batches(rnd, batch_format="pandas")
+
+
+def validation_report(sf_dir: str):
+    """K3 validation report (main.py:525-535): per-image issue summary."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(["image_id", "valid", "issues"])
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df.image_id,
+            "valid": df.valid,
+            "n_issues": df.issues.map(len).astype(np.int64),
+            "issues": df.issues.map(lambda l: ";".join(list(l))),
+        })
+
+    return ds.map_batches(fmt, batch_format="pandas")
+
+
 def image_exact_dedup(sf_dir: str):
     """Exact image dedup: hash-partition on phash, keep min image_id
     (A7; groupby + per-group first)."""
@@ -701,6 +840,50 @@ def dedup_simhash_docs(sf_dir: str):
                              "simhash": np.array(sh, dtype=np.int64)})
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_token_counts_regex(sf_dir: str):
+    """BPE-ish regex tokenizer count: \\w+|[^\\w\\s] matches words and
+    standalone punctuation (the subword-style pre-tokenization split)."""
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        pat = re.compile(r"\w+|[^\w\s]")
+        return pd.DataFrame({
+            "doc_id": df.doc_id,
+            "n_tokens_re": df.text.fillna("").map(
+                lambda t: len(pat.findall(t))).astype(np.int64),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold, a < b).
+
+    Fixture-scale path gathers the (small) embedding table and does one
+    blocked matmul; the scale path is the IVF bucketing in stages/ann.py
+    (candidates only within probed lists)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    norms = np.sqrt((X * X).sum(1))
+    Xn = X / np.where(norms == 0, 1, norms)[:, None]
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(ids), k=1)
+    sims = S[iu]
+    # fixture embeddings are near-orthogonal (max pair sim ≈ 0.48), so the
+    # near-dup threshold is set to surface the closest tail
+    m = sims >= 0.4
+    return pd.DataFrame({
+        "vec_a": ids[iu[0][m]].astype(np.int64),
+        "vec_b": ids[iu[1][m]].astype(np.int64),
+        "cosine_sim": np.round(sims[m], 6),
+    })
 
 
 def doc_fingerprints(sf_dir: str):

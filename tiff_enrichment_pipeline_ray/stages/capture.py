@@ -34,7 +34,7 @@ from ..config import ALL_INDICES, REFERENCE_BAND
 from ..functions import codec, indices
 from ..functions.raster import affine_bilinear_resample
 
-N_CAPTURE_BUCKETS = 64
+N_CAPTURE_BUCKETS = 16
 
 
 def add_capture_bucket(df: pd.DataFrame) -> pd.DataFrame:

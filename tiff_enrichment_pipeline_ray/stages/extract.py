@@ -189,6 +189,9 @@ def georef(batch: pa.Table) -> pa.Table:
     for k in ("px_deg", "py_deg", "west", "north", "gsd_x", "gsd_y"):
         out = out.append_column(k, pa.array(np.where(has, t[k], np.nan)))
     out = out.append_column("crs", pa.array(np.where(has, "EPSG:4326", "").astype(object).astype(str)))
+    # M23 surface-area QA column (validation.py:68-150)
+    area = geo.surface_area_m2(t["west"], t["north"], t["px_deg"], t["py_deg"], w, h)
+    out = out.append_column("footprint_m2", pa.array(np.where(has, area, np.nan)))
     return out
 
 
@@ -215,10 +218,17 @@ def validate(batch: pa.Table) -> pa.Table:
         ("zero_ratio_exceeded", ok & (zr > MAX_ZERO_RATIO)),
         ("missing_datetime", (ts_raw.str.len() == 0).to_numpy(dtype=bool)),
         ("missing_gps", ~has_gps),
+        # M24 coordinate validators (init-db.sql:142-154)
+        ("coords_out_of_range",
+         has_gps & ~((lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180))),
         ("pixel_size_out_of_range",
          has_gps & ~((px > PIXEL_SIZE_DEG_MIN) & (px < PIXEL_SIZE_DEG_MAX)
                      & (py > PIXEL_SIZE_DEG_MIN) & (py < PIXEL_SIZE_DEG_MAX))),
     ]
+    # V4 file integrity: stored phash must match the decoded pixels' hash
+    if "phash_ok" in batch.schema.names:
+        ph_ok = batch.column("phash_ok").to_numpy(zero_copy_only=False)
+        checks.append(("phash_mismatch", ok & ~ph_ok))
     issue_lists = [[] for _ in range(n)]
     for name, mask in checks:
         for i in np.flatnonzero(mask):

@@ -32,11 +32,15 @@ def census_counts(files: list, cell_col: str = "h3_r5", frac: float = 0.04):
 
     from ..stages.extract import assign_cells, extract_meta_light
 
+    import ray
+
     files = sorted(files)
     step = max(1, int(round(1.0 / frac)))
     sample = files[::step]
     scale = len(files) / len(sample)
-    ds = rd.read_parquet(sample, columns=["image_id", "bytes", "w", "h"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(sample, columns=["image_id", "bytes", "w", "h"],
+                         override_num_blocks=2 * cpus)
     ds = ds.map_batches(extract_meta_light, batch_format="pyarrow")
     ds = ds.map_batches(assign_cells, batch_format="pyarrow")
 
