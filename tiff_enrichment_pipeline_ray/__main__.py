@@ -89,6 +89,31 @@ def cmd_health(args):
     sys.exit(0 if all(checks.values()) else 1)
 
 
+def cmd_watch(args):
+    """Watcher daemon (watcher.py:8-18): poll + re-run; the manifest makes
+    each cycle process only new input partitions (exact resume — late files
+    are picked up next cycle, finished work is never recomputed)."""
+    import time
+
+    _init_ray(args.num_cpus)
+    from .pipelines import flagship
+
+    cycle = 0
+    while True:
+        cycle += 1
+        try:
+            s = flagship.run_flagship(args.input, args.output, resume=True)
+            print(json.dumps({"cycle": cycle,
+                              "partitions_run": s["partitions_run"],
+                              "partitions_skipped": s["partitions_skipped"]}),
+                  flush=True)
+        except FileNotFoundError as e:
+            print(json.dumps({"cycle": cycle, "waiting": str(e)}), flush=True)
+        if args.max_cycles and cycle >= args.max_cycles:
+            break
+        time.sleep(args.interval)
+
+
 def cmd_synth(args):
     _init_ray(args.num_cpus)
     from .sources import synth
@@ -129,6 +154,18 @@ def main(argv=None):
     ps.add_argument("--sf", type=float, default=0.001)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pw = sub.add_parser(
+        "watch", help="watcher daemon: re-run with resume every INTERVAL s "
+        "(reference watcher.py:8-18; exact incremental resume replaces "
+        "overwrite-based idempotence)")
+    pw.add_argument("--input", required=True)
+    pw.add_argument("--output", required=True)
+    pw.add_argument("--interval", type=float, default=30.0)
+    pw.add_argument("--max-cycles", type=int, default=0,
+                    help="0 = run forever")
+    pw.add_argument("--num-cpus", type=int, default=None)
+    pw.set_defaults(fn=cmd_watch)
 
     args = p.parse_args(argv)
     args.fn(args)
