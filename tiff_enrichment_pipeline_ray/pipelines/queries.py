@@ -568,7 +568,7 @@ def geo_point_in_rect(sf_dir: str):
 
 # ------------------------------------------------- flagship (rows-only)
 
-_FLAG_VERSION = "v1"
+_FLAG_VERSION = "v2"  # bump on any semantics change: invalidates /tmp caches
 
 
 def _flagship_out(sf: float) -> str:
@@ -576,7 +576,9 @@ def _flagship_out(sf: float) -> str:
     from . import flagship as fl
 
     img_dir = synth.ensure_images(sf)
-    out = os.path.join(synth.CACHE_ROOT, f"flagout_{_FLAG_VERSION}_sf{sf:g}")
+    out = os.path.join(
+        synth.CACHE_ROOT,
+        f"flagout_{_FLAG_VERSION}_sf{sf:g}_n{synth.n_images_for_sf(sf)}")
     fl.run_flagship(img_dir, out, resume=True)
     return out
 
