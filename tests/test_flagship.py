@@ -43,7 +43,8 @@ class TestAccounting:
 
         recs = Manifest(out).records()
         assert all(r["status"] == "done" for r in recs)
-        part_rows = sum(p["rows"] for r in recs for p in r["parts"])
+        part_rows = sum(p["rows"] for r in recs for p in r["parts"]
+                        if p.get("kind", "enriched") == "enriched")
         assert part_rows == sum(r["row_count"] for r in recs)
         for r in recs:
             for p in r["parts"]:

@@ -62,13 +62,35 @@ from ..state.skew import add_part_key, census_counts, salt_map
 ENRICHED_DROP = ["bytes"]
 
 
-def _make_part_writer(out_dir: str):
-    """map_groups writer: one parquet file per salted partition, sorted by
-    image_id (deterministic), atomic tmp+rename; returns a lineage row."""
+def _make_part_writer(out_dir: str, caps_dir: str | None = None):
+    """map_groups writer for the single shuffle. Enriched partitions
+    ('<bin>[:salt]' keys): one parquet file per salted partition, sorted by
+    image_id (deterministic), atomic tmp+rename. Orphan-capture partitions
+    ('o:<bucket>' keys — duplicated rows carrying orph_bytes): run the
+    per-capture kernel and write into ``caps_dir`` instead. Both return a
+    lineage row (kind column)."""
 
     def part_writer(g: pd.DataFrame) -> pd.DataFrame:
+        key_raw = str(g["part_key"].iloc[0])
+        key = key_raw.replace(":", "_")
+        if key_raw.startswith("o:") and caps_dir is not None:
+            cg = g.rename(columns={"orph_bytes": "bytes"})
+            res = capture_stage.process_bucket(cg)
+            res_t = _cap_cells(pa.Table.from_pandas(res, preserve_index=False))
+            os.makedirs(caps_dir, exist_ok=True)
+            final = os.path.join(caps_dir, f"{key}.parquet")
+            pq.write_table(res_t, final + ".tmp", compression="zstd")
+            os.replace(final + ".tmp", final)
+            cells = g["h3_r5"].to_numpy()
+            return pd.DataFrame([{
+                "part_key": key_raw, "kind": "captures", "rows": len(res),
+                "h3_lo": int(cells.min()) if len(cells) else -1,
+                "h3_hi": int(cells.max()) if len(cells) else -1,
+                "file": os.path.basename(final),
+            }])
         g = g.sort_values("image_id").reset_index(drop=True)
-        key = str(g["part_key"].iloc[0]).replace(":", "_")
+        if "orph_bytes" in g.columns:
+            g = g.drop(columns=["orph_bytes"])
         os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"{key}.parquet")
         tmp = final + ".tmp"
@@ -77,8 +99,7 @@ def _make_part_writer(out_dir: str):
         os.replace(tmp, final)
         cells = g["h3_r5"].to_numpy()
         return pd.DataFrame([{
-            "part_key": str(g["part_key"].iloc[0]),
-            "rows": len(g),
+            "part_key": key_raw, "kind": "enriched", "rows": len(g),
             "h3_lo": int(cells.min()) if len(cells) else -1,
             "h3_hi": int(cells.max()) if len(cells) else -1,
             "file": os.path.basename(final),
@@ -132,7 +153,6 @@ def _enrich_concurrency(cfg: PipelineConfig) -> int:
 
 def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
                      caps_dir: str | None = None,
-                     orphan_dir: str | None = None,
                      actor_pool: bool | None = None):
     """Build the lazy enriched Dataset over the given input files (full
     schema: metadata + georef + cells + enrichment + pixel stats +
@@ -187,15 +207,14 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
         )
     # the ONE pixel-decode stage (stats + in-block captures), then the
     # validators that depend on the decoded stats
-    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir, orphan_dir),
+    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir),
                         batch_format="pyarrow", batch_size=None)
     if cfg.validate:
         ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=None)
     return ds
 
 
-def _make_decode_stats_capture_stage(caps_dir: str | None,
-                                     orphan_dir: str | None):
+def _make_decode_stats_capture_stage(caps_dir: str | None):
     """The ONE pixel-decode stage of the main pass. Per block:
 
     - decode every row's payload once → per-image stats columns
@@ -204,9 +223,11 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
     - complete-in-block captures: align/calibrate/index them HERE from the
       already-decoded pixels and write the capture rows as side-effect
       parquet (content-hash named → idempotent under task retry; no shuffle);
-    - orphan micasense rows (block-boundary / incomplete): spill slim rows +
-      bytes to ``orphan_dir`` for the tiny follow-up bucketed shuffle;
-    - return the block without ``bytes``.
+    - orphan micasense rows (block-boundary / incomplete): re-emitted as
+      DUPLICATE rows carrying their payload in ``orph_bytes`` — they ride
+      the existing part_key shuffle under ``o:<bucket>`` keys and are
+      resolved by the partition writer (ONE shuffle for the whole pipeline);
+    - return the block without ``bytes`` (+ nullable ``orph_bytes``).
 
     With caps_dir=None the capture branch is skipped (stats only)."""
 
@@ -259,6 +280,7 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
                           ("zero_ratio", zero_ratio), ("phash_ok", phash_ok)):
             out = out.append_column(name, pa.array(arr))
 
+        orph_global = np.empty(0, dtype=np.int64)
         if caps_dir is not None:
             import pyarrow.compute as pc
 
@@ -281,35 +303,19 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
                     pq.write_table(res_t, final + ".tmp", compression="zstd")
                     os.replace(final + ".tmp", final)
                 if len(orphans):
-                    orphans = orphans.drop(columns=["_px"])
-                    tag = _h.blake2b("|".join(sorted(orphans["image_id"])).encode(),
-                                     digest_size=10).hexdigest()
-                    os.makedirs(orphan_dir, exist_ok=True)
-                    final = os.path.join(orphan_dir, f"orph-{tag}.parquet")
-                    pq.write_table(
-                        pa.Table.from_pandas(orphans, preserve_index=False),
-                        final + ".tmp", compression="zstd")
-                    os.replace(final + ".tmp", final)
-        return out.drop_columns(ENRICHED_DROP)
+                    orph_global = midx[orphans.index.to_numpy()]
+
+        main = out.drop_columns(ENRICHED_DROP)
+        main = main.append_column(
+            "orph_bytes", pa.nulls(n, t.schema.field("bytes").type))
+        if len(orph_global):
+            sel = out.take(pa.array(orph_global))
+            extra = sel.drop_columns(ENRICHED_DROP) \
+                .append_column("orph_bytes", sel.column("bytes"))
+            main = pa.concat_tables([main, extra])
+        return main
 
     return decode_stage
-
-
-def _run_orphan_captures(orphan_dir: str, caps_dir: str, cfg: PipelineConfig):
-    """Shuffle + process the spilled orphan rows (a few % of micasense rows:
-    block-boundary captures and genuinely incomplete sets)."""
-    import glob as _g
-
-    import ray.data as rd
-
-    files = sorted(_g.glob(os.path.join(orphan_dir, "*.parquet")))
-    if not files:
-        return
-    ds = rd.read_parquet(files)
-    ds = ds.map_batches(capture_stage.add_capture_bucket, batch_format="pandas")
-    grouped = ds.groupby("bucket").map_groups(
-        capture_stage.process_bucket, batch_format="pandas")
-    grouped.map_batches(_cap_cells, batch_format="pyarrow").write_parquet(caps_dir)
 
 
 def _cap_cells(t: pa.Table) -> pa.Table:
@@ -408,16 +414,13 @@ def run_flagship(input_dir: str, out_dir: str,
 
         cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
         cap_tmp = cap_part + ".tmp"
-        orph_tmp = os.path.join(out_dir, "captures", f"orph={pid:05d}.tmp")
         if with_captures:
             shutil.rmtree(cap_tmp, ignore_errors=True)
             shutil.rmtree(cap_part, ignore_errors=True)
-            shutil.rmtree(orph_tmp, ignore_errors=True)
             os.makedirs(cap_tmp, exist_ok=True)
         enriched = enriched_dataset(
             part_files, cfg, layer_kwargs,
-            caps_dir=cap_tmp if with_captures else None,
-            orphan_dir=orph_tmp if with_captures else None)
+            caps_dir=cap_tmp if with_captures else None)
         enriched = enriched.map_batches(
             lambda t, _s=salts: add_part_key(t, _s, f"h3_r{cfg.cell_partition_res}"),
             batch_format="pyarrow")
@@ -426,17 +429,18 @@ def run_flagship(input_dir: str, out_dir: str,
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(part_dir, ignore_errors=True)
         lineage = (enriched.groupby("part_key")
-                   .map_groups(_make_part_writer(tmp_dir), batch_format="pandas")
+                   .map_groups(_make_part_writer(
+                       tmp_dir, caps_dir=cap_tmp if with_captures else None),
+                       batch_format="pandas")
                    .to_pandas())
         os.replace(tmp_dir, part_dir)
-        rows = int(lineage["rows"].sum())
+        enr_lineage = lineage[lineage["kind"] == "enriched"]
+        rows = int(enr_lineage["rows"].sum())
         phases["enrich_write"] += time.time() - t_ph
         t_ph = time.time()
 
         caps = 0
         if with_captures:
-            _run_orphan_captures(orph_tmp, cap_tmp, cfg)
-            shutil.rmtree(orph_tmp, ignore_errors=True)
             os.replace(cap_tmp, cap_part)
             import glob as _g
 

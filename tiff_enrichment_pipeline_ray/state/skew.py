@@ -125,23 +125,37 @@ def _salt_hash(image_ids: np.ndarray) -> np.ndarray:
     ], dtype=np.int64)
 
 
-def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5") -> pa.Table:
+def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5",
+                 orphan_buckets: int = 16) -> pa.Table:
     """Append `part_key` = '<bin>' (or '<bin>:<salt>' for hot cells, salt =
-    stable blake2b(image_id) mod F — never row position)."""
+    stable blake2b(image_id) mod F — never row position).
+
+    Rows whose ``orph_bytes`` is non-null are duplicated capture-input rows
+    riding the same shuffle: they get 'o:<bucket>' keys (bucket = stable
+    hash of capture_id) so each orphan capture's bands co-locate."""
     cells = batch.column(cell_col).to_numpy()
     n = len(cells)
     if not plan or len(plan.get("cells", ())) == 0:
-        keys = np.zeros(n, dtype=np.int64).astype(str)
-        return batch.append_column("part_key", pa.array(keys))
-    pc_ = plan["cells"]
-    pos = np.clip(np.searchsorted(pc_, cells, side="right") - 1, 0, len(pc_) - 1)
-    bins = plan["bins"][pos]
-    factors = np.where(pc_[pos] == cells, plan["factors"][pos], 1)
-    if (factors > 1).any():
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
-        salts = np.where(factors > 1, _salt_hash(ids) % factors, 0)
+        keys = np.zeros(n, dtype=np.int64).astype(str).astype(object)
     else:
-        salts = np.zeros(n, dtype=np.int64)
-    keys = np.array([f"{b}" if s == 0 and f == 1 else f"{b}:{s}"
-                     for b, s, f in zip(bins, salts, factors)], dtype=object)
+        pc_ = plan["cells"]
+        pos = np.clip(np.searchsorted(pc_, cells, side="right") - 1, 0, len(pc_) - 1)
+        bins = plan["bins"][pos]
+        factors = np.where(pc_[pos] == cells, plan["factors"][pos], 1)
+        if (factors > 1).any():
+            ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+            salts = np.where(factors > 1, _salt_hash(ids) % factors, 0)
+        else:
+            salts = np.zeros(n, dtype=np.int64)
+        keys = np.array([f"{b}" if s == 0 and f == 1 else f"{b}:{s}"
+                         for b, s, f in zip(bins, salts, factors)], dtype=object)
+    if "orph_bytes" in batch.schema.names:
+        is_orph = ~np.asarray(
+            batch.column("orph_bytes").is_null().to_numpy(zero_copy_only=False))
+        if is_orph.any():
+            cids = np.asarray(batch.column("capture_id").to_pylist(), dtype=object)
+            buckets = _salt_hash(cids[is_orph]) % orphan_buckets
+            oi = np.flatnonzero(is_orph)
+            for j, b in zip(oi, buckets):
+                keys[j] = f"o:{b}"
     return batch.append_column("part_key", pa.array(keys.astype(str)))
