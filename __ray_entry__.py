@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # TPC-H-style relational pipelines (scan → partial agg → shuffle)
         "q1_pricing_summary": Q.q1_pricing_summary,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q5_regional_revenue": Q.q5_regional_revenue,
         "orders_per_segment": Q.orders_per_segment,

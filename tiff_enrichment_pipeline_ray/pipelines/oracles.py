@@ -22,6 +22,15 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+ORACLES["q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_quantity < 24.0
+"""
+
 ORACLES["q3_shipping_priority"] = """
 SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
   SELECT l.l_orderkey AS l_orderkey,

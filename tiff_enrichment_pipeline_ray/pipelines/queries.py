@@ -108,6 +108,34 @@ def q1_pricing_summary(sf_dir: str):
     return df
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 flavor: pure scan + vectorized predicate + global sum."""
+    import pyarrow.compute as pc
+
+    ds = read_testdata(sf_dir, "lineitem",
+                       columns=["l_shipdate", "l_discount", "l_quantity",
+                                "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        m = pc.and_(pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                            pc.less(t.column("l_shipdate"), hi)),
+                    pc.and_(pc.greater_equal(t.column("l_discount"), pa.scalar(0.02)),
+                            pc.less(t.column("l_quantity"), pa.scalar(24.0))))
+        t = t.filter(m)
+        rev = pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))
+        return pa.table({"rev": rev})
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (ds.map_batches(f, batch_format="pyarrow")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_rows")))
+    return pd.DataFrame([{"revenue": round(agg["revenue"], 4),
+                          "n_rows": int(agg["n_rows"])}])
+
+
 def q3_shipping_priority(sf_dir: str):
     """Top-10 order revenue: broadcast-small-side join (customer/orders)
     against streamed lineitem (SURVEY J-family; ray_guide joins)."""
