@@ -117,11 +117,11 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # input generation is cached by ensure_images and each run warms the page
-    # cache before its timed section. Two runs per level, best-of (the
+    # cache before its timed section. Three runs per level, best-of (the
     # sandbox VM shows ±15% run-to-run noise; min is the standard estimator
     # for wall-clock benches).
-    runs_lo = [one(lo) for _ in range(2)]
-    runs_hi = [one(hi) for _ in range(2)]
+    runs_lo = [one(lo) for _ in range(3)]
+    runs_hi = [one(hi) for _ in range(3)]
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)

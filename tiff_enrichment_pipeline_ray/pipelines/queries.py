@@ -55,7 +55,9 @@ def _preagg(ds, keys, spec):
                 cols[out] = g[src].max()
         return pd.DataFrame(cols).reset_index()
 
-    pds = ds.map_batches(partial, batch_format="pandas")
+    # whole-block partials: combining works at block granularity (a 1024-row
+    # default batch barely combines on high-cardinality keys)
+    pds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
     aggs = []
     for out, _src, op in spec:
         if op in ("sum", "count"):
