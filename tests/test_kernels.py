@@ -3,6 +3,7 @@ hierarchy properties), vegetation indices (reference golden values), codec."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from tiff_enrichment_pipeline_ray.functions import cells, codec, geo, indices
@@ -194,3 +195,47 @@ class TestCodec:
         hm = codec.decode_header_meta(b)
         assert hm["w"] == 12 and hm["h"] == 10
         assert hm["meta"]["Date/Time Original"] == "2023:06:01 10:00:00"
+
+
+class TestPinnedSchemas:
+    def test_all_null_group_gets_pinned_types(self):
+        """Round-1 advice: a salted group whose object columns are all-None
+        (or whose int columns picked up NaN through pandas) must write the
+        same Arrow types as any other fragment."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from tiff_enrichment_pipeline_ray.state.schemas import (
+            ENRICHED_TYPES, pin_from_pandas)
+
+        g = pd.DataFrame({
+            "image_id": ["a", "b"],
+            "landcover_class": [None, None],        # → null without pinning
+            "landcover_year": [float("nan"), float("nan")],  # → double
+            "issues": [[], []],                      # → list<null>
+            "elevation_m": [None, None],
+            "part_key": ["0", "0"],
+        })
+        t = pin_from_pandas(g, ENRICHED_TYPES)
+        assert t.schema.field("landcover_class").type == pa.string()
+        assert t.schema.field("landcover_year").type == pa.int32()
+        assert t.schema.field("issues").type == pa.list_(pa.string())
+        assert t.schema.field("elevation_m").type == pa.float64()
+        assert t.column("landcover_year").null_count == 2
+
+    def test_mixed_fragments_unify(self, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.state.schemas import (
+            ENRICHED_TYPES, pin_from_pandas)
+
+        g1 = pd.DataFrame({"image_id": ["a"], "landcover_year": [2020],
+                           "issues": [["x"]]})
+        g2 = pd.DataFrame({"image_id": ["b"], "landcover_year": [float("nan")],
+                           "issues": [[]]})
+        pq.write_table(pin_from_pandas(g1, ENRICHED_TYPES), tmp_path / "1.parquet")
+        pq.write_table(pin_from_pandas(g2, ENRICHED_TYPES), tmp_path / "2.parquet")
+        t = pq.read_table(tmp_path)  # unified read must not raise/mis-type
+        assert t.schema.field("landcover_year").type == pa.int32()
+        assert t.num_rows == 2

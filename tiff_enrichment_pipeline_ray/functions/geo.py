@@ -93,26 +93,27 @@ def georef_transform(lat, lon, alt, width_px, height_px,
 
 
 def surface_area_m2(west, north, px_deg, py_deg, width_px, height_px):
-    """Approximate footprint area (validation.py:68-150 semantics):
-    width = haversine(west edge midpoint → east edge midpoint),
-    height = haversine(north edge midpoint → south edge midpoint), area = w·h.
+    """Footprint area, exact validation.py:68-150 corner semantics:
+    pixel-CENTER corners (rasterio xy offset='center'), width = haversine
+    along the TOP edge (corner0 → corner1), height = haversine down the EAST
+    edge (corner1 → corner2), area = |w·h|.
     """
     w = np.asarray(width_px, dtype=np.float64)
     h = np.asarray(height_px, dtype=np.float64)
-    east = west + w * px_deg
-    south = north - h * py_deg
-    mid_lat = (north + south) / 2.0
-    mid_lon = (west + east) / 2.0
-    width_m = haversine_m(mid_lat, west, mid_lat, east)
-    height_m = haversine_m(north, mid_lon, south, mid_lon)
-    return width_m * height_m
+    # corner pixel centers: col/row offset by +0.5 (rasterio offset='center')
+    lon0 = west + 0.5 * px_deg                 # corner (col=0,   row=0)
+    lon1 = west + (w + 0.5) * px_deg           # corner (col=W,   row=0)
+    lat_top = north - 0.5 * py_deg
+    lat_bot = north - (h + 0.5) * py_deg       # corner (col=W,   row=H)
+    width_m = haversine_m(lat_top, lon0, lat_top, lon1)
+    height_m = haversine_m(lat_top, lon1, lat_bot, lon1)
+    return np.abs(width_m * height_m)
 
 
 # ------------------------------------------------------------ GPS parsers
 
 _DMS_RE = r"^\s*([\d.]+)\s*deg\s*([\d.]+)'\s*([\d.]+)\"?\s*([NSEWnsew])"
 _DEC_RE = r"^\s*([\d.]+)\s*([NSEWnsew])"
-_FLOAT_RE = r"^\s*([-+]?[0-9]*\.?[0-9]+)\s*$"
 _NUM_RE = r"([-+]?[0-9]*\.?[0-9]+)"
 
 
@@ -147,8 +148,10 @@ def parse_gps_coords(series: pd.Series) -> np.ndarray:
             out[dec_ok] = val[dec_ok]
         rest2 = rest & ~dec_ok
         if rest2.any():
-            f = s.str.extract(_FLOAT_RE)[0]
-            val = pd.to_numeric(f, errors="coerce").fillna(0.0).to_numpy(dtype=np.float64)
+            # plain-float fallback = the reference's float(coord_str)
+            # (gps_utils.py:40-42): anything float()-parseable counts,
+            # incl. scientific notation; failures → 0.0
+            val = pd.to_numeric(s, errors="coerce").fillna(0.0).to_numpy(dtype=np.float64)
             out[rest2] = val[rest2]
     return out
 

@@ -103,6 +103,12 @@ class CellBucketKNN:
             sel = np.flatnonzero(qkey == key)
             cx = int(key >> 21) - _CELL_OFF
             cy = int(key & ((1 << 21) - 1)) - _CELL_OFF
+            # longitude-leg cosine bound must cover BOTH endpoints' latitudes:
+            # stations (cos_min, precomputed over the station extent) AND this
+            # group's query points (which may lie outside that extent, e.g.
+            # masked no-GPS rows at 0,0) — round-1 advice fix
+            cos_q = np.cos(np.radians(min(np.abs(qlat[sel]).max() + cell, 89.9)))
+            cos_b = max(min(self._cos_min, cos_q), 1e-3)
             cand = []
             r = 0
             best_k = np.inf
@@ -121,7 +127,9 @@ class CellBucketKNN:
                     kk = min(k, len(ca))
                     ix_s = np.argsort(d, axis=1, kind="stable")[:, :kk]
                     best_k = np.take_along_axis(d, ix_s, axis=1)[:, -1].max()
-                    min_next = r * cell * _M_PER_DEG * self._cos_min
+                    # any point in the next unexplored ring is ≥ r·cell away
+                    # in lat or lon; 0.95 safety pads the linearized haversine
+                    min_next = r * cell * _M_PER_DEG * cos_b * 0.95
                     if min_next > best_k:
                         out_idx[sel, :kk] = ca[ix_s]
                         out_dist[sel, :kk] = np.take_along_axis(d, ix_s, axis=1)

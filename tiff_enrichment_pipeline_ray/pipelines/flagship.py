@@ -57,6 +57,7 @@ from ..stages.extract import (
     validate,
 )
 from ..state.manifest import Manifest, plan_partitions
+from ..state.schemas import CAPTURE_TYPES, ENRICHED_TYPES, pin_from_pandas
 from ..state.skew import add_part_key, census_counts, salt_map
 
 ENRICHED_DROP = ["bytes"]
@@ -76,7 +77,7 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None):
         if key_raw.startswith("o:") and caps_dir is not None:
             cg = g.rename(columns={"orph_bytes": "bytes"})
             res = capture_stage.process_bucket(cg)
-            res_t = _cap_cells(pa.Table.from_pandas(res, preserve_index=False))
+            res_t = _cap_cells(pin_from_pandas(res, CAPTURE_TYPES))
             os.makedirs(caps_dir, exist_ok=True)
             final = os.path.join(caps_dir, f"{key}.parquet")
             pq.write_table(res_t, final + ".tmp", compression="zstd")
@@ -94,7 +95,9 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None):
         os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"{key}.parquet")
         tmp = final + ".tmp"
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
+        # pinned schema: every fragment carries identical column types even
+        # when a group's column is all-null (state/schemas.py)
+        pq.write_table(pin_from_pandas(g, ENRICHED_TYPES), tmp,
                        compression="zstd")
         os.replace(tmp, final)
         cells = g["h3_r5"].to_numpy()
@@ -295,7 +298,7 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
                 done, orphans = capture_stage.split_local_complete(mica)
                 if len(done):
                     res = capture_stage.process_bucket(done)
-                    res_t = _cap_cells(pa.Table.from_pandas(res, preserve_index=False))
+                    res_t = _cap_cells(pin_from_pandas(res, CAPTURE_TYPES))
                     tag = _h.blake2b("|".join(sorted(res["capture_id"])).encode(),
                                      digest_size=10).hexdigest()
                     os.makedirs(caps_dir, exist_ok=True)
