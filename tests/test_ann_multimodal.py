@@ -78,3 +78,76 @@ class TestMultimodal:
             AudioDecode()
         with pytest.raises(NotImplementedError):
             VideoFrameSample()
+
+
+class TestDistributedIVF:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.SF, "embeddings.parquet"))
+        ids = t.column("vec_id").to_numpy()
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        n = np.sqrt((X * X).sum(1))
+        Xn = X / np.where(n == 0, 1, n)[:, None]
+        return ids, Xn
+
+    def test_build_and_search_recall(self, tmp_path):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            build_ivf_index, search_ivf)
+
+        idx = build_ivf_index(self.SF, k=16, out_dir=str(tmp_path / "ivf"))
+        ids, Xn = self._brute()
+        qpos = int(np.argmin(ids))
+        q = Xn[qpos]
+        got = search_ivf(idx, q, topk=10, nprobe=8,
+                         exclude_vec_id=int(ids[qpos]))
+        sims = Xn @ q
+        sims[qpos] = -9.0
+        order = np.lexsort((ids, -np.round(sims, 6)))[:10]
+        want = set(ids[order].tolist())
+        recall = len(set(got.vec_id.tolist()) & want) / 10.0
+        assert recall >= 0.7  # near-orthogonal fixture = worst case for IVF
+
+    def test_build_never_gathers_dataset(self, tmp_path, monkeypatch):
+        """The distributed build may gather only the bounded training sample
+        (≤ sample_rows); any full-table to_pandas/take_all is a bug."""
+        import ray.data as rd
+
+        from tiff_enrichment_pipeline_ray.stages import ann
+
+        orig = rd.Dataset.to_pandas
+
+        def checked_to_pandas(self, *a, **kw):
+            df = orig(self, *a, **kw)
+            assert len(df) <= 512, "build gathered more than the sample"
+            return df
+
+        def forbidden(self, *a, **kw):
+            raise AssertionError("take_all during IVF build")
+
+        monkeypatch.setattr(rd.Dataset, "to_pandas", checked_to_pandas)
+        monkeypatch.setattr(rd.Dataset, "take_all", forbidden)
+        ann.build_ivf_index(self.SF, k=8, sample_rows=512,
+                            out_dir=str(tmp_path / "ivf2"))
+
+    def test_near_dup_pairs_equal_brute(self):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            embedding_near_dup_pairs)
+
+        nd = embedding_near_dup_pairs(self.SF, threshold=0.4)
+        ids, Xn = self._brute()
+        S = Xn @ Xn.T
+        iu = np.triu_indices(len(ids), k=1)
+        m = S[iu] >= 0.4
+        want = set(zip(ids[iu[0][m]].tolist(), ids[iu[1][m]].tolist()))
+        got = set(zip(nd.vec_a.tolist(), nd.vec_b.tolist()))
+        assert got == want
+        np.testing.assert_allclose(
+            nd.cosine_sim.to_numpy(),
+            np.round(np.sort(S[iu][m])[::-1], 6)[
+                np.argsort(np.argsort(-nd.cosine_sim.to_numpy()))],
+            rtol=0, atol=1e-9)

@@ -1031,29 +1031,16 @@ def doc_token_counts_regex(sf_dir: str):
 
 
 def embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (sim ≥ threshold, a < b).
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4, a < b) via the
+    IVF-bucketed distributed path (stages/ann.py): multi-assign each vector
+    to its nearest centroids in map_batches, all-pairs only WITHIN buckets
+    (round-1 fix: no driver-side N×N matmul). The fixture embeddings are
+    near-orthogonal (max pair sim ≈ 0.48), so 0.4 surfaces the closest tail;
+    bucket-vs-brute pair-set equality is pinned in tests and by the SQL
+    oracle's exact self-join."""
+    from ..stages.ann import embedding_near_dup_pairs
 
-    Fixture-scale path gathers the (small) embedding table and does one
-    blocked matmul; the scale path is the IVF bucketing in stages/ann.py
-    (candidates only within probed lists)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t.column("vec_id").to_numpy()
-    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    norms = np.sqrt((X * X).sum(1))
-    Xn = X / np.where(norms == 0, 1, norms)[:, None]
-    S = Xn @ Xn.T
-    iu = np.triu_indices(len(ids), k=1)
-    sims = S[iu]
-    # fixture embeddings are near-orthogonal (max pair sim ≈ 0.48), so the
-    # near-dup threshold is set to surface the closest tail
-    m = sims >= 0.4
-    return pd.DataFrame({
-        "vec_a": ids[iu[0][m]].astype(np.int64),
-        "vec_b": ids[iu[1][m]].astype(np.int64),
-        "cosine_sim": np.round(sims[m], 6),
-    })
+    return embedding_near_dup_pairs(sf_dir, threshold=0.4)
 
 
 def doc_fingerprints(sf_dir: str):
