@@ -11,10 +11,13 @@ sys.path.insert(0, "/root/repo")
 
 @pytest.fixture(scope="module")
 def gate():
+    import os
+
     import duckdb
 
     import __ray_entry__ as entrymod
 
+    os.environ["GRAFT_ORACLE_SF"] = "0.001"  # tests compare at sf0.001
     con = duckdb.connect()
     sf_dir = "/root/testdata/sf0.001"
     for t in ("region nation customer supplier part orders lineitem events "
@@ -30,10 +33,14 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_top_values", "events_type_minmax", "doc_exact_dedup",
            "doc_token_counts", "doc_quality_counts", "doc_lang_stats",
            "doc_source_stats", "ann_topk_cosine", "embedding_label_stats",
-           "geo_tile_census", "geo_knn_station", "geo_point_in_rect"]
+           "geo_tile_census", "geo_knn_station", "geo_point_in_rect",
+           # round 2: near-dup self-join + heuristic scoring + oracles over
+           # the materialized flagship output
+           "embedding_near_dup", "doc_quality_scores",
+           "file_class_counts", "gps_export", "validation_report",
+           "image_exact_dedup", "enriched_daily_stats", "band_stats_by_class"]
 
-ROWS_ONLY = ["doc_quality_scores", "doc_fingerprints", "dedup_minhash_docs",
-             "dedup_simhash_docs"]
+ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

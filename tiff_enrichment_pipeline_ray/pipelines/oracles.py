@@ -252,3 +252,95 @@ LEFT JOIN rects r
  AND p.lat >= r.rlat0 AND p.lat <= r.rlat0 + r.h
 GROUP BY p.event_id
 """
+
+ORACLES["embedding_near_dup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4
+"""
+
+# quality_score + lang_id replicated exactly (textkernels.py definitions are
+# chosen SQL-expressible: integer counts, clipped quotients, marker argmax
+# with first-in-list tie-break)
+ORACLES["doc_quality_scores"] = r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(COALESCE(text,'')) AS DOUBLE) AS n,
+         CAST(len(string_split(COALESCE(text,''), ' ')) AS DOUBLE) AS words,
+         CAST(length(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '\bthe\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\band\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bof\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\ba\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bto\b')) AS DOUBLE) AS stop_hits,
+         ' ' || lower(COALESCE(text,'')) || ' ' AS padded
+  FROM documents
+), m AS (
+  SELECT doc_id, n, words, digits, stop_hits,
+         len(regexp_extract_all(padded, ' the ')) + len(regexp_extract_all(padded, ' and ')) + len(regexp_extract_all(padded, ' of ')) AS c_en,
+         len(regexp_extract_all(padded, ' der ')) + len(regexp_extract_all(padded, ' und ')) + len(regexp_extract_all(padded, ' die ')) AS c_de,
+         len(regexp_extract_all(padded, ' le ')) + len(regexp_extract_all(padded, ' la ')) + len(regexp_extract_all(padded, ' et ')) AS c_fr,
+         len(regexp_extract_all(padded, ' el ')) + len(regexp_extract_all(padded, ' los ')) + len(regexp_extract_all(padded, ' que ')) AS c_es,
+         len(regexp_extract_all(padded, ' de ')) + len(regexp_extract_all(padded, ' het ')) + len(regexp_extract_all(padded, ' een ')) AS c_nl
+  FROM f
+)
+SELECT doc_id,
+       round(0.4 * least(greatest(n / 200.0, 0.0), 1.0)
+           + 0.3 * least(greatest(1.0 - 3.0 * digits / greatest(n, 1.0), 0.0), 1.0)
+           + 0.3 * least(greatest(stop_hits / greatest(words * 0.05, 1.0), 0.0), 1.0), 6) AS quality,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_nl) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_nl) THEN 'en'
+            WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_nl) THEN 'de'
+            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_nl) THEN 'fr'
+            WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_nl) THEN 'es'
+            ELSE 'nl' END AS lang_guess
+FROM m
+"""
+
+
+def flagship_oracles(out_dir: str) -> dict:
+    """SQL oracles over the MATERIALIZED flagship output (the same
+    partitioned parquet the Ray queries read): the aggregates are genuinely
+    recomputed by DuckDB; projections are bit-exact column reads. `out_dir`
+    is resolved by __ray_entry__.oracle_sql() for the scale the driver runs
+    (GRAFT_ORACLE_SF, default 0.01)."""
+    enr = f"read_parquet('{out_dir}/enriched/*/*.parquet')"
+    o = {}
+    o["file_class_counts"] = f"""
+SELECT file_class, fmt, count(*) AS n FROM {enr} GROUP BY file_class, fmt
+"""
+    o["gps_export"] = f"""
+SELECT image_id, lat, lon, alt_m FROM {enr} WHERE has_gps
+"""
+    o["validation_report"] = f"""
+SELECT image_id, valid,
+       CAST(len(issues) AS BIGINT) AS n_issues,
+       array_to_string(issues, ';') AS issues
+FROM {enr}
+"""
+    o["image_exact_dedup"] = f"""
+SELECT phash, min(image_id) AS keep_image_id, count(*) AS dup_count
+FROM {enr} GROUP BY phash
+"""
+    o["enriched_daily_stats"] = f"""
+SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'unknown') AS date,
+       count(*) AS n_images,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(count(elevation_m) AS BIGINT) AS n_elev,
+       round(sum(COALESCE(elevation_m, 0.0)) / greatest(count(elevation_m), 1), 4) AS mean_elevation
+FROM {enr} GROUP BY 1
+"""
+    o["band_stats_by_class"] = f"""
+SELECT file_class, band,
+       CAST(sum(CAST(w AS DOUBLE) * h) AS DOUBLE) AS n_px,
+       round(sum(px_mean * w * h) / sum(CAST(w AS DOUBLE) * h), 6) AS mean_px,
+       round(sqrt(greatest(
+           sum((px_std * px_std + px_mean * px_mean) * w * h)
+             / sum(CAST(w AS DOUBLE) * h)
+           - (sum(px_mean * w * h) / sum(CAST(w AS DOUBLE) * h)) ^ 2, 0.0)), 6) AS std_px
+FROM {enr} WHERE decode_ok GROUP BY file_class, band
+"""
+    return o

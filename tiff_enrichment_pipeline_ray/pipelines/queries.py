@@ -824,13 +824,12 @@ def gps_export(sf_dir: str):
     ds = fl.read_enriched(out).select_columns(
         ["image_id", "has_gps", "lat", "lon", "alt_m"])
 
-    def rnd(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.has_gps].copy()
-        for c in ("lat", "lon", "alt_m"):
-            df[c] = df[c].round(8)
-        return df.drop(columns=["has_gps"])
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        # raw stored values — the SQL oracle reads the same parquet, so the
+        # compare is bit-exact without any re-rounding
+        return df[df.has_gps].drop(columns=["has_gps"])
 
-    return ds.map_batches(rnd, batch_format="pandas")
+    return ds.map_batches(proj, batch_format="pandas")
 
 
 def validation_report(sf_dir: str):
