@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "file_class_counts": Q.file_class_counts,
         "gps_export": Q.gps_export,
         "validation_report": Q.validation_report,
+        "quarantine_report": Q.quarantine_report,
+        "ops_stats": Q.ops_stats,
+        "thumbnails": Q.thumbnails,
     }
 
 

@@ -151,3 +151,33 @@ class TestDistributedIVF:
             np.round(np.sort(S[iu][m])[::-1], 6)[
                 np.argsort(np.argsort(-nd.cosine_sim.to_numpy()))],
             rtol=0, atol=1e-9)
+
+
+class TestThumbnails:
+    """K5 thumbnail writer (output/visualizer.py:43-153 analogue)."""
+
+    def test_export_thumbnails_roundtrip(self, tmp_path):
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines.export import (
+            export_thumbnails,
+        )
+
+        src = tmp_path / "imgs"
+        src.mkdir()
+        df = _img_df()
+        pq.write_table(pa.Table.from_pandas(df), str(src / "p.parquet"))
+        out = export_thumbnails(str(src), str(tmp_path / "thumbs"), size=16,
+                                concurrency=1)
+        got = pd.concat([pq.read_table(f).to_pandas()
+                         for f in glob.glob(out + "/*.parquet")])
+        good = got[got.decode_ok]
+        assert len(good) == 6 and (got.w == 16).all()
+        px, _, ok = codec.decode_image(good.bytes.iloc[0])
+        assert ok and px.shape == (16, 16)
+        # corrupt rows flow through as empty blobs (never raise)
+        bad = got[~got.decode_ok]
+        assert len(bad) == 1 and bad.bytes.iloc[0] == b""

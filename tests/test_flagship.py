@@ -24,6 +24,18 @@ def enriched_df(flag_out):
 
 
 @pytest.fixture(scope="module")
+def failed_df(flag_out):
+    out, _ = flag_out
+    return flagship.read_failed(out).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def all_df(enriched_df, failed_df):
+    """enriched + quarantine = every input row."""
+    return pd.concat([enriched_df, failed_df], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
 def input_df(tiny_images_dir):
     files = sorted(glob.glob(os.path.join(tiny_images_dir, "*.parquet")))
     return pd.concat([pq.read_table(f).to_pandas() for f in files],
@@ -31,11 +43,23 @@ def input_df(tiny_images_dir):
 
 
 class TestAccounting:
-    def test_row_conservation(self, flag_out, enriched_df, input_df):
+    def test_row_conservation(self, flag_out, enriched_df, failed_df,
+                              all_df, input_df):
         _, summary = flag_out
-        assert len(enriched_df) == len(input_df)
-        assert summary["rows_total_manifest"] == len(input_df)
-        assert enriched_df.image_id.is_unique
+        assert len(all_df) == len(input_df)
+        assert summary["rows_total_manifest"] == len(enriched_df)
+        assert summary["failed_rows"] == len(failed_df)
+        assert all_df.image_id.is_unique
+
+    def test_quarantine_routing(self, enriched_df, failed_df, input_df):
+        """Reference failed-directory semantics (main.py:244-251): exactly
+        the undecodable rows land in failed/, none in enriched/."""
+        assert len(failed_df) > 0
+        assert (~failed_df.decode_ok).all()
+        assert enriched_df.decode_ok.all()
+        assert failed_df.issues.map(
+            lambda l: "decode_failed" in list(l)).all()
+        assert not set(failed_df.image_id) & set(enriched_df.image_id)
 
     def test_manifest_lineage(self, flag_out):
         out, _ = flag_out
@@ -50,24 +74,24 @@ class TestAccounting:
             for p in r["parts"]:
                 assert p["h3_lo"] <= p["h3_hi"]
 
-    def test_caption_equality_per_row(self, enriched_df, input_df):
+    def test_caption_equality_per_row(self, all_df, input_df):
         """BASELINE.json per-row invariant: caption survives byte-equal."""
-        m = enriched_df.merge(input_df[["image_id", "caption"]],
+        m = all_df.merge(input_df[["image_id", "caption"]],
                               on="image_id", suffixes=("", "_in"))
         assert (m.caption == m.caption_in).all()
 
-    def test_phash_passthrough(self, enriched_df, input_df):
-        m = enriched_df.merge(input_df[["image_id", "phash"]], on="image_id",
+    def test_phash_passthrough(self, all_df, input_df):
+        m = all_df.merge(input_df[["image_id", "phash"]], on="image_id",
                               suffixes=("", "_in"))
         assert (m.phash == m.phash_in).all()
 
 
 class TestDecodeInvariants:
-    def test_decoded_pixel_stats_and_psnr(self, enriched_df, input_df):
+    def test_decoded_pixel_stats_and_psnr(self, all_df, input_df):
         """Decode invariant: raw/png bit-exact ⇒ phash(decoded) == phash;
         lossyq PSNR ≥ 40 dB (input_hint)."""
         sample = input_df.sample(n=150, random_state=0)
-        e = enriched_df.set_index("image_id")
+        e = all_df.set_index("image_id")
         for _, row in sample.iterrows():
             px, _, ok = codec.decode_image(row["bytes"])
             erow = e.loc[row.image_id]

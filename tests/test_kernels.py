@@ -239,3 +239,28 @@ class TestPinnedSchemas:
         t = pq.read_table(tmp_path)  # unified read must not raise/mis-type
         assert t.schema.field("landcover_year").type == pa.int32()
         assert t.num_rows == 2
+
+
+class TestPixelPercentiles:
+    """A4 percentile semantics (rasterio_utils.py:282-292):
+    np.percentile(pixels, [25, 50, 75]) per image, linear interpolation."""
+
+    def test_extract_meta_golden(self):
+        rng = np.random.default_rng(11)
+        px = (rng.random((30, 40)) * 65535).astype(np.uint16)
+        blob = codec.encode_image(px, "raw", {})
+        t = pa.table({"image_id": ["IMG_0001_1"], "bytes": [blob]})
+        from tiff_enrichment_pipeline_ray.stages.extract import extract_meta
+
+        out = extract_meta(t).to_pandas().iloc[0]
+        want = np.percentile(px.astype(np.float64), (25, 50, 75))
+        assert out.px_p25 == pytest.approx(want[0], rel=1e-12)
+        assert out.px_p50 == pytest.approx(want[1], rel=1e-12)
+        assert out.px_p75 == pytest.approx(want[2], rel=1e-12)
+
+    def test_corrupt_row_is_nan(self):
+        t = pa.table({"image_id": ["X"], "bytes": [b"corrupt"]})
+        from tiff_enrichment_pipeline_ray.stages.extract import extract_meta
+
+        out = extract_meta(t).to_pandas().iloc[0]
+        assert np.isnan(out.px_p25) and np.isnan(out.px_p50)

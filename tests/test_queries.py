@@ -38,9 +38,13 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # the materialized flagship output
            "embedding_near_dup", "doc_quality_scores",
            "file_class_counts", "gps_export", "validation_report",
-           "image_exact_dedup", "enriched_daily_stats", "band_stats_by_class"]
+           "image_exact_dedup", "enriched_daily_stats", "band_stats_by_class",
+           # round 2b: quarantine + ops metrics + flagship projections
+           "quarantine_report", "ops_stats",
+           "flagship_enriched", "flagship_captures"]
 
-ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs"]
+ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
+             "thumbnails"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -62,3 +62,42 @@ def export_metadata_json(out_dir: str, export_dir: str):
     ds = flagship.read_enriched(out_dir).drop_columns(["issues"])
     ds.write_json(export_dir)
     return export_dir
+
+
+def thumbnails_dataset(input_dir: str, size: int = 32,
+                       concurrency: int | None = None, batch_size: int = 128):
+    """K5 thumbnail stage (output/visualizer.py:43-153 analogue): every
+    image decoded, bilinear-downsampled to ``size``×``size`` and re-encoded
+    lossless through the native codec — an actor-pool map_batches (decode
+    state in __init__), small batches because rows carry pixel payloads.
+
+    The pool leaves ≥2 CPUs free for the read/write stages — a pool that
+    reserves every CPU starves the producers and stalls the stream."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageResize
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, cpus - 2)
+    ds = rd.read_parquet(input_dir, columns=["image_id", "bytes"])
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"target_h": size, "target_w": size},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def export_thumbnails(input_dir: str, export_dir: str, size: int = 32,
+                      concurrency: int | None = None):
+    """K5: write the thumbnail blobs as partitioned parquet (one file per
+    block — resumable by re-running; the thumbnail of an image is
+    deterministic)."""
+    os.makedirs(export_dir, exist_ok=True)
+    thumbnails_dataset(input_dir, size=size,
+                       concurrency=concurrency).write_parquet(export_dir)
+    return export_dir

@@ -63,13 +63,19 @@ from ..state.skew import add_part_key, census_counts, salt_map
 ENRICHED_DROP = ["bytes"]
 
 
-def _make_part_writer(out_dir: str, caps_dir: str | None = None):
+def _make_part_writer(out_dir: str, caps_dir: str | None = None,
+                      fail_dir: str | None = None):
     """map_groups writer for the single shuffle. Enriched partitions
     ('<bin>[:salt]' keys): one parquet file per salted partition, sorted by
     image_id (deterministic), atomic tmp+rename. Orphan-capture partitions
     ('o:<bucket>' keys — duplicated rows carrying orph_bytes): run the
     per-capture kernel and write into ``caps_dir`` instead. Both return a
-    lineage row (kind column)."""
+    lineage row (kind column).
+
+    When ``fail_dir`` is set, unreadable rows (decode_ok=False) are routed to
+    a quarantine partition there instead of the enriched output — the
+    reference's failed-directory behavior (main.py:244-251,
+    tests/test_integration.py:160-163) as a partitioned parquet tree."""
 
     def part_writer(g: pd.DataFrame) -> pd.DataFrame:
         key_raw = str(g["part_key"].iloc[0])
@@ -92,6 +98,22 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None):
         g = g.sort_values("image_id").reset_index(drop=True)
         if "orph_bytes" in g.columns:
             g = g.drop(columns=["orph_bytes"])
+        lineage_rows = []
+        if fail_dir is not None:
+            bad = g[~g["decode_ok"]]
+            if len(bad):
+                os.makedirs(fail_dir, exist_ok=True)
+                ffinal = os.path.join(fail_dir, f"{key}.parquet")
+                pq.write_table(pin_from_pandas(bad.reset_index(drop=True),
+                                               ENRICHED_TYPES),
+                               ffinal + ".tmp", compression="zstd")
+                os.replace(ffinal + ".tmp", ffinal)
+                lineage_rows.append({
+                    "part_key": key_raw, "kind": "failed", "rows": len(bad),
+                    "h3_lo": -1, "h3_hi": -1,
+                    "file": os.path.basename(ffinal),
+                })
+            g = g[g["decode_ok"]].reset_index(drop=True)
         os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"{key}.parquet")
         tmp = final + ".tmp"
@@ -101,12 +123,13 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None):
                        compression="zstd")
         os.replace(tmp, final)
         cells = g["h3_r5"].to_numpy()
-        return pd.DataFrame([{
+        lineage_rows.append({
             "part_key": key_raw, "kind": "enriched", "rows": len(g),
             "h3_lo": int(cells.min()) if len(cells) else -1,
             "h3_hi": int(cells.max()) if len(cells) else -1,
             "file": os.path.basename(final),
-        }])
+        })
+        return pd.DataFrame(lineage_rows)
 
     return part_writer
 
@@ -246,6 +269,9 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
         px_mean = np.full(n, np.nan)
         px_std = np.full(n, np.nan)
         zero_ratio = np.full(n, np.nan)
+        px_p25 = np.full(n, np.nan)
+        px_p50 = np.full(n, np.nan)
+        px_p75 = np.full(n, np.nan)
         phash_ok = np.zeros(n, dtype=bool)
         stored_ph = t.column("phash").to_numpy(zero_copy_only=False)
         fmts = t.column("fmt").to_pylist()
@@ -266,6 +292,9 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
             px_mean[i] = float(f.mean())
             px_std[i] = float(f.std())
             zero_ratio[i] = float((px == 0).mean())
+            # A4 percentiles (rasterio_utils.py:282-292 — np.percentile
+            # [25,50,75] over the band's pixels, linear interpolation)
+            px_p25[i], px_p50[i], px_p75[i] = np.percentile(f, (25, 50, 75))
             # V4 integrity (rasterio_utils.py:118-155): verify the stored
             # phash against the decoded pixels (lossless formats only —
             # lossyq legitimately reconstructs different bits)
@@ -280,7 +309,9 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
                            pa.array(decode_ok))
         for name, arr in (("px_min", px_min), ("px_max", px_max),
                           ("px_mean", px_mean), ("px_std", px_std),
-                          ("zero_ratio", zero_ratio), ("phash_ok", phash_ok)):
+                          ("zero_ratio", zero_ratio), ("phash_ok", phash_ok),
+                          ("px_p25", px_p25), ("px_p50", px_p50),
+                          ("px_p75", px_p75)):
             out = out.append_column(name, pa.array(arr))
 
         orph_global = np.empty(0, dtype=np.int64)
@@ -377,7 +408,7 @@ def run_flagship(input_dir: str, out_dir: str,
         raise FileNotFoundError(f"no parquet in {input_dir}")
     manifest = Manifest(out_dir)
     if not resume:
-        for sub in ("enriched", "captures"):
+        for sub in ("enriched", "captures", "failed", "ops"):
             shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
         if os.path.exists(manifest.path):
             os.remove(manifest.path)
@@ -391,6 +422,7 @@ def run_flagship(input_dir: str, out_dir: str,
     t0 = time.time()
     total_rows = 0
     total_caps = 0
+    total_failed = 0
     phases = {"census": 0.0, "enrich_write": 0.0, "captures": 0.0}
     for pid, part_files in pending:
         t_start = time.time()
@@ -412,7 +444,8 @@ def run_flagship(input_dir: str, out_dir: str,
             salts = salt_map(counts, bin_budget)
         else:
             salts = {}
-        phases["census"] += time.time() - t_start
+        census_s_part = time.time() - t_start
+        phases["census"] += census_s_part
         t_ph = time.time()
 
         cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
@@ -429,17 +462,24 @@ def run_flagship(input_dir: str, out_dir: str,
             batch_format="pyarrow")
         part_dir = os.path.join(out_dir, "enriched", f"part={pid:05d}")
         tmp_dir = part_dir + ".tmp"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        lineage = (enriched.groupby("part_key")
+        fail_part = os.path.join(out_dir, "failed", f"part={pid:05d}")
+        fail_tmp = fail_part + ".tmp"
+        for d in (tmp_dir, part_dir, fail_tmp, fail_part):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(fail_tmp, exist_ok=True)
+        grouped = (enriched.groupby("part_key")
                    .map_groups(_make_part_writer(
-                       tmp_dir, caps_dir=cap_tmp if with_captures else None),
-                       batch_format="pandas")
-                   .to_pandas())
+                       tmp_dir, caps_dir=cap_tmp if with_captures else None,
+                       fail_dir=fail_tmp),
+                       batch_format="pandas"))
+        lineage = grouped.to_pandas()
         os.replace(tmp_dir, part_dir)
+        os.replace(fail_tmp, fail_part)
         enr_lineage = lineage[lineage["kind"] == "enriched"]
         rows = int(enr_lineage["rows"].sum())
-        phases["enrich_write"] += time.time() - t_ph
+        failed_rows = int(lineage.loc[lineage["kind"] == "failed", "rows"].sum())
+        enrich_write_s = time.time() - t_ph
+        phases["enrich_write"] += enrich_write_s
         t_ph = time.time()
 
         caps = 0
@@ -449,11 +489,41 @@ def run_flagship(input_dir: str, out_dir: str,
 
             caps = sum(pq.read_metadata(f).num_rows
                        for f in _g.glob(os.path.join(cap_part, "*.parquet")))
-        phases["captures"] += time.time() - t_ph
+        caps_s = time.time() - t_ph
+        phases["captures"] += caps_s
         manifest.commit(pid, part_files, rows, caps, t_start,
                         lineage.to_dict("records"))
+        # --- ops/monitoring dataset (reference system_metrics/api_usage
+        # analogue, create-tables.sql:185-223 + rasterio_monitor.py:66-200):
+        # one row per (partition, stage) with wall/rows/throughput, plus the
+        # raw Ray Data per-operator stats report for the executed DAG.
+        try:
+            stats_text = grouped.stats()
+        except Exception:
+            stats_text = ""
+        ops_df = pd.DataFrame([
+            {"partition": pid, "stage": "census",
+             "wall_s": round(census_s_part, 3),
+             "rows": est_rows, "detail": ""},
+            {"partition": pid, "stage": "enrich_write",
+             "wall_s": round(enrich_write_s, 3), "rows": rows,
+             "detail": stats_text},
+            {"partition": pid, "stage": "captures_commit",
+             "wall_s": round(caps_s, 3), "rows": caps, "detail": ""},
+            {"partition": pid, "stage": "quarantine", "wall_s": 0.0,
+             "rows": failed_rows, "detail": ""},
+        ])
+        ops_df["rows_per_sec"] = (
+            ops_df["rows"] / ops_df["wall_s"].clip(lower=1e-9)).round(1)
+        ops_dir = os.path.join(out_dir, "ops")
+        os.makedirs(ops_dir, exist_ok=True)
+        ops_path = os.path.join(ops_dir, f"part={pid:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(ops_df, preserve_index=False),
+                       ops_path + ".tmp", compression="zstd")
+        os.replace(ops_path + ".tmp", ops_path)
         total_rows += rows
         total_caps += caps
+        total_failed += failed_rows
 
     dur = time.time() - t0
     recs = manifest.records()
@@ -463,6 +533,7 @@ def run_flagship(input_dir: str, out_dir: str,
         "partitions_skipped": len(partitions) - len(pending),
         "rows_written": total_rows,
         "captures_written": total_caps,
+        "failed_rows": total_failed,
         "rows_total_manifest": int(sum(r["row_count"] for r in recs)),
         "duration_sec": round(dur, 3),
         "rows_per_sec": round(total_rows / dur, 1) if dur > 0 and total_rows else 0.0,
@@ -482,3 +553,24 @@ def read_captures(out_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(out_dir, "captures"))
+
+
+def read_failed(out_dir: str):
+    """The quarantine dataset: rows whose payload could not be decoded,
+    routed out of the enriched output during the partition write (reference
+    failed-directory semantics, main.py:244-251)."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_dir, "failed"),
+                           file_extensions=["parquet"])
+
+
+def read_ops(out_dir: str):
+    """Per-(partition, stage) operational metrics written by run_flagship —
+    the reference's system_metrics/api_usage analogue
+    (create-tables.sql:185-223); `detail` carries the raw Ray Data
+    per-operator stats report for the partition's executed DAG."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_dir, "ops"),
+                           file_extensions=["parquet"])

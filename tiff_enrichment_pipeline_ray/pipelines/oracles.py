@@ -308,6 +308,8 @@ def flagship_oracles(out_dir: str) -> dict:
     is resolved by __ray_entry__.oracle_sql() for the scale the driver runs
     (GRAFT_ORACLE_SF, default 0.01)."""
     enr = f"read_parquet('{out_dir}/enriched/*/*.parquet')"
+    all_rows = (f"read_parquet(['{out_dir}/enriched/*/*.parquet', "
+                f"'{out_dir}/failed/*/*.parquet'])")
     o = {}
     o["file_class_counts"] = f"""
 SELECT file_class, fmt, count(*) AS n FROM {enr} GROUP BY file_class, fmt
@@ -319,8 +321,29 @@ SELECT image_id, lat, lon, alt_m FROM {enr} WHERE has_gps
 SELECT image_id, valid,
        CAST(len(issues) AS BIGINT) AS n_issues,
        array_to_string(issues, ';') AS issues
-FROM {enr}
+FROM {all_rows}
 """
+    o["quarantine_report"] = f"""
+SELECT image_id, file_class, array_to_string(issues, ';') AS issues
+FROM read_parquet('{out_dir}/failed/*/*.parquet')
+"""
+    o["ops_stats"] = f"""
+SELECT "partition", stage, wall_s, "rows", rows_per_sec
+FROM read_parquet('{out_dir}/ops/*.parquet')
+"""
+    # bit-exact projections of the flagship products (same column sets the
+    # Ray queries select) — the driver value-hashes the materialized outputs
+    from ..config import ALL_INDICES
+    from .queries import _ENRICH_SLIM
+    from ..state.schemas import CAPTURE_TYPES
+
+    slim = ", ".join(f'"{c}"' for c in _ENRICH_SLIM)
+    o["flagship_enriched"] = f"SELECT {slim} FROM {enr}\n"
+    cap_cols = ", ".join(f'"{c}"' for c in CAPTURE_TYPES
+                         if not c.startswith("index_"))
+    o["flagship_captures"] = (
+        f"SELECT {cap_cols} "
+        f"FROM read_parquet('{out_dir}/captures/*/*.parquet')\n")
     o["image_exact_dedup"] = f"""
 SELECT phash, min(image_id) AS keep_image_id, count(*) AS dup_count
 FROM {enr} GROUP BY phash
@@ -340,7 +363,10 @@ SELECT file_class, band,
        round(sqrt(greatest(
            sum((px_std * px_std + px_mean * px_mean) * w * h)
              / sum(CAST(w AS DOUBLE) * h)
-           - (sum(px_mean * w * h) / sum(CAST(w AS DOUBLE) * h)) ^ 2, 0.0)), 6) AS std_px
+           - (sum(px_mean * w * h) / sum(CAST(w AS DOUBLE) * h)) ^ 2, 0.0)), 6) AS std_px,
+       round(quantile_cont(px_p50, 0.25), 6) AS p25_med,
+       round(quantile_cont(px_p50, 0.50), 6) AS p50_med,
+       round(quantile_cont(px_p50, 0.75), 6) AS p75_med
 FROM {enr} WHERE decode_ok GROUP BY file_class, band
 """
     return o

@@ -669,7 +669,7 @@ def geo_point_in_rect(sf_dir: str):
 
 # ------------------------------------------------- flagship (rows-only)
 
-_FLAG_VERSION = "v3"  # bump on any semantics change: invalidates /tmp caches
+_FLAG_VERSION = "v4"  # bump on any semantics change: invalidates /tmp caches
 
 
 def _flagship_out(sf: float) -> str:
@@ -708,7 +708,8 @@ def flagship_captures(sf_dir: str):
 
     out = _flagship_out(synth.sf_from_dir(sf_dir))
     caps = fl.read_captures(out)
-    keep = [c for c in caps.schema().names if not c.startswith("index_")]
+    keep = [c for c in caps.schema().names
+            if not c.startswith("index_") and c != "part"]  # hive dir col
     return caps.select_columns(keep)
 
 
@@ -771,7 +772,33 @@ def band_stats_by_class(sf_dir: str):
     df["mean_px"] = (df.sum_px / df.n_px).round(6)
     var = df.sumsq_px / df.n_px - (df.sum_px / df.n_px) ** 2
     df["std_px"] = np.sqrt(np.clip(var, 0, None)).round(6)
-    return df[["file_class", "band", "n_px", "mean_px", "std_px"]]
+
+    # A4 corpus percentiles per class (rasterio_utils.py:282-292 analogue at
+    # corpus level): distribution of the per-image medians, computed inside a
+    # distributed map_groups (a group = one (file_class, band) slice; at
+    # extreme scale swap the exact in-group quantile for a t-digest/sample —
+    # documented approximation boundary).
+    med = fl.read_enriched(out).select_columns(
+        ["file_class", "band", "decode_ok", "px_p50"])
+
+    def grp_pct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.decode_ok]
+        if not len(g):
+            return pd.DataFrame(columns=["file_class", "band",
+                                         "p25_med", "p50_med", "p75_med"])
+        q = g.px_p50.quantile([0.25, 0.5, 0.75])
+        return pd.DataFrame({
+            "file_class": [g.file_class.iloc[0]], "band": [g.band.iloc[0]],
+            "p25_med": [round(float(q.iloc[0]), 6)],
+            "p50_med": [round(float(q.iloc[1]), 6)],
+            "p75_med": [round(float(q.iloc[2]), 6)],
+        })
+
+    pct = (med.groupby(["file_class", "band"])
+           .map_groups(grp_pct, batch_format="pandas").to_pandas())
+    df = df.merge(pct, on=["file_class", "band"], how="left")
+    return df[["file_class", "band", "n_px", "mean_px", "std_px",
+               "p25_med", "p50_med", "p75_med"]]
 
 
 def enriched_daily_stats(sf_dir: str):
@@ -833,11 +860,15 @@ def gps_export(sf_dir: str):
 
 
 def validation_report(sf_dir: str):
-    """K3 validation report (main.py:525-535): per-image issue summary."""
+    """K3 validation report (main.py:525-535): per-image issue summary over
+    ALL inputs — the enriched output plus the quarantine tree (decode
+    failures are routed to failed/ by the partition writer)."""
     from . import flagship as fl
 
     out = _flagship_out(synth.sf_from_dir(sf_dir))
-    ds = fl.read_enriched(out).select_columns(["image_id", "valid", "issues"])
+    cols = ["image_id", "valid", "issues"]
+    ds = fl.read_enriched(out).select_columns(cols) \
+        .union(fl.read_failed(out).select_columns(cols))
 
     def fmt(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -848,6 +879,56 @@ def validation_report(sf_dir: str):
         })
 
     return ds.map_batches(fmt, batch_format="pandas")
+
+
+def quarantine_report(sf_dir: str):
+    """The failed-row quarantine output (reference failed-directory,
+    main.py:244-251 / tests/test_integration.py:160-163): per-image id +
+    issue summary of every row whose payload could not be decoded."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_failed(out).select_columns(["image_id", "file_class", "issues"])
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df.image_id,
+            "file_class": df.file_class,
+            "issues": df.issues.map(lambda l: ";".join(list(l))),
+        })
+
+    return ds.map_batches(fmt, batch_format="pandas")
+
+
+def ops_stats(sf_dir: str):
+    """Per-(partition, stage) operational metrics of the flagship run — the
+    reference's system_metrics/api_usage tables (create-tables.sql:185-223)
+    as a queryable dataset (wall seconds, rows, throughput per stage)."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    return fl.read_ops(out).select_columns(
+        ["partition", "stage", "wall_s", "rows", "rows_per_sec"])
+
+
+def thumbnails(sf_dir: str):
+    """K5 thumbnails (output/visualizer.py:43-153): decode → 32×32 bilinear
+    downsample → lossless re-encode, as an actor-pool stage; returns id,
+    dims, decode flag and thumbnail payload size (the blobs themselves are
+    written by pipelines.export.export_thumbnails)."""
+    from .export import thumbnails_dataset
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = thumbnails_dataset(img_dir, size=32)
+
+    def meta(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df.image_id,
+            "w": df.w, "h": df.h, "decode_ok": df.decode_ok,
+            "thumb_bytes": df["bytes"].map(len).astype(np.int64),
+        })
+
+    return ds.map_batches(meta, batch_format="pandas")
 
 
 def image_exact_dedup(sf_dir: str):

@@ -65,6 +65,9 @@ def extract_meta(batch: pa.Table) -> pa.Table:
     px_mean = np.full(n, np.nan)
     px_std = np.full(n, np.nan)
     zero_ratio = np.full(n, np.nan)
+    px_p25 = np.full(n, np.nan)
+    px_p50 = np.full(n, np.nan)
+    px_p75 = np.full(n, np.nan)
     for i, blob in enumerate(blobs):
         px, meta, ok = codec.decode_image(blob)
         if not ok:
@@ -81,6 +84,8 @@ def extract_meta(batch: pa.Table) -> pa.Table:
         px_mean[i] = float(f.mean())
         px_std[i] = float(f.std())
         zero_ratio[i] = float((px == 0).mean())
+        # A4 percentiles (rasterio_utils.py:282-292: np.percentile [25,50,75])
+        px_p25[i], px_p50[i], px_p75[i] = np.percentile(f, (25, 50, 75))
 
     # filename classification + capture id (vectorized regex)
     sid = pd.Series(ids, dtype="string")
@@ -111,6 +116,9 @@ def extract_meta(batch: pa.Table) -> pa.Table:
         "px_mean": px_mean,
         "px_std": px_std,
         "zero_ratio": zero_ratio,
+        "px_p25": px_p25,
+        "px_p50": px_p50,
+        "px_p75": px_p75,
     }
     out = batch
     for k, v in cols.items():
