@@ -264,3 +264,36 @@ class TestPixelPercentiles:
 
         out = extract_meta(t).to_pandas().iloc[0]
         assert np.isnan(out.px_p25) and np.isnan(out.px_p50)
+
+
+class TestConfigFile:
+    """File-driven config: JSON load/save + deep merge
+    (reference core/config.py:104-152 semantics)."""
+
+    def test_roundtrip_and_merge(self, tmp_path):
+        from tiff_enrichment_pipeline_ray.config import (
+            PipelineConfig,
+            merge_configs,
+        )
+
+        cfg = PipelineConfig.from_dict(
+            {"enrich_weather": False, "batch_size": 256})
+        assert cfg.enrich_weather is False and cfg.batch_size == 256
+        assert cfg.enrich_landcover is True  # default preserved
+        p = cfg.save(str(tmp_path / "cfg.json"))
+        cfg2 = PipelineConfig.from_file(p)
+        assert cfg2 == cfg
+
+    def test_unknown_key_rejected(self):
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+
+        with pytest.raises(ValueError, match="unknown config keys"):
+            PipelineConfig.from_dict({"max_workers": 8})
+
+    def test_deep_merge_semantics(self):
+        from tiff_enrichment_pipeline_ray.config import merge_configs
+
+        base = {"a": {"x": 1, "y": 2}, "b": 3}
+        user = {"a": {"y": 9}, "c": 4}
+        assert merge_configs(base, user) == {"a": {"x": 1, "y": 9},
+                                             "b": 3, "c": 4}

@@ -84,3 +84,31 @@ class TestSketches:
         assert sketch.jaccard(e, e) == 1.0
         assert sketch.jaccard(x, e) == 0.0
         assert sketch.jaccard(x, x) == 1.0
+
+
+class TestNgramJaccardJoin:
+    """Prefix-filter exact similarity join: the result must equal the
+    brute-force all-pairs trigram-Jaccard join (lossless by construction)."""
+
+    def test_pairs_equal_brute(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.functions import sketch
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            doc_ngram_jaccard_pairs,
+        )
+
+        t = 0.6
+        got = doc_ngram_jaccard_pairs("/root/testdata/sf0.001", threshold=t)
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        sh = sketch.shingle_hashes_batch(docs.text.fillna("").tolist(), k=3)
+        ids = docs.doc_id.to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sketch.jaccard(sh[i], sh[j]) >= t:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    want.add((a, b))
+        assert set(zip(got.doc_a, got.doc_b)) == want
+        assert len(got) > 0  # fixture has dup families by construction

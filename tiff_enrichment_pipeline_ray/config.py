@@ -86,3 +86,51 @@ class PipelineConfig:
     # columns kept on the enriched output (caption must survive end-to-end:
     # BASELINE.json per-row invariant)
     keep_caption: bool = True
+
+    # --- file-driven config (reference core/config.py:104-152: JSON
+    #     load/save + deep merge of user config over defaults) ---
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["indices"] = list(d["indices"])
+        return d
+
+    @classmethod
+    def from_dict(cls, user: dict) -> "PipelineConfig":
+        """Defaults deep-merged with ``user`` (user wins); unknown keys are
+        an error (the reference's validate_config analogue)."""
+        base = cls().to_dict()
+        merged = merge_configs(base, user)
+        unknown = set(merged) - set(base)
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        merged["indices"] = tuple(merged["indices"])
+        return cls(**merged)
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+    def save(self, path: str) -> str:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+        return path
+
+
+def merge_configs(base: dict, user: dict) -> dict:
+    """Deep merge: nested dicts merge key-wise, user values win (exact
+    reference semantics, core/config.py:140-152)."""
+    out = dict(base)
+    for k, v in user.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_configs(out[k], v)
+        else:
+            out[k] = v
+    return out

@@ -382,13 +382,20 @@ def images_dir_for_sf(sf: float) -> str:
     return os.path.join(CACHE_ROOT, f"images_sf{sf:g}_n{n_images_for_sf(sf)}")
 
 
-def ensure_images(sf: float, n_write_tasks: int = 32) -> str:
+def ensure_images(sf: float, n_write_tasks: int | None = None) -> str:
     """Generate (once, cached) the images table at scale sf via Ray tasks.
 
     Distributed over group-id ranges; content is independent of the split.
     Returns the parquet directory. Never calls ray.init (driver owns the
     session; Ray auto-inits when standalone).
-    """
+
+    Layout matters for read parallelism: files are sized ~100 MB and row
+    groups are small (4096 rows) so ``read_parquet`` can split any file into
+    many read tasks. A single giant row group forces one task to decompress
+    the whole file in one go (measured: 32×437 MB single-row-group files at
+    sf0.4 serialized the read into 32 ~220 s tasks with 2.3 GB peak heap and
+    starved the rest of the DAG — the exact anti-pattern a 100 TB layout
+    must avoid)."""
     out = images_dir_for_sf(sf)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
@@ -406,9 +413,12 @@ def ensure_images(sf: float, n_write_tasks: int = 32) -> str:
     @ray.remote
     def _gen(lo: int, hi: int, path: str) -> int:
         tbl = generate_groups(np.arange(lo, hi))
-        pq.write_table(tbl, path, compression="zstd")
+        pq.write_table(tbl, path, compression="zstd", row_group_size=4096)
         return tbl.num_rows
 
+    if n_write_tasks is None:
+        # ~100 MB/file (≈ 15.6k rows at ~7 KB/row), floor 32 for parallelism
+        n_write_tasks = max(32, n_images_for_sf(sf) // 15_625)
     n_tasks = min(n_write_tasks, max(1, n_groups // 64))
     bounds = np.linspace(0, n_groups, n_tasks + 1).astype(int)
     refs = [

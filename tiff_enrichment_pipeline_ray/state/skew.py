@@ -27,13 +27,19 @@ _SAFETY = 1.3
 
 
 def census_counts(files: list, cell_col: str = "h3_r5", frac: float = 0.04,
-                  cache_dir: str = "/tmp/graft_synth/census_cache"):
+                  cache_dir: str | None = None):
     """Light sampled census: cell → estimated row count (pandas Series).
 
     Results are deterministic per (file list, sizes, cell_col, frac), so they
     are cached like table statistics; repeated runs (bench repeats, driver
-    correctness reruns, resume) skip the pass entirely."""
+    correctness reruns, resume) skip the pass entirely. On a cluster, point
+    ``GRAFT_CENSUS_CACHE`` at a shared filesystem so every driver reuses the
+    same statistics (the default is node-local /tmp)."""
     import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("GRAFT_CENSUS_CACHE",
+                                   "/tmp/graft_synth/census_cache")
 
     import ray.data as rd
 
