@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.doc_fingerprints,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
         # embeddings: similarity search (brute baseline + IVF scale path)
         "ann_topk_cosine": Q.ann_topk_cosine,

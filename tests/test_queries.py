@@ -44,7 +44,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "flagship_enriched", "flagship_captures"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
-             "doc_ngram_jaccard_pairs", "thumbnails"]
+             "dedup_simhash_pairs", "doc_ngram_jaccard_pairs", "thumbnails"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -112,3 +112,32 @@ class TestNgramJaccardJoin:
                     want.add((a, b))
         assert set(zip(got.doc_a, got.doc_b)) == want
         assert len(got) > 0  # fixture has dup families by construction
+
+
+class TestSimhashPairJoin:
+    """Banded hamming-bucket join is lossless for d <= 3 (pigeonhole over
+    4 disjoint 16-bit bands) — must equal brute-force popcount all-pairs."""
+
+    def test_pairs_equal_brute(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.functions import sketch
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            dedup_simhash_pairs,
+        )
+
+        got = dedup_simhash_pairs("/root/testdata/sf0.001", max_hamming=3)
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        sh = sketch.shingle_hashes_batch(docs.text.fillna("").tolist(), k=3)
+        sim = sketch.simhash64_batch(sh).astype(np.uint64)
+        ids = docs.doc_id.to_numpy()
+        want = set()
+        for i in range(len(ids)):
+            x = sim[i] ^ sim[i + 1:]
+            for j, v in enumerate(x):
+                if int(v).bit_count() <= 3:
+                    a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+                    want.add((a, b))
+        assert set(zip(got.doc_a, got.doc_b)) == want
+        assert len(got) > 0

@@ -1165,6 +1165,64 @@ def dedup_simhash_docs(sf_dir: str):
     return docs.map_batches(f, batch_format="pandas")
 
 
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup PAIR join: banded hamming-bucket grouping.
+
+    Pigeonhole: any two 64-bit simhashes within hamming distance ≤ 3 agree
+    exactly on at least one of 4 disjoint 16-bit bands, so grouping on
+    (band_idx, band_value) is a LOSSLESS candidate generator for d ≤ 3;
+    candidates are verified with an exact popcount. Same shuffle shape as
+    the MinHash LSH path (bucketed keys → in-group pairs)."""
+    from ..functions import sketch
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
+        sim = sketch.simhash64_batch(sh).astype(np.uint64)
+        n = len(df)
+        bands = np.stack([(sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                          for b in range(4)], axis=1).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df.doc_id.to_numpy(), 4),
+            "simhash": np.repeat(sim.astype(np.int64), 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
+            "key": bands.ravel(),
+        })
+        # bucket the (band, key) space for the shuffle (most exact buckets
+        # are singletons; per-group engine overhead would dominate)
+        out["kbucket"] = ((out["key"] * 4 + out["band"]) % 64).astype(np.int64)
+        return out
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (_, _), g in df.groupby(["band", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            u = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = u.doc_id.to_numpy()
+            hs = u.simhash.to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                d = np.array([int(v).bit_count() for v in x])
+                for j in np.flatnonzero(d <= max_hamming):
+                    out.append((int(ids[i]), int(ids[i + 1 + j]),
+                                int(d[j])))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    pairs = (docs.map_batches(band_rows, batch_format="pandas")
+             .groupby("kbucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas())
+    if not len(pairs):
+        return pairs
+    return (pairs.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 def doc_token_counts_regex(sf_dir: str):
     """BPE-ish regex tokenizer count: \\w+|[^\\w\\s] matches words and
     standalone punctuation (the subword-style pre-tokenization split)."""
