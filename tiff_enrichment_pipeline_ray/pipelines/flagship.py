@@ -210,7 +210,12 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
         est_rows = sum(pq.read_metadata(f).num_rows for f in files)
     except Exception:
         est_rows = 0
-    nblocks = max(4 * cpus, est_rows // 4096)
+    # ~2048 rows/block measured fastest at sf0.4/16 CPUs (141 s vs 163 s at
+    # 4096 and 150 s at 1024): smaller decode tasks bound straggler length
+    # and per-task heap (the task holds the block's decoded pixels), and the
+    # post-map coalesce keeps the shuffle width independent of this choice.
+    rows_per_block = int(os.environ.get("GRAFT_MAP_ROWS_PER_BLOCK", "2048"))
+    nblocks = max(4 * cpus, est_rows // rows_per_block)
     ds = rd.read_parquet(files, override_num_blocks=nblocks)
     ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=None)
@@ -460,6 +465,17 @@ def run_flagship(input_dir: str, out_dir: str,
         enriched = enriched.map_batches(
             lambda t, _s=salts: add_part_key(t, _s, f"h3_r{cfg.cell_partition_res}"),
             batch_format="pyarrow")
+        # Coalesce the slim (bytes-free) rows before the groupby shuffle:
+        # the sort exchange pays O(map_blocks × reduce_partitions) object
+        # fetches, and decode-sized blocks (~4k rows) make that quadratic
+        # term dominate at scale (measured at sf0.4/16 CPUs: 512×512 refs
+        # → ~150 s of inter-stage dead time, 42% CPU utilization). ~50k-row
+        # blocks of slim rows are still only ~25 MB.
+        coal = int(os.environ.get("GRAFT_SHUFFLE_BLOCKS", "0"))
+        if coal == 0:
+            coal = int(max(2 * cpus, min(est_rows // 50_000, 8 * cpus)))
+        if coal > 0:
+            enriched = enriched.repartition(coal)
         part_dir = os.path.join(out_dir, "enriched", f"part={pid:05d}")
         tmp_dir = part_dir + ".tmp"
         fail_part = os.path.join(out_dir, "failed", f"part={pid:05d}")
