@@ -47,6 +47,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily": Q.events_user_daily,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
+        "events_sessionize": Q.events_sessionize,
+        "events_asof_purchase": Q.events_asof_purchase,
+        "events_rolling_max": Q.events_rolling_max,
+        "events_topk_per_type": Q.events_topk_per_type,
+        "events_hll_users": Q.events_hll_users,
         # documents: text analysis + dedup
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_token_counts": Q.doc_token_counts,

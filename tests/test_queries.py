@@ -41,10 +41,17 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "image_exact_dedup", "enriched_daily_stats", "band_stats_by_class",
            # round 2b: quarantine + ops metrics + flagship projections
            "quarantine_report", "ops_stats",
-           "flagship_enriched", "flagship_captures"]
+           "flagship_enriched", "flagship_captures",
+           # round 2c: streaming-window operators (sessionize / as-of +
+           # range join / ordered per-key window / distributed top-k per
+           # group), all integer-only or order-insensitive → bit-exact SQL
+           "events_sessionize", "events_asof_purchase",
+           "events_rolling_max", "events_topk_per_type",
+           # round 2c: exact trigram-Jaccard join recomputed entirely in SQL
+           "doc_ngram_jaccard_pairs"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
-             "dedup_simhash_pairs", "doc_ngram_jaccard_pairs", "thumbnails"]
+             "dedup_simhash_pairs", "thumbnails", "events_hll_users"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -141,3 +141,42 @@ class TestSimhashPairJoin:
                     want.add((a, b))
         assert set(zip(got.doc_a, got.doc_b)) == want
         assert len(got) > 0
+
+
+class TestHLL:
+    """HyperLogLog: exact-rank registers, mergeability, error bound, and the
+    distributed query against the exact distinct."""
+
+    def test_estimate_accuracy_and_merge(self):
+        from tiff_enrichment_pipeline_ray.functions import hll
+
+        keys = np.arange(50_000, dtype=np.int64) * 7919 + 13
+        full = hll.registers(keys, p=12)
+        est = hll.estimate(full)
+        assert abs(est - 50_000) / 50_000 < 0.05
+        # merge of disjoint halves == registers of the union (associativity)
+        merged = hll.merge(hll.registers(keys[:25_000], p=12),
+                           hll.registers(keys[25_000:], p=12))
+        assert np.array_equal(merged, full)
+        # idempotent: duplicates don't move the registers
+        assert np.array_equal(hll.registers(np.repeat(keys, 3), p=12), full)
+
+    def test_small_range_linear_counting(self):
+        from tiff_enrichment_pipeline_ray.functions import hll
+
+        keys = np.arange(100, dtype=np.int64)
+        assert abs(hll.estimate(hll.registers(keys, p=12)) - 100) < 5
+
+    def test_query_within_tolerance(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            events_hll_users,
+        )
+
+        got = events_hll_users("/root/testdata/sf0.001").to_pandas()
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["event_type", "user_id"])
+        exact = ev.groupby("event_type").user_id.nunique()
+        assert len(got) == len(exact)
+        for _, r in got.iterrows():
+            e = exact[r.event_type]
+            assert abs(r.approx_users - e) / e < 0.1, (r.event_type, r.approx_users, e)

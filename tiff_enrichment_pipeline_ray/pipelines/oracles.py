@@ -136,6 +136,94 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+# Exact trigram-Jaccard self-join (doc_ngram_jaccard_pairs is lossless by
+# construction — prefix filtering prunes candidates, never results — so SQL
+# can recompute it exactly). Engine parity notes: word tokens = Python
+# str.split() ≡ regexp_split on '\\s+' after trim (corpus whitespace is
+# plain spaces); docs with < 3 words contribute ONE shingle of all their
+# words (_combine_shingles semantics); the threshold is applied to the
+# ROUNDED Jaccard, matching verify_pair. Shingle-hash collisions (2^-64)
+# are the only possible divergence.
+ORACLES["doc_ngram_jaccard_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tri AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS tg
+  FROM w WHERE len(ws) < 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES["events_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+per AS (SELECT user_id, sid, count(*) AS n, max(us) - min(us) AS dur
+        FROM s GROUP BY user_id, sid)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(dur) AS BIGINT) AS total_session_us,
+       CAST(max(n) AS BIGINT) AS max_session_events
+FROM per GROUP BY user_id
+"""
+
+ORACLES["events_asof_purchase"] = """
+WITH p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'purchase')
+SELECT e.event_id,
+       count(p.us) AS n_prior_purchase,
+       CAST(coalesce(sum(CASE WHEN p.us >= epoch_us(e.ts) - 3600000000
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_purchase_1h,
+       coalesce(max(p.us), -1) AS last_purchase_us
+FROM events e
+LEFT JOIN p ON p.user_id = e.user_id AND p.us < epoch_us(e.ts)
+GROUP BY e.event_id
+"""
+
+ORACLES["events_rolling_max"] = """
+SELECT event_id,
+       max(round(value, 6)) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         AS roll_max10
+FROM events
+"""
+
+ORACLES["events_topk_per_type"] = """
+SELECT event_type, rnk, event_id, value FROM (
+  SELECT event_type, event_id, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(value, 6) DESC, event_id) AS rnk
+  FROM events)
+WHERE rnk <= 3
+"""
+
 ORACLES["doc_exact_dedup"] = """
 SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_doc_id,

@@ -431,6 +431,142 @@ def events_type_minmax(sf_dir: str):
     return agg
 
 
+# ------------------------------------------- streaming-window operators
+#
+# Session windows, as-of/range joins and ordered per-key windows are the
+# reference's "streaming" surface re-expressed Ray-Data-first: ONE shuffle
+# keyed on the stream key (user_id), then vectorized numpy over each key's
+# (bounded) history inside groupby().map_groups. Outputs are integer-only or
+# order-insensitive (max) so the DuckDB oracles match bit-for-bit.
+
+
+def _epoch_us(s: pd.Series) -> np.ndarray:
+    return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+
+def events_sessionize(sf_dir: str, gap_min: int = 30):
+    """Session windows per user (a gap > 30 min opens a new session) —
+    gaps-and-islands over the events stream. At 100 TB a single user's
+    history still fits a group (stream keys are bounded); the one shuffle
+    is keyed on user_id."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_min * 60_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(columns=["user_id", "n_sessions", "n_events",
+                                         "total_session_us",
+                                         "max_session_events"])
+        us = np.sort(_epoch_us(g.ts))
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = np.diff(us) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(us)]
+        return pd.DataFrame({
+            "user_id": [int(g.user_id.iloc[0])],
+            "n_sessions": [int(len(starts))],
+            "n_events": [int(len(us))],
+            "total_session_us": [int((us[ends - 1] - us[starts]).sum())],
+            "max_session_events": [int((ends - starts).max())],
+        })
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_asof_purchase(sf_dir: str):
+    """As-of + range join of every event against the user's 'purchase'
+    stream: count and last-timestamp of strictly-earlier purchases, plus
+    the [ts-1h, ts) range-join count — sort + searchsorted inside the
+    user_id shuffle (no per-row Python). Oracle: equivalent inequality
+    join in SQL."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts", "event_type"])
+    HOUR = 3_600_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        ref = us[g.event_type.to_numpy()[order] == "purchase"]
+        n_prior = np.searchsorted(ref, us, side="left")
+        n_1h = n_prior - np.searchsorted(ref, us - HOUR, side="left")
+        last = np.where(n_prior > 0, ref[np.maximum(n_prior - 1, 0)], -1)
+        return pd.DataFrame({
+            "event_id": g.event_id.to_numpy()[order],
+            "n_prior_purchase": n_prior.astype(np.int64),
+            "n_purchase_1h": n_1h.astype(np.int64),
+            "last_purchase_us": last.astype(np.int64)})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_rolling_max(sf_dir: str, window: int = 10):
+    """Trailing-10-row rolling max of value per user ordered by ts — a
+    per-key ordered window aggregate. max is order-insensitive, so after
+    input rounding the result is bit-exact vs SQL."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(_epoch_us(g.ts), kind="stable")
+        v = pd.Series(g.value.to_numpy()[order].round(6))
+        return pd.DataFrame({
+            "event_id": g.event_id.to_numpy()[order],
+            "roll_max10": v.rolling(window, min_periods=1).max().to_numpy()})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_topk_per_type(sf_dir: str, k: int = 3):
+    """Top-k per group via per-block partial top-k then a tiny final
+    per-group top-k: the shuffle moves ≤ n_blocks × k rows per group, not
+    the whole table (the distributed form of ROW_NUMBER() ≤ k)."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(value=df.value.round(6))
+        df = df.sort_values(["value", "event_id"], ascending=[False, True])
+        return df.groupby("event_type", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["event_type", "rnk", "event_id", "value"]]
+
+    return (ev.map_batches(part, batch_format="pandas")
+            .groupby("event_type").map_groups(final, batch_format="pandas"))
+
+
+def events_hll_users(sf_dir: str, p: int = 12):
+    """Approximate distinct users per event_type via HyperLogLog: per-block
+    partial registers (one 4 KB blob per group × block through the shuffle —
+    NOT one row per key, the scale path for COUNT DISTINCT at 100 TB) merged
+    by elementwise max in map_groups. Deterministic; ±1.6% at p=12; pytest
+    pins the error bound against the exact distinct (no SQL oracle — a
+    sketch estimate is not SQL-reproducible)."""
+    from ..functions import hll
+
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [{"event_type": t,
+                 "reg": hll.registers(g.user_id.to_numpy(), p).tobytes()}
+                for t, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "reg"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        reg = np.zeros(1 << p, dtype=np.uint8)
+        for b in g.reg:
+            reg = hll.merge(reg, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"event_type": [g.event_type.iloc[0]],
+                             "approx_users": [int(round(hll.estimate(reg)))]})
+
+    return (ev.map_batches(partial, batch_format="pandas", batch_size=None)
+            .groupby("event_type").map_groups(final, batch_format="pandas"))
+
+
 # --------------------------------------------------------- documents
 
 
