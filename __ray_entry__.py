@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_customers": Q.top10_customers,
         "part_brand_stats": Q.part_brand_stats,
         "supplier_nation_balance": Q.supplier_nation_balance,
+        "q4_priority_semijoin": Q.q4_priority_semijoin,
+        "q14_promo_revenue": Q.q14_promo_revenue,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,

@@ -48,7 +48,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_sessionize", "events_asof_purchase",
            "events_rolling_max", "events_topk_per_type",
            # round 2c: exact trigram-Jaccard join recomputed entirely in SQL
-           "doc_ngram_jaccard_pairs"]
+           "doc_ngram_jaccard_pairs",
+           # round 2c: EXISTS semi-join + broadcast dimension join
+           "q4_priority_semijoin", "q14_promo_revenue"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users"]

@@ -136,6 +136,32 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+ORACLES["q4_priority_semijoin"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q14_promo_revenue"] = """
+WITH f AS (
+  SELECT l_extendedprice * (1.0 - l_discount) AS rev, p.p_type AS p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+)
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+             / sum(rev), 6) AS promo_pct,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 4)
+         AS promo_rev,
+       round(sum(rev), 4) AS total_rev,
+       count(*) AS n_rows
+FROM f
+"""
+
 # Exact trigram-Jaccard self-join (doc_ngram_jaccard_pairs is lossless by
 # construction — prefix filtering prunes candidates, never results — so SQL
 # can recompute it exactly). Engine parity notes: word tokens = Python

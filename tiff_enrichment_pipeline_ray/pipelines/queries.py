@@ -349,6 +349,74 @@ def supplier_nation_balance(sf_dir: str):
     return df
 
 
+def q4_priority_semijoin(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: count 1996H1 orders that have at
+    least one returned ('R') lineitem. The semi side is deduped FIRST
+    (distinct l_orderkey via groupby — the shuffle then carries one row per
+    qualifying order, not one per lineitem) and joined hash-partitioned;
+    neither fact table touches the driver."""
+    li = read_testdata(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    li = li.filter(expr="l_returnflag == 'R'")
+    semi = li.groupby("l_orderkey").count().select_columns(["l_orderkey"])
+
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderpriority",
+                                    "o_orderdate"])
+    orders = orders.map_batches(
+        _ts_filter("o_orderdate", "greater_equal", "1996-01-01"),
+        batch_format="pyarrow").map_batches(
+        _ts_filter("o_orderdate", "less", "1996-07-01"),
+        batch_format="pyarrow")
+
+    semi = semi.rename_columns({"l_orderkey": "o_orderkey"})
+    joined = _dsjoin(orders, semi, on=("o_orderkey",))
+    agg = _preagg(joined.select_columns(["o_orderpriority"]),
+                  ["o_orderpriority"], [("n_orders", None, "count")])
+    return agg
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share for 1996-01: lineitem ⋈ part is
+    a BROADCAST join (part is the small dimension; partkeys are dense ints →
+    one numpy bool array shipped once via ray.put, O(1) lookup per row in
+    map_batches — no shuffle), then a 2-value global sum."""
+    import pyarrow.compute as pc
+    import ray
+
+    part = read_testdata(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
+    promo[part.p_partkey.to_numpy()] = part.p_type.to_numpy() == "PROMO"
+    promo_ref = ray.put(promo)
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_extendedprice", "l_discount",
+                                "l_shipdate"])
+    li = li.map_batches(
+        _ts_filter("l_shipdate", "greater_equal", "1996-01-01"),
+        batch_format="pyarrow").map_batches(
+        _ts_filter("l_shipdate", "less", "1996-02-01"),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table, pref=promo_ref) -> pa.Table:
+        pm = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        rev = rev.to_numpy(zero_copy_only=False)
+        is_promo = pm[t.column("l_partkey").to_numpy()]
+        return pa.table({"promo_rev": [float(rev[is_promo].sum())],
+                         "total_rev": [float(rev.sum())],
+                         "n_rows": [np.int64(len(rev))]})
+
+    df = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_rev, total_rev = df.promo_rev.sum(), df.total_rev.sum()
+    return pd.DataFrame({
+        "promo_pct": [round(100.0 * promo_rev / total_rev, 6)],
+        "promo_rev": [round(promo_rev, 4)],
+        "total_rev": [round(total_rev, 4)],
+        "n_rows": [np.int64(df.n_rows.sum())],
+    })
+
+
 # ------------------------------------------------------------ events
 
 
