@@ -352,3 +352,38 @@ class TestSkew:
         keys = [p["part_key"] for r in recs for p in r["parts"]]
         cells = pd.Series([k.split(":")[0] for k in keys])
         assert (cells.value_counts() > 1).any()  # at least one salted cell
+
+
+class TestExports:
+    """K2/K3/K7 report sinks over a flagship output (pipelines/export.py —
+    reference main.py:386-388,525-535, scripts/extract_gps_to_csv_json.py)."""
+
+    def test_metadata_json_roundtrip(self, flag_out, enriched_df, tmp_path):
+        import glob
+        import json
+
+        from tiff_enrichment_pipeline_ray.pipelines import export
+
+        out, _ = flag_out
+        d = export.export_metadata_json(out, str(tmp_path / "meta_json"))
+        rows = []
+        for f in glob.glob(f"{d}/*.json"):
+            with open(f) as fh:
+                rows.extend(json.loads(line) for line in fh if line.strip())
+        assert len(rows) == len(enriched_df)
+        got = {r["image_id"] for r in rows}
+        assert got == set(enriched_df.image_id)
+        assert "issues" not in rows[0] and "lat" in rows[0]
+
+    def test_gps_csv_only_gps_rows(self, flag_out, enriched_df, tmp_path):
+        import glob
+
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import export
+
+        out, _ = flag_out
+        d = export.export_gps_csv(out, str(tmp_path / "gps_csv"))
+        df = pd.concat([pd.read_csv(f) for f in glob.glob(f"{d}/*.csv")])
+        assert len(df) == int(enriched_df.has_gps.sum())
+        assert set(df.columns) == {"image_id", "lat", "lon", "alt_m"}
