@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": Q.events_topk_per_type,
         "events_hll_users": Q.events_hll_users,
         # documents: text analysis + dedup
+        "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_token_counts": Q.doc_token_counts,
         "doc_quality_counts": Q.doc_quality_counts,

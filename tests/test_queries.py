@@ -50,7 +50,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2c: exact trigram-Jaccard join recomputed entirely in SQL
            "doc_ngram_jaccard_pairs",
            # round 2c: EXISTS semi-join + broadcast dimension join
-           "q4_priority_semijoin", "q14_promo_revenue"]
+           "q4_priority_semijoin", "q14_promo_revenue",
+           # round 2c: deterministic hash train/val/test split
+           "doc_train_split"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users"]

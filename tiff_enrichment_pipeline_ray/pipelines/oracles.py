@@ -250,6 +250,17 @@ SELECT event_type, rnk, event_id, value FROM (
 WHERE rnk <= 3
 """
 
+ORACLES["doc_train_split"] = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(b AS BIGINT) AS bucket
+FROM (SELECT doc_id,
+             ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                1, 8))::UBIGINT % 100 AS b
+      FROM documents)
+"""
+
 ORACLES["doc_exact_dedup"] = """
 SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_doc_id,

@@ -638,6 +638,29 @@ def events_hll_users(sf_dir: str, p: int = 12):
 # --------------------------------------------------------- documents
 
 
+def doc_train_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    dataset-splitting step of a training-data pipeline. Salted md5 of the
+    doc id → bucket ∈ [0,100); embarrassingly parallel (no shuffle),
+    reproducible across runs, partitionings and cluster sizes, and exactly
+    recomputable in SQL (DuckDB md5). md5-per-id is a bounded metadata pass
+    (~1 µs/row), not a pixel-path kernel."""
+    import hashlib
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.array(
+            [int(hashlib.md5(f"split:{int(d)}".encode()).hexdigest()[:8], 16)
+             % 100 for d in df.doc_id], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df.doc_id.to_numpy(),
+            "split": np.where(b < 80, "train", np.where(b < 90, "val", "test")),
+            "bucket": b})
+
+    return docs.map_batches(tag, batch_format="pandas")
+
+
 def doc_exact_dedup(sf_dir: str):
     """Exact dedup by content hash: keep min doc_id per text (A7 semantics —
     the reference's SHA-256 checksum dedup, create-tables.sql:253)."""
