@@ -7,7 +7,9 @@ by $GRAFT_SF_DIR, plus a representative set of driver queries over the
 testdata tables. Prints exactly ONE JSON line on stdout.
 
     python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
-    python bench.py --scaling       # fresh processes at 8 and 32 CPUs on the
+    python bench.py --scaling       # fresh processes at two CPU levels
+                                    # (default 4 vs 16 — see run_scaling and
+                                    # BASELINE.md "hardware ceiling") on the
                                     # same input → throughputs + efficiency
                                     # (the sandbox stand-in for N vs 4N nodes)
 """
