@@ -156,6 +156,11 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # The interleave exists so each (lo, hi) PAIR shares VM state; per-pair
+    # efficiencies are the noise-controlled readings (min-min mixes VM
+    # phases hours apart — observed to swing the ratio ±0.2 on this VM).
+    pairs = [round((a["value"] / b["value"]) / (hi / lo), 3)
+             for a, b in zip(runs_lo, runs_hi)]
     return {
         "metric": "scaling efficiency (fresh ray sessions, same input)",
         "cpus_lo": lo,
@@ -165,6 +170,10 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         "rows_per_sec_lo": r_lo["rows_per_sec"],
         "rows_per_sec_hi": r_hi["rows_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": pairs,
+        "best_pair_efficiency": max(pairs),
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
         "sf": r_hi["sf"],
         "rows": r_hi["rows"],
     }
