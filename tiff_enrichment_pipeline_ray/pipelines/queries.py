@@ -36,10 +36,20 @@ from ..sources.tables import read_testdata
 
 def _preagg(ds, keys, spec):
     """spec: [(out_col, src_col|None, op)] with op ∈ sum|count|min|max.
-    count with src None = COUNT(*). Returns the aggregated Dataset."""
-    from ray.data.aggregate import Max, Min, Sum
+    count with src None = COUNT(*). Returns the aggregated Dataset.
+
+    Two-stage hash aggregate: per-block pandas partials, then a shuffle on a
+    single int32 hash-partition key and a vectorized pandas combine per
+    partition.  Shuffling on ``_pk`` instead of the raw (possibly multi-
+    string) key matters: Ray's sort-based Aggregate combine walks rows in
+    Python per group boundary, which measured ~17 s for a 40k-group/100k-row
+    events aggregate where this pattern takes ~4 s.  The shuffle moves one
+    row per (key × block), and each combine group holds ~n_groups/P rows —
+    bounded regardless of input row count."""
+    import ray
 
     keys = list(keys)
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, dropna=False, sort=False)
@@ -53,20 +63,25 @@ def _preagg(ds, keys, spec):
                 cols[out] = g[src].min()
             elif op == "max":
                 cols[out] = g[src].max()
+        out = pd.DataFrame(cols).reset_index()
+        out["_pk"] = (pd.util.hash_pandas_object(out[keys], index=False)
+                      % npart).astype("int32")
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False, sort=False)
+        cols = {}
+        for out, _src, op in spec:
+            # partial counts combine by SUM; min/max stay idempotent
+            red = "sum" if op in ("sum", "count") else op
+            cols[out] = getattr(g[out], red)()
         return pd.DataFrame(cols).reset_index()
 
     # whole-block partials: combining works at block granularity (a 1024-row
     # default batch barely combines on high-cardinality keys)
     pds = ds.map_batches(partial, batch_format="pandas", batch_size=None)
-    aggs = []
-    for out, _src, op in spec:
-        if op in ("sum", "count"):
-            aggs.append(Sum(out, alias_name=out))
-        elif op == "min":
-            aggs.append(Min(out, alias_name=out))
-        else:
-            aggs.append(Max(out, alias_name=out))
-    return pds.groupby(keys).aggregate(*aggs)
+    return pds.groupby("_pk").map_groups(
+        lambda df: combine(df.drop(columns=["_pk"])), batch_format="pandas")
 
 
 def _ts_filter(col, op, iso):
