@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": Q.doc_quality_scores,
         "doc_token_counts_regex": Q.doc_token_counts_regex,
         "doc_fingerprints": Q.doc_fingerprints,
+        "doc_repetition_stats": Q.doc_repetition_stats,
+        "doc_vocab_topk": Q.doc_vocab_topk,
+        "doc_pii_scrub": Q.doc_pii_scrub,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,

@@ -52,7 +52,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2c: EXISTS semi-join + broadcast dimension join
            "q4_priority_semijoin", "q14_promo_revenue",
            # round 2c: deterministic hash train/val/test split
-           "doc_train_split"]
+           "doc_train_split",
+           # round 2d: Gopher-style repetition filter, corpus vocab build,
+           # PII scrub (regex plumbing; semantics pinned in test_text.py)
+           "doc_repetition_stats", "doc_vocab_topk", "doc_pii_scrub"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users"]

@@ -42,6 +42,58 @@ class TestTextKernels:
                        "zzz qqq xxx"])
         assert tk.lang_id(s).tolist() == ["en", "de", "fr", "und"]
 
+    def test_repetition_stats_vs_bruteforce(self):
+        from collections import Counter
+
+        texts = ["a a a b c", "", "one", "x y x y x y", "w " * 50 + "end"]
+        s = pd.Series(texts)
+        st = tk.repetition_stats(s)
+        for i, t in enumerate(texts):
+            c = Counter(t.split(" "))
+            assert st["n_words"][i] == len(t.split(" "))
+            assert st["n_distinct"][i] == len(c)
+            assert st["top_cnt"][i] == max(c.values())
+
+    def test_pii_scrub_redacts_and_counts(self):
+        s = pd.Series([
+            "mail me at jane.doe+x@example.co.uk or bob@test.org now",
+            "call 555-123-4567 or 555.987.6543",
+            "server at 192.168.0.1 and 10.0.0.255 up",
+            "clean text with no pii at all",
+            None,
+        ])
+        n_emails, n_phones, n_ips, cleaned = tk.pii_scrub(s)
+        assert n_emails.tolist() == [2, 0, 0, 0, 0]
+        assert n_phones.tolist() == [0, 2, 0, 0, 0]
+        assert n_ips.tolist() == [0, 0, 2, 0, 0]
+        assert cleaned[0] == "mail me at <EMAIL> or <EMAIL> now"
+        assert cleaned[1] == "call <PHONE> or <PHONE>"
+        assert cleaned[2] == "server at <IP> and <IP> up"
+        assert cleaned[3] == "clean text with no pii at all"
+        assert cleaned[4] == ""
+
+    def test_pii_scrub_matches_duckdb_semantics(self):
+        """The driver oracle only sees PII-free testdata; pin the regex
+        semantics against DuckDB's RE2 on actual PII here."""
+        import duckdb
+
+        s = pd.Series([
+            "jane.doe+x@example.co.uk wrote from 192.168.0.1, call 555-123-4567",
+            "edge 999.999.999.999 and a@b.io and 123.456.7890",
+        ])
+        n_emails, n_phones, n_ips, cleaned = tk.pii_scrub(s)
+        con = duckdb.connect()
+        for i, t in enumerate(s):
+            row = con.sql(
+                "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+                " len(regexp_extract_all(?, ?)),"
+                " regexp_replace(regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+                "   ?, '<IP>', 'g'), ?, '<PHONE>', 'g')",
+                params=[t, tk.PII_EMAIL, t, tk.PII_PHONE, t, tk.PII_IP,
+                        t, tk.PII_EMAIL, tk.PII_IP, tk.PII_PHONE]).fetchone()
+            assert row[0] == n_emails[i] and row[1] == n_phones[i] and row[2] == n_ips[i]
+            assert row[3] == cleaned[i]
+
     def test_fingerprint_deterministic(self):
         s = pd.Series(["doc one", "doc two"])
         a = tk.fingerprint64(s)

@@ -83,6 +83,55 @@ def lang_id(series: pd.Series) -> pd.Series:
     return pd.Series(out, index=series.index)
 
 
+def repetition_stats(series: pd.Series) -> dict:
+    """Gopher-style per-doc repetition signals (exact integer counts):
+    n_words (single-space split, = token_count), n_distinct (unique words),
+    top_cnt (occurrences of the most frequent word). Fully vectorized: the
+    batch's words are factorized once, (row, word) pair counts come from one
+    np.unique, and the per-row max/nunique from reduceat over the row-sorted
+    pair table. Every doc has >= 1 token (''.split(' ') == ['']), so row
+    boundaries are total."""
+    toks = series.fillna("").str.split(" ")
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    n = len(series)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return {"n_words": z, "n_distinct": z, "top_cnt": z}
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = np.asarray([w for t in toks for w in t], dtype=object)
+    codes, uniq = pd.factorize(flat)
+    key = rows * np.int64(len(uniq)) + codes
+    uk, cnts = np.unique(key, return_counts=True)      # sorted → rows contiguous
+    urow = uk // np.int64(len(uniq))
+    starts = np.searchsorted(urow, np.arange(n, dtype=np.int64))
+    n_distinct = np.diff(np.append(starts, len(urow))).astype(np.int64)
+    top_cnt = np.maximum.reduceat(cnts, starts).astype(np.int64)
+    return {"n_words": lens, "n_distinct": n_distinct, "top_cnt": top_cnt}
+
+
+# PII patterns — shared verbatim by the DuckDB oracle (both Python re and
+# RE2 give identical matches for these: character classes + bounded repeats,
+# no ambiguous alternation). Redaction order is EMAIL → IP → PHONE.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(series: pd.Series):
+    """(n_emails, n_phones, n_ips, cleaned) — counts are non-overlapping
+    matches on the ORIGINAL text (= DuckDB len(regexp_extract_all(...)));
+    cleaned applies the three redactions in fixed order EMAIL → IP → PHONE
+    (= nested regexp_replace(..., 'g'))."""
+    s = series.fillna("")
+    n_emails = s.str.count(PII_EMAIL).to_numpy(dtype=np.int64)
+    n_phones = s.str.count(PII_PHONE).to_numpy(dtype=np.int64)
+    n_ips = s.str.count(PII_IP).to_numpy(dtype=np.int64)
+    cleaned = (s.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+                .str.replace(PII_IP, "<IP>", regex=True)
+                .str.replace(PII_PHONE, "<PHONE>", regex=True))
+    return n_emails, n_phones, n_ips, cleaned
+
+
 def fingerprint64(series: pd.Series) -> np.ndarray:
     """Deterministic 64-bit document fingerprint: blake2b-8 of the text."""
     return series.fillna("").map(

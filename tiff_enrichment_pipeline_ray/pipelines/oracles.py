@@ -278,6 +278,47 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["doc_repetition_stats"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+p AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             count(*) AS n_distinct, max(cnt) AS top_cnt
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_words, n_distinct, top_cnt,
+       CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+       CASE WHEN top_cnt * 10 <= n_words AND n_words >= 20
+            THEN 1 ELSE 0 END AS keep
+FROM p
+"""
+
+ORACLES["doc_vocab_topk"] = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 100
+"""
+
+# patterns match functions/textkernels.py PII_EMAIL/PII_IP/PII_PHONE verbatim;
+# counts on the original text, redaction order EMAIL -> IP -> PHONE
+ORACLES["doc_pii_scrub"] = """
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phones,
+       len(regexp_extract_all(coalesce(text, ''),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+           '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+FROM documents
+"""
+
 ORACLES["doc_quality_counts"] = """
 SELECT doc_id,
        length(text) AS n_chars,

@@ -1506,3 +1506,75 @@ def doc_fingerprints(sf_dir: str):
                              "fingerprint": fingerprint64(df.text)})
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1-style
+    rules re-expressed over the documents table): per-doc most-frequent-word
+    fraction + distinct-word ratio, and an integer keep flag
+    (top_word_frac <= 0.1 AND n_words >= 20 — integer arithmetic so the SQL
+    oracle is bit-exact). Embarrassingly parallel: one vectorized
+    map_batches, no shuffle, streams at any scale."""
+    from ..functions.textkernels import repetition_stats
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        st = repetition_stats(df.text)
+        out = {"doc_id": df.doc_id.to_numpy()}
+        out.update(st)
+        out["top_word_frac"] = st["top_cnt"] / st["n_words"]
+        out["distinct_ratio"] = st["n_distinct"] / st["n_words"]
+        out["keep"] = ((st["top_cnt"] * 10 <= st["n_words"])
+                       & (st["n_words"] >= 20)).astype(np.int32)
+        return pd.DataFrame(out)
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def doc_vocab_topk(sf_dir: str):
+    """Corpus vocabulary build (tokenizer-training prep): top-100 words by
+    total count, ties broken by word asc. Per-block value_counts partials →
+    hash-partition word-sum (_preagg) → per-block top-k → tiny global sort:
+    the shuffle moves one row per (word × block), never the token stream."""
+    docs = read_testdata(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat = [w for t in df["text"].fillna("").str.split(" ") for w in t]
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    pds = docs.map_batches(partial, batch_format="pandas", batch_size=None)
+    agg = _preagg(pds, ["word"], [("cnt", "cnt", "sum")])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"], ascending=[False, True],
+                              kind="stable").head(100)
+
+    agg = agg.map_batches(topk, batch_format="pandas", batch_size=None)
+    return agg.sort(["cnt", "word"], descending=[True, False]).limit(100)
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction pass (training-data hygiene): per-doc email/phone/IP
+    match counts on the original text plus the md5 of the redacted text
+    (EMAIL → IP → PHONE order, patterns shared verbatim with the DuckDB
+    oracle). The testdata corpus is PII-free by construction, so the driver
+    oracle pins the regex *plumbing*; tests/test_text.py pins the actual
+    redaction semantics on injected PII strings."""
+    from ..functions.textkernels import md5_hex, pii_scrub
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_emails, n_phones, n_ips, cleaned = pii_scrub(df.text)
+        return pd.DataFrame({
+            "doc_id": df.doc_id.to_numpy(),
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "n_ips": n_ips,
+            "clean_md5": md5_hex(cleaned),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
