@@ -76,8 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_label_stats": Q.embedding_label_stats,
         "embedding_near_dup": Q.embedding_near_dup,
-        # multimodal plumbing (actor-pool feature extraction)
+        # multimodal plumbing (actor-pool decode / feature extraction)
         "image_features": Q.image_features,
+        "audio_stats": Q.audio_stats,
+        "video_frame_sample": Q.video_frame_sample,
         # geospatial joins with exact SQL parity (events-derived points)
         "geo_tile_census": Q.geo_tile_census,
         "geo_knn_station": Q.geo_knn_station,

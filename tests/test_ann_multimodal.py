@@ -73,11 +73,61 @@ class TestMultimodal:
         for a, b in zip(f1.feature, f2.feature):
             np.testing.assert_array_equal(a, b)
 
-    def test_stubs_raise_with_contract(self):
-        with pytest.raises(NotImplementedError):
-            AudioDecode()
-        with pytest.raises(NotImplementedError):
-            VideoFrameSample()
+    def test_audio_codec_roundtrip_and_poison(self):
+        rng = np.random.default_rng(1)
+        pcm = (rng.standard_normal(16000) * 8000).astype(np.int16)
+        blob = codec.encode_audio(pcm, 16000)
+        got, sr, ok = codec.decode_audio(blob)
+        assert ok and sr == 16000
+        np.testing.assert_array_equal(got, pcm)
+        for bad in (b"", b"XXXX" + blob[4:], blob[:10], None if False else blob[:-5]):
+            _, _, ok = codec.decode_audio(bad)
+            assert not ok
+
+    def test_audio_decode_stage(self):
+        pcm = np.full(8000, 16384, dtype=np.int16)  # constant → rms = 0.5
+        df = pd.DataFrame({
+            "audio_id": np.array([1, 2], dtype=np.int64),
+            "bytes": [codec.encode_audio(pcm, 8000), b"not audio"],
+        })
+        out = AudioDecode()(df)
+        assert out.decode_ok.tolist() == [True, False]
+        assert out.sample_rate.iloc[0] == 8000
+        assert out.n_samples.iloc[0] == 8000
+        assert out.duration_s.iloc[0] == pytest.approx(1.0)
+        assert out.rms.iloc[0] == pytest.approx(0.5, abs=1e-6)
+        assert np.isnan(out.rms.iloc[1])
+
+    def test_video_codec_roundtrip_and_poison(self):
+        frames = np.arange(5 * 4 * 6, dtype=np.uint8).reshape(5, 4, 6)
+        blob = codec.encode_video(frames)
+        got, ok = codec.decode_video(blob)
+        assert ok
+        np.testing.assert_array_equal(got, frames)
+        for bad in (b"", b"YYYY" + blob[4:], blob[:8], blob[:-3]):
+            _, ok = codec.decode_video(bad)
+            assert not ok
+
+    def test_video_frame_sample_stage(self):
+        frames = np.zeros((65, 4, 6), dtype=np.uint8)
+        for i in range(65):
+            frames[i] = i  # constant frame i → px_mean == i
+        df = pd.DataFrame({
+            "video_id": np.array([7, 8], dtype=np.int64),
+            "bytes": [codec.encode_video(frames), b"junk"],
+        })
+        out = VideoFrameSample(every_n=30)(df)
+        good = out[out.decode_ok]
+        assert good.frame_idx.tolist() == [0, 30, 60]  # ceil(65/30) = 3 rows
+        assert (good.w == 6).all() and (good.h == 4).all()
+        # frames re-encoded as GI01 → image decode recovers the content
+        for _, row in good.iterrows():
+            px, meta, ok = codec.decode_image(row.frame_bytes)
+            assert ok and px.shape == (4, 6)
+            assert float(px.mean()) == float(row.frame_idx)
+            assert meta["Frame Index"] == str(row.frame_idx)
+        bad = out[~out.decode_ok]
+        assert bad.video_id.tolist() == [8] and bad.frame_idx.tolist() == [-1]
 
 
 class TestDistributedIVF:

@@ -58,7 +58,8 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "doc_repetition_stats", "doc_vocab_topk", "doc_pii_scrub"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
-             "dedup_simhash_pairs", "thumbnails", "events_hll_users"]
+             "dedup_simhash_pairs", "thumbnails", "events_hll_users",
+             "audio_stats", "video_frame_sample"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

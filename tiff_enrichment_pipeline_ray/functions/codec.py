@@ -136,6 +136,65 @@ def decode_header_meta(blob: bytes):
         return None
 
 
+# ---------------------------------------------------------------------------
+# Audio / video containers — the deterministic stand-ins for WAV/FLAC and
+# MP4 (soundfile/pyav are not in this sandbox; charter: fake the codec,
+# keep the Ray-side plumbing real). Same safety contract as decode_image:
+# any structural corruption → ok=False, never raises.
+
+AUDIO_MAGIC = b"GA01"
+_AHDR = struct.Struct("<4sIQ")  # magic, sample_rate u32, n_samples u64
+
+
+def encode_audio(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM (n,) + sample rate → GA01 container (zlib payload)."""
+    p = np.ascontiguousarray(pcm, dtype="<i2")
+    return _AHDR.pack(AUDIO_MAGIC, sample_rate, p.size) + zlib.compress(p.tobytes(), 1)
+
+
+def decode_audio(blob: bytes):
+    """→ (pcm int16 (n,) | None, sample_rate: int, ok: bool); never raises."""
+    try:
+        if len(blob) < _AHDR.size:
+            return None, 0, False
+        magic, sr, n = _AHDR.unpack_from(blob, 0)
+        if magic != AUDIO_MAGIC:
+            return None, 0, False
+        pcm = np.frombuffer(zlib.decompress(blob[_AHDR.size:]), dtype="<i2")
+        if pcm.size != n:
+            return None, int(sr), False
+        return pcm.astype(np.int16), int(sr), True
+    except Exception:
+        return None, 0, False
+
+
+VIDEO_MAGIC = b"GV01"
+_VHDR = struct.Struct("<4sIHH")  # magic, n_frames u32, h u16, w u16
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """uint8 frame stack (n, h, w) → GV01 container (zlib payload)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return _VHDR.pack(VIDEO_MAGIC, n, h, w) + zlib.compress(f.tobytes(), 1)
+
+
+def decode_video(blob: bytes):
+    """→ (frames uint8 (n,h,w) | None, ok: bool); never raises."""
+    try:
+        if len(blob) < _VHDR.size:
+            return None, False
+        magic, n, h, w = _VHDR.unpack_from(blob, 0)
+        if magic != VIDEO_MAGIC:
+            return None, False
+        raw = np.frombuffer(zlib.decompress(blob[_VHDR.size:]), dtype=np.uint8)
+        if raw.size != n * h * w:
+            return None, False
+        return raw.reshape(n, h, w), True
+    except Exception:
+        return None, False
+
+
 def psnr(orig: np.ndarray, recon: np.ndarray, max_val=65535.0) -> float:
     """PSNR in dB; inf for exact match."""
     err = orig.astype(np.float64) - recon.astype(np.float64)

@@ -812,6 +812,56 @@ def ann_ivf_topk(sf_dir: str):
     return _ivf(sf_dir)
 
 
+def audio_stats(sf_dir: str):
+    """Actor-pool audio decode over the synthetic audio table (multimodal
+    plumbing: GA01 container → sample_rate / duration / RMS per clip; poison
+    blobs surface as decode_ok=False rows). Rows-only for the driver;
+    value semantics pinned in tests/test_ann_multimodal.py."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_stats_dataset
+
+    audio_dir = synth.ensure_audio(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(audio_dir, columns=["audio_id", "bytes"])
+    out = audio_stats_dataset(ds)
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df["duration_s"] = np.round(df["duration_s"], 6)
+        df["rms"] = np.round(df["rms"], 6)
+        return df
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def video_frame_sample(sf_dir: str):
+    """Every-30th-frame sample over the synthetic video table, composed with
+    the image decode stage: sampled frames are re-encoded as GI01 images and
+    decoded again downstream (px_mean proves the frame bytes are real images).
+    Flat-map shape: one row per sampled frame; corrupt clips keep one
+    decode_ok=False row."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageDecode, video_frames_dataset
+
+    video_dir = synth.ensure_video(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(video_dir, columns=["video_id", "bytes"])
+    frames = video_frames_dataset(ds, every_n=30)
+
+    def decode_frame(df: pd.DataFrame) -> pd.DataFrame:
+        dec = ImageDecode()(pd.DataFrame({
+            "image_id": df["video_id"], "bytes": df["frame_bytes"]}))
+        return pd.DataFrame({
+            "video_id": df["video_id"].to_numpy(),
+            "frame_idx": df["frame_idx"].to_numpy(),
+            "w": df["w"].to_numpy(),
+            "h": df["h"].to_numpy(),
+            "decode_ok": df["decode_ok"].to_numpy() & dec["decode_ok"].to_numpy(),
+            "px_mean": np.round(dec["px_mean"].to_numpy(), 4),
+        })
+
+    return frames.map_batches(decode_frame, batch_format="pandas")
+
+
 def image_features(sf_dir: str):
     """Actor-pool feature extraction over the synthetic images table
     (multimodal plumbing: decode → 64-dim embedding per image)."""

@@ -466,3 +466,109 @@ def ensure_layers() -> str:
     with open(marker, "w") as f:
         f.write("ok")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Audio / video tables (multimodal plumbing inputs). Deterministic per-id
+# content in the native GA01/GV01 containers; ~2% poison rows (truncated /
+# wrong-magic blobs) so the safe-decode path is exercised end-to-end.
+
+def n_audio_for_sf(sf: float) -> int:
+    return max(200, n_images_for_sf(sf) // 10)
+
+
+def n_video_for_sf(sf: float) -> int:
+    return max(60, n_images_for_sf(sf) // 50)
+
+
+def _gen_audio_rows(ids: np.ndarray) -> "pa.Table":
+    from ..functions import codec
+
+    blobs = []
+    for aid in ids:
+        rng = np.random.default_rng(900_000 + int(aid))
+        sr = int(rng.choice([8000, 16000, 22050]))
+        n = int(rng.integers(sr // 2, sr * 2))      # 0.5–2 s clips
+        t = np.arange(n, dtype=np.float64) / sr
+        f0 = float(rng.uniform(80, 2000))
+        x = (0.6 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * 2.5 * f0 * t)
+             + 0.1 * rng.standard_normal(n))
+        pcm = np.clip(x * 12000, -32768, 32767).astype(np.int16)
+        blob = codec.encode_audio(pcm, sr)
+        r = rng.random()
+        if r < 0.01:
+            blob = blob[: max(4, len(blob) // 3)]   # truncated payload
+        elif r < 0.02:
+            blob = b"XXXX" + blob[4:]               # wrong magic
+        blobs.append(blob)
+    return pa.table({"audio_id": pa.array(ids, pa.int64()),
+                     "bytes": pa.array(blobs, pa.binary())})
+
+
+def _gen_video_rows(ids: np.ndarray) -> "pa.Table":
+    from ..functions import codec
+
+    blobs = []
+    for vid in ids:
+        rng = np.random.default_rng(950_000 + int(vid))
+        nf = int(rng.integers(12, 90))
+        h, w = 24, 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = rng.uniform(0, 2 * np.pi)
+        fidx = np.arange(nf)[:, None, None]
+        frames = (127 + 100 * np.sin(2 * np.pi * (xx[None] + 2 * fidx) / w
+                                     + phase)
+                  + 20 * (yy[None] / h)).clip(0, 255).astype(np.uint8)
+        blob = codec.encode_video(frames)
+        r = rng.random()
+        if r < 0.01:
+            blob = blob[: max(4, len(blob) // 4)]
+        elif r < 0.02:
+            blob = b"YYYY" + blob[4:]
+        blobs.append(blob)
+    return pa.table({"video_id": pa.array(ids, pa.int64()),
+                     "bytes": pa.array(blobs, pa.binary())})
+
+
+def _ensure_media(kind: str, n: int, gen, sf: float) -> str:
+    """Shared cached-parquet writer for the audio/video tables (sharded via
+    Ray tasks like ensure_images; files stay ~10-20 MB)."""
+    out = os.path.join(CACHE_ROOT, f"{kind}_sf{sf:g}_n{n}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import ray
+
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    @ray.remote
+    def _one(lo: int, hi: int, path: str) -> int:
+        tbl = gen(np.arange(lo, hi))
+        pq.write_table(tbl, path, compression="zstd", row_group_size=1024)
+        return tbl.num_rows
+
+    n_tasks = max(1, min(16, n // 200))
+    bounds = np.linspace(0, n, n_tasks + 1).astype(int)
+    ray.get([_one.remote(int(bounds[i]), int(bounds[i + 1]),
+                         os.path.join(tmp, f"part-{i:05d}.parquet"))
+             for i in range(n_tasks) if bounds[i + 1] > bounds[i]])
+    os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def ensure_audio(sf: float) -> str:
+    """Generate (once, cached) the audio table at scale sf; returns the dir."""
+    return _ensure_media("audio", n_audio_for_sf(sf), _gen_audio_rows, sf)
+
+
+def ensure_video(sf: float) -> str:
+    """Generate (once, cached) the video table at scale sf; returns the dir."""
+    return _ensure_media("video", n_video_for_sf(sf), _gen_video_rows, sf)

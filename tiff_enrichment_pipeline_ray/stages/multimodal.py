@@ -2,10 +2,12 @@
 
 Images/audio/video travel as opaque `binary` columns with typed metadata
 (BASELINE.json input_hint). The Ray-side plumbing — schemas, actor-pool
-signatures, batch sizing, output layout — is real and tested; codec hooks for
-formats whose libraries aren't in this container (JPEG/PNG-file/WAV/MP4) are
-STUBBED behind import-tries and raise ``NotImplementedError`` with the
-documented contract (SURVEY/charter: stub the decode, keep the plumbing real).
+signatures, batch sizing, output layout — is real and tested. Decode uses the
+repo's deterministic native containers (GI01 image / GA01 audio / GV01 video,
+functions/codec.py — the documented stand-ins for TIFF/WAV/MP4, whose
+libraries aren't in this sandbox); hooks for foreign formats are import-gated
+on Pillow/soundfile and raise ``NotImplementedError`` with the documented
+contract (charter: fake the codec deterministically, keep the plumbing real).
 
 All stages are callable CLASSES → actor pools: state (codec tables, resize
 kernels, model weights) is built once per actor in ``__init__``
@@ -138,34 +140,119 @@ class ImageFeatures:
         })
 
 
-class AudioDecode:  # pragma: no cover — stub, schema contract only
-    """STUB: audio `bytes` (wav/flac) → pcm float32 + sample_rate.
-
-    Contract: __call__(df[audio_id, bytes]) → df[audio_id, sample_rate:int32,
-    n_samples:int64, rms:float32]. Requires soundfile/librosa — not in this
-    container."""
-
-    def __init__(self):
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa (unavailable here); "
-            "the stage contract is documented in the class docstring")
+try:  # pragma: no cover — not installable in this sandbox
+    import soundfile as _soundfile  # noqa: F401
+    _HAS_SOUNDFILE = True
+except Exception:
+    _HAS_SOUNDFILE = False
 
 
-class VideoFrameSample:  # pragma: no cover — stub, schema contract only
-    """STUB: video `bytes` → every-Nth-frame sample as image rows.
+class AudioDecode:
+    """Audio `bytes` → per-clip decoded stats (actor-pool stage).
 
-    Contract: __call__(df[video_id, bytes]) → df[video_id, frame_idx:int32,
-    frame_bytes:binary, w:int32, h:int32] (flat_map-shaped: one row per
-    sampled frame). Requires pyav/opencv — not in this container."""
+    The native GA01 container (codec.encode_audio — the deterministic WAV
+    stand-in, since soundfile/librosa aren't in this sandbox) decodes for
+    real; a foreign container with soundfile present would take the gated
+    branch below. Corrupt/unknown blobs → decode_ok=False row, never raises
+    (same per-row isolation contract as the image reader).
+
+    __call__(df[audio_id, bytes]) → df[audio_id, decode_ok, sample_rate:int32,
+    n_samples:int64, duration_s:float64, rms:float64]."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ok = np.zeros(n, dtype=bool)
+        sr = np.zeros(n, dtype=np.int32)
+        ns = np.zeros(n, dtype=np.int64)
+        rms = np.full(n, np.nan)
+        for i, blob in enumerate(df["bytes"]):
+            pcm, rate, good = codec.decode_audio(blob)
+            if not good and _HAS_SOUNDFILE:  # pragma: no cover
+                raise NotImplementedError(
+                    "foreign audio container: decode via soundfile.read "
+                    "(bytes→float pcm + rate) — gated on soundfile availability")
+            ok[i] = good
+            if good:
+                sr[i] = rate
+                ns[i] = pcm.size
+                x = pcm.astype(np.float64) / 32768.0
+                rms[i] = float(np.sqrt((x * x).mean())) if pcm.size else 0.0
+        dur = np.where(sr > 0, ns / np.maximum(sr, 1), 0.0)
+        return pd.DataFrame({
+            "audio_id": df["audio_id"].to_numpy(),
+            "decode_ok": ok,
+            "sample_rate": sr,
+            "n_samples": ns,
+            "duration_s": dur,
+            "rms": rms,
+        })
+
+
+class VideoFrameSample:
+    """Video `bytes` → every-Nth-frame sample as image rows (flat-map shape:
+    one output row per sampled frame; a clip yields ceil(n_frames/every_n)
+    rows, a corrupt clip yields one decode_ok=False row so poison inputs stay
+    visible downstream).
+
+    Frames are re-encoded into the GI01 image container, so the output
+    `frame_bytes` column feeds ImageDecode/ImageResize/ImageFeatures
+    unchanged — the video path composes with the image stages.
+
+    __call__(df[video_id, bytes]) → df[video_id, frame_idx:int32,
+    frame_bytes:binary, w:int32, h:int32, decode_ok:bool]."""
 
     def __init__(self, every_n: int = 30):
-        raise NotImplementedError(
-            "video frame sampling requires pyav/opencv (unavailable here); "
-            "the stage contract is documented in the class docstring")
+        self.every_n = max(1, int(every_n))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        vid, idx, fb, ws, hs, ok = [], [], [], [], [], []
+        for v, blob in zip(df["video_id"], df["bytes"]):
+            frames, good = codec.decode_video(blob)
+            if not good:
+                vid.append(v); idx.append(-1); fb.append(b"")
+                ws.append(0); hs.append(0); ok.append(False)
+                continue
+            nf, h, w = frames.shape
+            for i in range(0, nf, self.every_n):
+                vid.append(v)
+                idx.append(i)
+                fb.append(codec.encode_image(
+                    frames[i].astype(np.uint16), "png",
+                    {"Frame Index": i}, level=1))
+                ws.append(w); hs.append(h); ok.append(True)
+        return pd.DataFrame({
+            "video_id": np.asarray(vid, dtype=np.int64),
+            "frame_idx": np.asarray(idx, dtype=np.int32),
+            "frame_bytes": fb,
+            "w": np.asarray(ws, dtype=np.int32),
+            "h": np.asarray(hs, dtype=np.int32),
+            "decode_ok": np.asarray(ok, dtype=bool),
+        })
+
+
+def audio_stats_dataset(audio_ds, concurrency: int = 4, batch_size: int = 256):
+    """audio Dataset → per-clip stats via actor pool (autoscaling (1, N):
+    a FIXED pool of N 1-CPU actors on an N-CPU cluster starves the upstream
+    read tasks and deadlocks the streaming executor — observed at the 4-CPU
+    test fixture)."""
+    return audio_ds.map_batches(
+        AudioDecode, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1)
+
+
+def video_frames_dataset(video_ds, every_n: int = 30, concurrency: int = 4,
+                         batch_size: int = 16):
+    """video Dataset → sampled frame rows via actor pool. batch_size is small:
+    decoded clips are the widest rows in the system (n_frames × h × w bytes
+    per input row live in the worker heap during __call__)."""
+    return video_ds.map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, concurrency), num_cpus=1)
 
 
 def image_features_dataset(images_ds, concurrency: int = 4, batch_size: int = 256):
     """images Dataset → (image_id, feature[64], decode_ok) via actor pool."""
     return images_ds.map_batches(
         ImageFeatures, batch_format="pandas", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+        concurrency=(1, concurrency), num_cpus=1)
