@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
         # embeddings: similarity search (brute baseline + IVF scale path)
         "ann_topk_cosine": Q.ann_topk_cosine,
+        "ann_knn_join": Q.ann_knn_join,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "embedding_label_stats": Q.embedding_label_stats,
         "embedding_near_dup": Q.embedding_near_dup,

@@ -361,6 +361,24 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT 10
 """
 
+ORACLES["ann_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 32
+),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+           AS cosine_sim
+  FROM embeddings e, q WHERE e.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM s)
+WHERE rank <= 5
+"""
+
 ORACLES["embedding_label_stats"] = """
 SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
 """

@@ -799,6 +799,58 @@ def ann_topk_cosine(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def ann_knn_join(sf_dir: str, n_queries: int = 32, k: int = 5):
+    """Distributed k-NN JOIN: top-k cosine neighbors for EACH of the
+    n_queries lowest-vec_id query vectors (the retrieval-augmentation /
+    cluster-assignment primitive, vs ann_topk_cosine's single query).
+
+    The query matrix is broadcast once (ray.put, read per task — never
+    re-shipped per batch); each batch does ONE (batch × nq) matmul and emits
+    its per-query partial top-k under the final total order (rounded sim
+    desc, neighbor_id asc), so the combine shuffle moves ≤ n_blocks·nq·k
+    rows regardless of corpus size; a per-query map_groups merge yields the
+    global top-k with ranks. Scales as a single corpus scan + tiny shuffle."""
+    import ray
+
+    emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+    qids = qdf.vec_id.to_numpy().astype(np.int64)
+    Q = np.stack(qdf.embedding.to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((Q * Q).sum(1))
+    qnorm = np.where(qnorm == 0, 1.0, qnorm)
+    q_ref = ray.put((qids, Q, qnorm))
+
+    def score(df: pd.DataFrame, q_ref=q_ref) -> pd.DataFrame:
+        qids, Q, qnorm = (ray.get(q_ref)
+                          if isinstance(q_ref, ray.ObjectRef) else q_ref)
+        M = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms = np.where(norms == 0, 1.0, norms)
+        # same formulation as ann_topk_cosine (dot / (|e|·|q|)) so rounding
+        # at 1e-6 agrees bit-for-bit with DuckDB list_cosine_similarity
+        S = np.round((M @ Q.T) / (norms[:, None] * qnorm[None, :]), 6)
+        vid = df.vec_id.to_numpy().astype(np.int64)
+        outs = []
+        for j in range(len(qids)):
+            mask = vid != qids[j]
+            o = pd.DataFrame({"query_id": qids[j],
+                              "neighbor_id": vid[mask],
+                              "cosine_sim": S[mask, j]})
+            outs.append(o.sort_values(["cosine_sim", "neighbor_id"],
+                                      ascending=[False, True]).head(k))
+        return pd.concat(outs, ignore_index=True)
+
+    parts = emb.map_batches(score, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine_sim", "neighbor_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return parts.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def embedding_label_stats(sf_dir: str):
     emb = read_testdata(sf_dir, "embeddings", columns=["label"])
     return _preagg(emb, ["label"], [("n_vecs", None, "count")])
