@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max": Q.events_rolling_max,
         "events_topk_per_type": Q.events_topk_per_type,
         "events_hll_users": Q.events_hll_users,
+        "events_distinct_users": Q.events_distinct_users,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,

@@ -57,7 +57,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # PII scrub (regex plumbing; semantics pinned in test_text.py)
            "doc_repetition_stats", "doc_vocab_topk", "doc_pii_scrub",
            # round 2d: distributed k-NN join (per-query partial top-k)
-           "ann_knn_join"]
+           "ann_knn_join",
+           # round 2d: exact distinct-per-group (HLL's exact companion)
+           "events_distinct_users"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

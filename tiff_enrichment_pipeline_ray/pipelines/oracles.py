@@ -361,6 +361,11 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT 10
 """
 
+ORACLES["events_distinct_users"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
 ORACLES["ann_knn_join"] = """
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings

@@ -622,6 +622,40 @@ def events_topk_per_type(sf_dir: str, k: int = 3):
             .groupby("event_type").map_groups(final, batch_format="pandas"))
 
 
+def events_distinct_users(sf_dir: str):
+    """EXACT distinct users per event_type (the companion to the HLL
+    estimate): two-stage — per-block (event_type, user_id) dedup partials
+    shrink the shuffle to unique pairs, then a hash-partition dedup+count.
+    The shuffle moves ≤ unique-pairs rows (bounded by users × types), never
+    the raw event stream."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = ev.map_batches(dedup_block, batch_format="pandas",
+                           batch_size=None)
+    # hash-partition on user_id so each partition dedups globally, then sum
+    # per-type partial counts (tiny second shuffle: n_types × n_partitions)
+    import ray
+
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = (df.user_id.to_numpy() % npart).astype("int32")
+        return df
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop(columns=["_pk"]).drop_duplicates(["event_type", "user_id"])
+        g = u.groupby("event_type", sort=False).size()
+        return pd.DataFrame({"event_type": g.index, "n_part": g.to_numpy()})
+
+    parts = (pairs.map_batches(pk, batch_format="pandas")
+             .groupby("_pk").map_groups(count_part, batch_format="pandas"))
+    return _preagg(parts, ["event_type"], [("n_users", "n_part", "sum")])
+
+
 def events_hll_users(sf_dir: str, p: int = 12):
     """Approximate distinct users per event_type via HyperLogLog: per-block
     partial registers (one 4 KB blob per group × block through the shuffle —
@@ -813,7 +847,14 @@ def ann_knn_join(sf_dir: str, n_queries: int = 32, k: int = 5):
     import ray
 
     emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.sort("vec_id").limit(n_queries).to_pandas()
+
+    # query set = n_queries smallest vec_ids: per-block partial min-k (≤ nq
+    # rows per block reach the driver) instead of a global sort+limit
+    def qpart(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n_queries, "vec_id")
+
+    qdf = (emb.map_batches(qpart, batch_format="pandas", batch_size=None)
+           .to_pandas().nsmallest(n_queries, "vec_id"))
     qids = qdf.vec_id.to_numpy().astype(np.int64)
     Q = np.stack(qdf.embedding.to_numpy()).astype(np.float64)
     qnorm = np.sqrt((Q * Q).sum(1))
