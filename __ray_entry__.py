@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": Q.events_topk_per_type,
         "events_hll_users": Q.events_hll_users,
         "events_distinct_users": Q.events_distinct_users,
+        "events_latest_per_user": Q.events_latest_per_user,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,

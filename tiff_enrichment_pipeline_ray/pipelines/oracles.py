@@ -361,6 +361,14 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT 10
 """
 
+ORACLES["events_latest_per_user"] = """
+SELECT event_id, user_id, ts, event_type, value FROM (
+  SELECT event_id, user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
 ORACLES["events_distinct_users"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type

@@ -622,6 +622,39 @@ def events_topk_per_type(sf_dir: str, k: int = 3):
             .groupby("event_type").map_groups(final, batch_format="pandas"))
 
 
+def events_latest_per_user(sf_dir: str):
+    """Snapshot compaction: keep each user's LATEST event (max (ts,
+    event_id)) — the 'latest version wins' dedup of CDC/crawl pipelines.
+    Two-stage argmax: per-block latest-per-user partials shrink the shuffle
+    to ≤ users × blocks rows, then a user-hash-partition pass picks the
+    global latest — full rows ride the shuffle only after per-block
+    compaction."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type", "value"])
+
+    def latest_block(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["ts", "event_id"], kind="stable")
+                  .drop_duplicates("user_id", keep="last"))
+
+    part = ev.map_batches(latest_block, batch_format="pandas",
+                          batch_size=None)
+    import ray
+
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = (df.user_id.to_numpy() % npart).astype("int32")
+        return df
+
+    def latest_final(df: pd.DataFrame) -> pd.DataFrame:
+        return latest_block(df.drop(columns=["_pk"]))
+
+    return (part.map_batches(pk, batch_format="pandas")
+            .groupby("_pk").map_groups(latest_final, batch_format="pandas"))
+
+
 def events_distinct_users(sf_dir: str):
     """EXACT distinct users per event_type (the companion to the HLL
     estimate): two-stage — per-block (event_type, user_id) dedup partials
