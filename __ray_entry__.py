@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_vocab_topk": Q.doc_vocab_topk,
         "doc_pii_scrub": Q.doc_pii_scrub,
+        "doc_bm25_scores": Q.doc_bm25_scores,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,

@@ -61,7 +61,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2d: exact distinct-per-group (HLL's exact companion)
            "events_distinct_users",
            # round 2d: snapshot compaction (latest row per key)
-           "events_latest_per_user"]
+           "events_latest_per_user",
+           # round 2d: BM25 relevance (two-pass broadcast; rational IDF)
+           "doc_bm25_scores"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

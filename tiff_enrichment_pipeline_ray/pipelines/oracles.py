@@ -278,6 +278,38 @@ SELECT doc_id,
 FROM documents
 """
 
+# operation order matches queries.doc_bm25_scores exactly (rational IDF, no
+# ln; fixed 3-term sum) so the compare is bit-exact — see that docstring
+ORACLES["doc_bm25_scores"] = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) AS n_words,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+             x -> x = 'spark'))  AS tf0,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+             x -> x = 'query'))  AS tf1,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+             x -> x = 'window')) AS tf2
+  FROM documents),
+c AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_words) AS DOUBLE) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM d)
+SELECT doc_id,
+       round(
+         ((c.n - c.df0 + 0.5) / (c.df0 + 0.5)) * tf0
+           / (tf0 + 1.2 * (0.25 + 0.75 * (n_words / c.avgdl)))
+       + ((c.n - c.df1 + 0.5) / (c.df1 + 0.5)) * tf1
+           / (tf1 + 1.2 * (0.25 + 0.75 * (n_words / c.avgdl)))
+       + ((c.n - c.df2 + 0.5) / (c.df2 + 0.5)) * tf2
+           / (tf2 + 1.2 * (0.25 + 0.75 * (n_words / c.avgdl)))
+       , 6) AS bm25
+FROM d, c
+"""
+
 ORACLES["doc_repetition_stats"] = """
 WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
            FROM documents),

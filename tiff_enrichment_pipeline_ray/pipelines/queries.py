@@ -1684,6 +1684,69 @@ def doc_fingerprints(sf_dir: str):
     return docs.map_batches(f, batch_format="pandas")
 
 
+def doc_bm25_scores(sf_dir: str, terms: tuple = ("spark", "query", "window")):
+    """BM25-style relevance scoring for a fixed query-term set (k1=1.2,
+    b=0.75) — the IR primitive for retrieval-based data curation.
+
+    Two-pass broadcast pattern: pass 1 computes the corpus stats
+    distributed (per-block one-row partials: N, Σlen, df per term — only
+    n_blocks tiny rows reach the driver); the stats are baked into the
+    pass-2 closure (broadcast once), which scores every doc vectorized.
+
+    The IDF is the RATIONAL variant (N - df + 0.5)/(df + 0.5) without the
+    usual ln(·): ln implementations differ in the last bit across libms,
+    while +,-,*,/ are IEEE-exact in both numpy and DuckDB — so the SQL
+    oracle (identical operation order) is bit-exact. tf counts exact
+    whitespace-token equality."""
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = list(terms)
+
+    def _tf_matrix(texts: pd.Series) -> tuple:
+        """(n_docs, n_terms) exact token tf + per-doc n_words, vectorized
+        via one factorize over the batch's tokens."""
+        toks = texts.fillna("").str.split(" ")
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        flat = np.asarray([w for t in toks for w in t], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        tf = np.zeros((len(toks), len(terms)), dtype=np.int64)
+        uniq_list = list(uniq)
+        for j, term in enumerate(terms):
+            try:
+                c = uniq_list.index(term)
+            except ValueError:
+                continue
+            np.add.at(tf[:, j], rows[codes == c], 1)
+        return tf, lens
+
+    def stats_block(df: pd.DataFrame) -> pd.DataFrame:
+        tf, lens = _tf_matrix(df.text)
+        row = {"n_docs": np.int64(len(df)), "len_sum": lens.sum()}
+        for j, t in enumerate(terms):
+            row[f"df_{j}"] = np.int64((tf[:, j] > 0).sum())
+        return pd.DataFrame([row])
+
+    parts = docs.map_batches(stats_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    N = int(parts.n_docs.sum())
+    avgdl = float(parts.len_sum.sum()) / N  # exact int-sum, one division
+    idf = [ (N - float(parts[f"df_{j}"].sum()) + 0.5)
+            / (float(parts[f"df_{j}"].sum()) + 0.5) for j in range(len(terms)) ]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf, lens = _tf_matrix(df.text)
+        norm = 1.2 * (0.25 + 0.75 * (lens.astype(np.float64) / avgdl))
+        s = np.zeros(len(df), dtype=np.float64)
+        for j in range(len(terms)):  # fixed order: term 0 + term 1 + ...
+            tfj = tf[:, j].astype(np.float64)
+            s = s + idf[j] * tfj / (tfj + norm)
+        return pd.DataFrame({"doc_id": df.doc_id.to_numpy(),
+                             "bm25": np.round(s, 6)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def doc_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1-style
     rules re-expressed over the documents table): per-doc most-frequent-word
