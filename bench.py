@@ -70,11 +70,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
         .map_batches(_warm, batch_size=1).count()
 
+    # stale outputs from earlier rounds/campaigns both eat disk (observed:
+    # 32 GB → 74% full → every run ~1.6× slower) and are never reused
+    shutil.rmtree("/tmp/graft_bench", ignore_errors=True)
     out = f"/tmp/graft_bench/flag_sf{sf:g}_cpus{num_cpus}"
-    shutil.rmtree(out, ignore_errors=True)
-    t0 = time.time()
-    summary = flagship.run_flagship(img_dir, out, resume=False)
-    flagship_sec = time.time() - t0
+    # best-of-2 (skippable): this VM shows ±15-30% run-to-run noise
+    # (BASELINE.md "Scaling measurements"); min is the standard wall-clock
+    # estimator. --scaling subprocesses set GRAFT_BENCH_REPS=1 — they
+    # already interleave their own repetitions. The inter-rep hygiene is
+    # required: without gc.collect (releases the prior rep's object-store
+    # refs — lazy eviction otherwise overlaps the next run) + sync (flushes
+    # ~5 GB of dirty output writeback) + settle, rep 2 measures 1.6-2.4×
+    # slower than rep 1 on identical code.
+    import gc
+    import subprocess
+
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    flag_runs = []
+    for _ in range(max(1, reps)):
+        shutil.rmtree(out, ignore_errors=True)
+        gc.collect()
+        subprocess.run(["sync"], check=False)
+        time.sleep(5)
+        t0 = time.time()
+        summary = flagship.run_flagship(img_dir, out, resume=False)
+        flag_runs.append(time.time() - t0)
+    flagship_sec = min(flag_runs)
 
     qtimes = {}
     qlist = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
@@ -103,6 +124,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rows": summary["rows_written"],
         "captures": summary["captures_written"],
         "rows_per_sec": round(summary["rows_written"] / flagship_sec, 1),
+        "flagship_runs_sec": [round(t, 3) for t in flag_runs],
     }
 
 
@@ -123,7 +145,8 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
 
     def one(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_SKIP_QUERIES="1")  # scaling measures the flagship only
+                   GRAFT_SKIP_QUERIES="1",  # scaling measures the flagship only
+                   GRAFT_BENCH_REPS="1")    # the lo/hi interleave is the rep
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
