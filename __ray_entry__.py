@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
+        "doc_dup_clusters": Q.doc_dup_clusters,
         # embeddings: similarity search (brute baseline + IVF scale path)
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_knn_join": Q.ann_knn_join,

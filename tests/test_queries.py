@@ -63,7 +63,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2d: snapshot compaction (latest row per key)
            "events_latest_per_user",
            # round 2d: BM25 relevance (two-pass broadcast; rational IDF)
-           "doc_bm25_scores"]
+           "doc_bm25_scores",
+           # round 2e: connected-components near-dup cluster resolution
+           # (distributed hash-min label propagation vs recursive-CTE SQL)
+           "doc_dup_clusters"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
@@ -88,6 +91,36 @@ def test_rows_only_runs(gate, name):
     entrymod, _, sf_dir = gate
     df = to_pandas(entrymod.queries()[name](sf_dir))
     assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_dup_clusters_match_union_find(gate):
+    """doc_dup_clusters == brute-force union-find over the verified pair set
+    (independent of the SQL oracle's transitive-closure formulation)."""
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    q = entrymod.queries()
+    pairs = to_pandas(q["doc_ngram_jaccard_pairs"](sf_dir))
+    clusters = to_pandas(q["doc_dup_clusters"](sf_dir))
+
+    parent = {int(d): int(d) for d in clusters.doc_id}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min-id roots (find compresses to the min because
+    # unions always attach the larger root under the smaller)
+    expect = {d: find(d) for d in parent}
+    got = dict(zip(clusters.doc_id.astype(int), clusters.cluster_id.astype(int)))
+    assert got == expect
+    assert bool((clusters.is_rep == (clusters.doc_id == clusters.cluster_id)).all())
 
 
 def test_oracle_keys_subset_of_queries(gate):

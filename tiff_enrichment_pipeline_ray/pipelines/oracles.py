@@ -198,6 +198,51 @@ WHERE round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.6
 ORDER BY doc_a, doc_b
 """
 
+# Connected components over the SAME near-dup pair graph (transitive
+# closure via recursive CTE; fine at oracle scale — clusters are tiny).
+# cluster_id = min doc_id reachable; every document is a node (singletons
+# map to themselves). Mirrors doc_dup_clusters' hash-min fixpoint exactly.
+ORACLES["doc_dup_clusters"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tri AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS tg
+  FROM w WHERE len(ws) < 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id,
+       min(lbl) = node AS is_rep
+FROM reach GROUP BY node
+"""
+
 ORACLES["events_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 m AS (SELECT user_id, us,

@@ -1569,6 +1569,65 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
+def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
+    """Near-duplicate CLUSTER resolution: distributed connected components
+    over the exact trigram-Jaccard near-dup graph — the step that turns
+    pairwise near-dup evidence (doc_ngram_jaccard_pairs) into the keep/drop
+    partition a dedup pipeline actually applies (reference analogue: the
+    duplicate-capture grouping of processor.py, generalized to documents).
+
+    Standard distributed hash-min label propagation (the GraphX/Pregel CC
+    loop): every doc starts labeled with its own id; each round hash-joins
+    the label table to the undirected edge list (Dataset.join) and takes a
+    per-node min over {own label} ∪ {neighbor labels}. Converges in
+    O(max cluster diameter) rounds — near-dup clusters at threshold 0.6 are
+    near-cliques, so 2-3 rounds in practice. Per-round data motion is one
+    bounded (edges + labels) hash-partition shuffle; the driver sees only an
+    O(1) convergence aggregate (sum of labels, strictly decreasing until
+    fixpoint). Output: (doc_id, cluster_id = min doc_id in the component,
+    is_rep = doc is the cluster representative)."""
+    import ray.data as rd
+
+    pairs = doc_ngram_jaccard_pairs(sf_dir, threshold)
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id"])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("doc_id"), "lbl": t.column("doc_id")})
+
+    labels = docs.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    if len(pairs):
+        a = pairs.doc_a.to_numpy(dtype=np.int64)
+        b = pairs.doc_b.to_numpy(dtype=np.int64)
+        edges = rd.from_pandas(pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "node": np.concatenate([b, a]),
+        }))
+        prev = labels.sum("lbl")
+        for _ in range(max_rounds):
+            prop = _dsjoin(edges, labels.rename_columns({"node": "src"}),
+                           on=("src",)).select_columns(["node", "lbl"])
+            labels = (prop.union(labels)
+                      .groupby("node").min("lbl")
+                      .rename_columns({"min(lbl)": "lbl"})
+                      .materialize())
+            cur = labels.sum("lbl")
+            if cur == prev:
+                break
+            prev = cur
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t.column("node"),
+            "cluster_id": t.column("lbl"),
+            "is_rep": pc.equal(t.column("node"), t.column("lbl")),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
 def dedup_simhash_docs(sf_dir: str):
     """64-bit SimHash per doc + hamming-bucket near-dup key (rows-only)."""
     from ..functions import sketch
