@@ -123,6 +123,30 @@ def test_dup_clusters_match_union_find(gate):
     assert bool((clusters.is_rep == (clusters.doc_id == clusters.cluster_id)).all())
 
 
+def test_px_histogram_matches_brute_force(gate):
+    """px_histogram (distributed np.histogram partials + Sum merge) ==
+    single-process histogram over every decoded image at sf0.001."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.functions import codec as C
+    from tiff_enrichment_pipeline_ray.sources import synth
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    got = to_pandas(entrymod.queries()["px_histogram"](sf_dir)) \
+        .sort_values("bin").reset_index(drop=True)
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    expect = np.zeros(256, dtype=np.int64)
+    for blob in pq.read_table(img_dir, columns=["bytes"]).column("bytes").to_pylist():
+        px = C.decode_pixels_only(blob)
+        if px is not None:
+            expect += np.histogram(px, bins=256, range=(0, 65536))[0]
+    assert got.bin.tolist() == list(range(256))
+    assert np.array_equal(got["count"].to_numpy(dtype=np.int64), expect)
+
+
 def test_oracle_keys_subset_of_queries(gate):
     entrymod, _, _ = gate
     q = set(entrymod.queries())
