@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily": Q.events_user_daily,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
+        "events_value_percentiles": Q.events_value_percentiles,
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
         "events_rolling_max": Q.events_rolling_max,
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_enriched": Q.flagship_enriched,
         "flagship_captures": Q.flagship_captures,
         "image_exact_dedup": Q.image_exact_dedup,
+        "caption_exact_dedup": Q.caption_exact_dedup,
         "px_histogram": Q.px_histogram,
         "band_stats_by_class": Q.band_stats_by_class,
         "enriched_daily_stats": Q.enriched_daily_stats,

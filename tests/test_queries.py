@@ -66,7 +66,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "doc_bm25_scores",
            # round 2e: connected-components near-dup cluster resolution
            # (distributed hash-min label propagation vs recursive-CTE SQL)
-           "doc_dup_clusters"]
+           "doc_dup_clusters",
+           # round 2e: exact per-group percentiles + cross-modal caption dedup
+           "events_value_percentiles", "caption_exact_dedup"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

@@ -243,6 +243,18 @@ SELECT node AS doc_id, min(lbl) AS cluster_id,
 FROM reach GROUP BY node
 """
 
+# Exact per-group percentiles: pandas Series.quantile and DuckDB
+# quantile_cont share the linear-interpolation definition; round(·,6) on
+# both sides absorbs last-ulp interpolation differences (same approach as
+# the band_stats_by_class p*_med columns).
+ORACLES["events_value_percentiles"] = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(round(value, 6), 0.25), 6) AS p25,
+       round(quantile_cont(round(value, 6), 0.50), 6) AS p50,
+       round(quantile_cont(round(value, 6), 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
 ORACLES["events_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 m AS (SELECT user_id, us,
@@ -618,6 +630,10 @@ FROM read_parquet('{out_dir}/ops/*.parquet')
     o["flagship_captures"] = (
         f"SELECT {cap_cols} "
         f"FROM read_parquet('{out_dir}/captures/*/*.parquet')\n")
+    o["caption_exact_dedup"] = f"""
+SELECT caption, min(image_id) AS keep_image_id, count(*) AS dup_count
+FROM {enr} GROUP BY caption
+"""
     o["image_exact_dedup"] = f"""
 SELECT phash, min(image_id) AS keep_image_id, count(*) AS dup_count
 FROM {enr} GROUP BY phash

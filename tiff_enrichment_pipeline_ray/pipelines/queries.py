@@ -499,6 +499,30 @@ def events_top_values(sf_dir: str):
     return ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
 
 
+def events_value_percentiles(sf_dir: str):
+    """Exact distributed per-group percentiles (the A4 percentile family at
+    corpus level, over the events stream): p25/p50/p75 of value per
+    event_type via groupby().map_groups — a group is one type's value
+    column, quantiled with the same linear interpolation DuckDB's
+    quantile_cont uses, so the SQL oracle is value-exact after round(·, 6).
+    At extreme group cardinality swap the in-group exact quantile for
+    t-digest partials (the same approximation boundary documented for
+    band_stats_by_class)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "value"])
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        q = g.value.round(6).quantile([0.25, 0.5, 0.75])
+        return pd.DataFrame({
+            "event_type": [g.event_type.iloc[0]],
+            "n": [np.int64(len(g))],
+            "p25": [round(float(q.iloc[0]), 6)],
+            "p50": [round(float(q.iloc[1]), 6)],
+            "p75": [round(float(q.iloc[2]), 6)],
+        })
+
+    return ev.groupby("event_type").map_groups(grp, batch_format="pandas")
+
+
 def events_type_minmax(sf_dir: str):
     ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
 
@@ -1374,6 +1398,21 @@ def image_exact_dedup(sf_dir: str):
         ("dup_count", None, "count"),
     ])
     return agg
+
+
+def caption_exact_dedup(sf_dir: str):
+    """Cross-modal exact dedup: the CAPTION (text) side of the image+caption
+    pair grouped distributed by exact string — the doc_exact_dedup /
+    image_exact_dedup pattern applied to the flagship table's text modality.
+    Hash-partition groupby on the caption key, keep = min image_id."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(["caption", "image_id"])
+    return _preagg(ds, ["caption"], [
+        ("keep_image_id", "image_id", "min"),
+        ("dup_count", None, "count"),
+    ])
 
 
 # ------------------------------------------- near-dup suite (rows-only)
