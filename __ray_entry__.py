@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_knn_join": Q.ann_knn_join,
         "ann_ivf_topk": Q.ann_ivf_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
         "embedding_label_stats": Q.embedding_label_stats,
         "embedding_near_dup": Q.embedding_near_dup,
         # multimodal plumbing (actor-pool decode / feature extraction)

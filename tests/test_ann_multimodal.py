@@ -203,6 +203,89 @@ class TestDistributedIVF:
             rtol=0, atol=1e-9)
 
 
+class TestDistributedLSH:
+    """LSH-bucketed ANN (the second scale path beside IVF). The fixture's
+    near-orthogonal embeddings are the textbook WORST case for angular LSH
+    (per-bit collision prob → 0.5); real embedding corpora (clustered) fare
+    far better. Bounds below are the measured fixture values."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.SF, "embeddings.parquet"))
+        ids = t.column("vec_id").to_numpy()
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        n = np.sqrt((X * X).sum(1))
+        Xn = X / np.where(n == 0, 1, n)[:, None]
+        return ids, Xn
+
+    def test_build_and_search_recall(self, tmp_path):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            build_lsh_index, search_lsh)
+
+        idx = build_lsh_index(self.SF, nbits=8, out_dir=str(tmp_path / "lsh"))
+        ids, Xn = self._brute()
+        qpos = int(np.argmin(ids))
+        q = Xn[qpos]
+        sims = Xn @ q
+        sims[qpos] = -9.0
+        order = np.lexsort((ids, -np.round(sims, 6)))[:10]
+        want = set(ids[order].tolist())
+        for max_hamming, bound in ((3, 0.5), (4, 0.7)):
+            got = search_lsh(idx, q, topk=10, max_hamming=max_hamming,
+                             exclude_vec_id=int(ids[qpos]))
+            recall = len(set(got.vec_id.tolist()) & want) / 10.0
+            assert recall >= bound, (max_hamming, recall)
+        # returned sims are the exact cosine of the returned rows
+        idpos = {int(i): p for p, i in enumerate(ids)}
+        for _, row in got.iterrows():
+            assert abs(row.cosine_sim - round(float(sims[idpos[int(row.vec_id)]]), 6)) < 1e-9
+
+    def test_build_never_gathers_dataset(self, tmp_path, monkeypatch):
+        """LSH needs NO training pass: the only driver read is the 1-row
+        dimensionality peek."""
+        import ray.data as rd
+
+        from tiff_enrichment_pipeline_ray.stages import ann
+
+        orig = rd.Dataset.to_pandas
+
+        def checked_to_pandas(self, *a, **kw):
+            df = orig(self, *a, **kw)
+            assert len(df) <= 1, "LSH build gathered more than the dim peek"
+            return df
+
+        def forbidden(self, *a, **kw):
+            raise AssertionError("take_all during LSH build")
+
+        monkeypatch.setattr(rd.Dataset, "to_pandas", checked_to_pandas)
+        monkeypatch.setattr(rd.Dataset, "take_all", forbidden)
+        ann.build_lsh_index(self.SF, nbits=6, out_dir=str(tmp_path / "lsh2"))
+
+    def test_probe_order_and_determinism(self, tmp_path):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            _probe_keys, build_lsh_index, search_lsh)
+
+        margins = np.array([5.0, 0.1, 2.0, 0.4])
+        keys = _probe_keys(0b0000, margins, max_hamming=2)
+        assert keys[0] == 0b0000                      # exact bucket first
+        assert keys[1] == 0b0010                      # cheapest single flip (bit 1)
+        assert keys[2] == 0b1000                      # next cheapest (bit 3)
+        assert keys[3] == 0b1010                      # cheapest pair (0.1+0.4)
+        assert len(keys) == 1 + 4 + 6
+        # same index + query → identical result across calls
+        idx = build_lsh_index(self.SF, nbits=8, out_dir=str(tmp_path / "lsh3"))
+        ids, Xn = self._brute()
+        q = Xn[int(np.argmin(ids))]
+        a = search_lsh(idx, q, topk=10, max_hamming=3)
+        b = search_lsh(idx, q, topk=10, max_hamming=3)
+        assert a.equals(b)
+
+
 class TestThumbnails:
     """K5 thumbnail writer (output/visualizer.py:43-153 analogue)."""
 

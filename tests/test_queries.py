@@ -72,7 +72,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
-             "audio_stats", "video_frame_sample"]
+             "audio_stats", "video_frame_sample", "ann_lsh_topk"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -962,6 +962,15 @@ def ann_ivf_topk(sf_dir: str):
     return _ivf(sf_dir)
 
 
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN — the second scale path (sign-random-projection
+    buckets, multi-probe pruned search; no training pass). Approximate by
+    design → rows-only; recall vs brute force pinned in tests."""
+    from ..stages.ann import ann_lsh_topk as _lsh
+
+    return _lsh(sf_dir)
+
+
 def audio_stats(sf_dir: str):
     """Actor-pool audio decode over the synthetic audio table (multimodal
     plumbing: GA01 container → sample_rate / duration / RMS per clip; poison

@@ -1,4 +1,5 @@
-"""Similarity search over embedding columns: brute-force baseline + IVF.
+"""Similarity search over embedding columns: brute-force baseline + IVF
+and LSH scale paths.
 
 - Brute-force cosine top-k: numpy matmul per batch against a broadcast query
   vector with per-batch partial top-k (the exact baseline; used by the
@@ -187,6 +188,159 @@ def ann_ivf_topk(sf_dir: str, topk: int = 10, nprobe: int = 8, k: int = 16):
     qid, q = _query_vec(sf_dir)
     index_dir = build_ivf_index(sf_dir, k=k)
     return search_ivf(index_dir, q, topk=topk, nprobe=nprobe,
+                      exclude_vec_id=qid)
+
+
+# ------------------------------------------------------- LSH scale path
+
+
+_LSH_CACHE_ROOT = "/tmp/graft_synth/lsh_cache"
+
+
+def lsh_hyperplanes(d: int, nbits: int, seed: int = 42) -> np.ndarray:
+    """(nbits, d) float32 random hyperplanes (sign-random-projection LSH,
+    Charikar '02 SimHash for angular distance). Data-INDEPENDENT — unlike
+    IVF there is no training pass at all."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, d)).astype(np.float32)
+
+
+def lsh_key_batch(X: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """int64 bucket key per row: packed sign bits of X @ H.T (vectorized)."""
+    bits = (np.asarray(X, dtype=np.float32) @ H.T) >= 0.0
+    weights = (np.int64(1) << np.arange(H.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def build_lsh_index(sf_dir: str, nbits: int = 8, seed: int = 42,
+                    out_dir: str | None = None) -> str:
+    """Distributed LSH build over the embeddings table (cached like the IVF
+    index). ONE map_batches pass — hyperplanes are broadcast, every vector
+    gets its sign-bit bucket key, and the table is written as
+    bucket-partitioned parquet:
+
+        <dir>/hyperplanes.parquet           (nbits, d) small
+        <dir>/buckets/bucket=<key>/*.parquet (vec_id, embedding)
+
+    Same partitioning assumption as IVF: bucket key is the layout/locality
+    key; a probe is a pruned partition read."""
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.blake2b(
+        f"lsh|{path}|{os.path.getsize(path)}|{nbits}|{seed}".encode(),
+        digest_size=10).hexdigest()
+    out = out_dir or os.path.join(_LSH_CACHE_ROOT, tag)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    d = len(ds.limit(1).to_pandas().embedding.iloc[0])
+    H = lsh_hyperplanes(d, nbits, seed=seed)
+    h_ref = ray.put(H)
+
+    def assign(df: pd.DataFrame, _h=h_ref) -> pd.DataFrame:
+        hp = ray.get(_h) if isinstance(_h, ray.ObjectRef) else _h
+        df = df.copy()
+        df["bucket"] = lsh_key_batch(np.stack(df.embedding.to_numpy()), hp)
+        return df
+
+    buckets_dir = os.path.join(out, "buckets")
+    os.makedirs(buckets_dir, exist_ok=True)
+    (ds.map_batches(assign, batch_format="pandas")
+       .write_parquet(buckets_dir, partition_cols=["bucket"]))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"bit": np.arange(nbits, dtype=np.int64),
+                             "vec": [h.tolist() for h in H]}),
+                   os.path.join(out, "hyperplanes.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def _probe_keys(key: int, margins: np.ndarray, max_hamming: int) -> list:
+    """Multi-probe order (Lv et al. '07): flip subsets of ≤ max_hamming
+    bits, cheapest total |margin| first — bits the query barely cleared are
+    the likeliest to differ on a true neighbor."""
+    from itertools import combinations
+
+    nbits = len(margins)
+    order = np.argsort(margins, kind="stable")
+    probes = [(0.0, key)]
+    for r in range(1, max_hamming + 1):
+        for combo in combinations(range(nbits), r):
+            flip = 0
+            cost = 0.0
+            for c in combo:
+                flip |= 1 << int(order[c])
+                cost += float(margins[order[c]])
+            probes.append((cost, key ^ flip))
+    probes.sort()
+    return [k for _, k in probes]
+
+
+def search_lsh(index_dir: str, q: np.ndarray, topk: int = 10,
+               max_hamming: int = 3,
+               exclude_vec_id: int | None = None) -> pd.DataFrame:
+    """Probe only buckets within `max_hamming` bit flips of the query's key
+    (pruned partition read — C(nbits, ≤max_hamming)/2^nbits of the table),
+    score distributed with per-batch partial top-k, tiny driver merge."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ht = pq.read_table(os.path.join(index_dir, "hyperplanes.parquet"))
+    H = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in ht.column("vec").to_pylist()])
+    q = np.asarray(q, dtype=np.float64)
+    proj = H.astype(np.float64) @ q
+    key = int(((proj >= 0).astype(np.int64)
+               << np.arange(len(H), dtype=np.int64)).sum())
+    paths = []
+    for k in _probe_keys(key, np.abs(proj), max_hamming):
+        paths.extend(sorted(glob.glob(os.path.join(
+            index_dir, "buckets", f"bucket={k}", "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "cosine_sim": pd.Series(dtype=float)})
+    qn = np.sqrt((q * q).sum()) or 1.0
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(1))
+        sims = np.round((M @ q) / (np.where(norms == 0, 1, norms) * qn), 6)
+        out = pd.DataFrame({"vec_id": df.vec_id.astype(np.int64),
+                            "cosine_sim": sims})
+        if exclude_vec_id is not None:
+            out = out[out.vec_id != exclude_vec_id]
+        return out.sort_values(["cosine_sim", "vec_id"],
+                               ascending=[False, True]).head(topk)
+
+    parts = (rd.read_parquet(paths, columns=["vec_id", "embedding"])
+             .map_batches(score, batch_format="pandas").to_pandas())
+    return (parts.sort_values(["cosine_sim", "vec_id"],
+                              ascending=[False, True])
+            .head(topk).reset_index(drop=True))
+
+
+def ann_lsh_topk(sf_dir: str, topk: int = 10, nbits: int = 8,
+                 max_hamming: int = 3):
+    """Driver query: LSH top-k for the min-vec_id query vector — the
+    second scale path beside IVF (charter: 'an IVF or LSH-bucketed
+    variant'). Build needs no training pass; search reads only probed
+    bucket partitions. Approximate by design → rows-only; recall vs brute
+    force is pinned in tests."""
+    from ..pipelines.queries import _query_vec
+
+    qid, q = _query_vec(sf_dir)
+    index_dir = build_lsh_index(sf_dir, nbits=nbits)
+    return search_lsh(index_dir, q, topk=topk, max_hamming=max_hamming,
                       exclude_vec_id=qid)
 
 
