@@ -44,9 +44,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_balance": Q.supplier_nation_balance,
         "q4_priority_semijoin": Q.q4_priority_semijoin,
         "q14_promo_revenue": Q.q14_promo_revenue,
+        "q18_large_orders": Q.q18_large_orders,
+        "customers_inactive_1997": Q.customers_inactive_1997,
+        "lineitem_corr_stats": Q.lineitem_corr_stats,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
+        "events_rollup": Q.events_rollup,
+        "events_pivot": Q.events_pivot,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,

@@ -68,7 +68,11 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # (distributed hash-min label propagation vs recursive-CTE SQL)
            "doc_dup_clusters",
            # round 2e: exact per-group percentiles + cross-modal caption dedup
-           "events_value_percentiles", "caption_exact_dedup"]
+           "events_value_percentiles", "caption_exact_dedup",
+           # round 2f: HAVING-join, distributed anti-join, multi-moment
+           # correlation aggregate, ROLLUP grouping sets, conditional-agg pivot
+           "q18_large_orders", "customers_inactive_1997",
+           "lineitem_corr_stats", "events_rollup", "events_pivot"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
@@ -154,3 +158,70 @@ def test_oracle_keys_subset_of_queries(gate):
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, o - q
+
+
+class TestJoinSafe:
+    """Empty-hash-partition join regression (functions/joinsafe.py): Ray
+    2.49's stock join aggregation raises ArrowInvalid when a partition
+    receives no shards on one side — i.e. whenever a join side has fewer
+    distinct keys than num_partitions (q18's HAVING survivors, late CC
+    rounds). These pin the shim's semantics for every join type we use."""
+
+    def _mk(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from tiff_enrichment_pipeline_ray.functions.joinsafe import \
+            install_joinsafe
+
+        install_joinsafe()  # idempotent; tests may run without the gate fixture
+        left = rd.from_pandas(pd.DataFrame(
+            {"k": [1, 2, 3], "a": [10.0, 20.0, 30.0]})).repartition(3)
+        right = rd.from_pandas(pd.DataFrame(
+            {"k": [2, 3, 4, 4], "b": ["x", "y", "z", "w"]})).repartition(3)
+        return left, right
+
+    def _join(self, left, right, how, npart=16):
+        # npart >> distinct keys forces empty partitions on BOTH sides;
+        # fractional-CPU aggregators so 16 partitions fit the 4-CPU session
+        return left.join(right, join_type=how, num_partitions=npart,
+                         on=("k",),
+                         aggregator_ray_remote_args={"num_cpus": 0.1},
+                         ).to_pandas()
+
+    def test_inner_sparse_sides(self):
+        df = self._join(*self._mk(), "inner").sort_values(
+            ["k", "b"]).reset_index(drop=True)
+        assert df.k.tolist() == [2, 3]
+        assert df.a.tolist() == [20.0, 30.0]
+        assert df.b.tolist() == ["x", "y"]
+
+    def test_left_anti_sparse_sides(self):
+        df = self._join(*self._mk(), "left_anti")
+        assert df.k.tolist() == [1] and df.a.tolist() == [10.0]
+        assert list(df.columns) == ["k", "a"]  # anti output = left schema
+
+    def test_left_semi_sparse_sides(self):
+        df = self._join(*self._mk(), "left_semi").sort_values("k")
+        assert df.k.tolist() == [2, 3]
+        assert list(df.columns) == ["k", "a"]
+
+    def test_chained_join_through_empty_partitions(self):
+        """A zero-row one-sided-schema block must survive a SECOND shuffle
+        (the q18 shape: sparse aggregate ⋈ fact ⋈ dimension)."""
+        import pandas as pd
+        import ray.data as rd
+
+        left, right = self._mk()
+        # 8+8 partitions (not 16+16): two LIVE joins' aggregators plus the
+        # map tasks must fit the 4-CPU test session concurrently
+        ra = {"num_cpus": 0.1}
+        j1 = left.join(right, join_type="inner", num_partitions=8, on=("k",),
+                       aggregator_ray_remote_args=ra)
+        dim = rd.from_pandas(pd.DataFrame(
+            {"b": ["x", "y"], "name": ["ex", "why"]}))
+        j2 = j1.join(dim, join_type="inner", num_partitions=8, on=("b",),
+                     aggregator_ray_remote_args=ra)
+        df = j2.to_pandas().sort_values("k").reset_index(drop=True)
+        assert df.k.tolist() == [2, 3]
+        assert df.name.tolist() == ["ex", "why"]

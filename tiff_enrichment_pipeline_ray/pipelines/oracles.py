@@ -121,6 +121,61 @@ SELECT user_id,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["q18_large_orders"] = """
+SELECT c_name, o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(sum_qty, 4) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300.0) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+ORACLES["customers_inactive_1997"] = """
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+ORACLES["lineitem_corr_stats"] = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["events_rollup"] = """
+WITH d AS (SELECT event_type,
+                  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  value
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM d GROUP BY ROLLUP (event_type, day)
+"""
+
+ORACLES["events_pivot"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'),
+                      0.0), 4) AS purchase_value
+FROM events GROUP BY 1
+"""
+
 ORACLES["events_top_values"] = """
 SELECT event_id, event_type, round(value, 6) AS value
 FROM events

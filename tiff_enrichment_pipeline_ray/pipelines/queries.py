@@ -28,8 +28,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.joinsafe import install_joinsafe
 from ..sources import synth
 from ..sources.tables import read_testdata
+
+install_joinsafe()  # every Dataset.join below tolerates empty hash partitions
 
 # --------------------------------------------------------------- helpers
 
@@ -94,18 +97,19 @@ def _ts_filter(col, op, iso):
 # ------------------------------------------------------- TPC-H-style
 
 
-def _dsjoin(left, right, on, join_type="inner"):
+def _dsjoin(left, right, on, join_type="inner", right_on=None):
     """Distributed hash-partition join sized to the cluster: partition count
     ~ CPUs (enough parallelism without flooding the scheduler), aggregator
     actors at fractional CPU so chained joins can coexist with the map
     stages on a small cluster (full-CPU aggregators deadlock two chained
-    joins on a 4-CPU test session)."""
+    joins on a 4-CPU test session). join_type passes through to Ray
+    (inner | left_outer | left_semi | left_anti | ...)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return left.join(right, join_type=join_type,
                      num_partitions=max(4, cpus),
-                     on=on,
+                     on=on, right_on=right_on,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
 
@@ -432,6 +436,108 @@ def q14_promo_revenue(sf_dir: str):
     })
 
 
+def q18_large_orders(sf_dir: str, min_qty: float = 300.0):
+    """TPC-H Q18-shaped large-volume orders: HAVING on a fact-sized
+    distributed aggregate FEEDING two hash-partition joins. sum(l_quantity)
+    per order is a two-stage hash aggregate; the HAVING filter runs
+    distributed on the (already small) aggregate, and only qualifying
+    orders flow into orders ⋈ customer — neither fact table is ever
+    gathered to the driver. Final top-100 is a driver sort of the tiny
+    HAVING survivors."""
+    li = read_testdata(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    agg = _preagg(li, ["l_orderkey"], [("sum_qty", "l_quantity", "sum")])
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.sum_qty > min_qty]
+        return df.rename(columns={"l_orderkey": "o_orderkey"})
+
+    big = agg.map_batches(having, batch_format="pandas")
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey", "o_totalprice",
+                                    "o_orderdate"])
+    joined = _dsjoin(big, orders, on=("o_orderkey",))
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    joined = _dsjoin(joined, cust, on=("o_custkey",), right_on=("c_custkey",))
+    df = joined.to_pandas()  # ≤ HAVING survivors: tiny by construction
+    df["o_orderdate"] = df.o_orderdate.dt.strftime("%Y-%m-%d")
+    df["sum_qty"] = df.sum_qty.round(4)
+    df = df.sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[False, True]).head(100)
+    return df[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+def customers_inactive_1997(sf_dir: str):
+    """Distributed ANTI-join (NOT EXISTS): customers with no 1997 order,
+    aggregated per nation. The order side is date-filtered then deduped
+    per block BEFORE the shuffle (the anti probe needs key presence, not
+    multiplicity), and Ray's hash-partition ``left_anti`` join does the
+    rest — the complement of q4's EXISTS semi-join."""
+    cust = read_testdata(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        _ts_filter("o_orderdate", "greater_equal", "1997-01-01"),
+        batch_format="pyarrow").map_batches(
+        _ts_filter("o_orderdate", "less", "1998-01-01"),
+        batch_format="pyarrow")
+
+    def block_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": df.o_custkey.unique()})
+
+    keys = orders.map_batches(block_keys, batch_format="pandas")
+    inactive = _dsjoin(cust, keys, on=("c_custkey",),
+                       right_on=("o_custkey",), join_type="left_anti")
+    agg = _preagg(inactive, ["c_nationkey"], [
+        ("n_customers", None, "count"),
+        ("sum_acctbal", "c_acctbal", "sum"),
+    ])
+    df = agg.to_pandas()
+    df["sum_acctbal"] = df["sum_acctbal"].round(4)
+    return df
+
+
+def lineitem_corr_stats(sf_dir: str):
+    """Per-flag Pearson correlation + sample covariance of (quantity,
+    extendedprice): a MULTI-MOMENT mergeable aggregate done as TWO passes —
+    pass 1 aggregates (n, Σx, Σy) per group; the 3-row means table is
+    broadcast into pass 2, which sums CENTERED products (no big-number
+    cancellation, so the result matches DuckDB's numerically-stable
+    corr()/covar_samp() within rounding). The partials pattern is the same
+    exact-merge family as A4 (rasterio_utils.py:257-296)."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    li = read_testdata(sf_dir, "lineitem", columns=cols)
+    m1 = _preagg(li, ["l_returnflag"], [
+        ("n_rows", None, "count"),
+        ("sx", "l_quantity", "sum"),
+        ("sy", "l_extendedprice", "sum"),
+    ]).to_pandas()
+    means = {r.l_returnflag: (r.sx / r.n_rows, r.sy / r.n_rows)
+             for r in m1.itertuples()}
+
+    def centered(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.l_returnflag.map({k: v[0] for k, v in means.items()})
+        my = df.l_returnflag.map({k: v[1] for k, v in means.items()})
+        dx = df.l_quantity - mx
+        dy = df.l_extendedprice - my
+        return pd.DataFrame({"l_returnflag": df.l_returnflag,
+                             "cxx": dx * dx, "cyy": dy * dy, "cxy": dx * dy})
+
+    m2 = _preagg(li.map_batches(centered, batch_format="pandas"),
+                 ["l_returnflag"], [
+        ("cxx", "cxx", "sum"), ("cyy", "cyy", "sum"), ("cxy", "cxy", "sum"),
+    ]).to_pandas()
+    df = m1.merge(m2, on="l_returnflag")
+    n = df.n_rows.astype(np.float64)
+    return pd.DataFrame({
+        "l_returnflag": df.l_returnflag,
+        "n_rows": df.n_rows.astype(np.int64),
+        "corr_qty_price": (df.cxy / np.sqrt(df.cxx * df.cyy)).round(6),
+        "covar_qty_price": (df.cxy / (n - 1.0)).round(4),
+    })
+
+
 # ------------------------------------------------------------ events
 
 
@@ -469,6 +575,65 @@ def events_user_daily(sf_dir: str):
     ])
     df = agg.to_pandas()
     df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING-SETS / ROLLUP over (event_type, day): ONE distributed pass
+    computes the finest aggregate; the coarser levels (per-type, grand
+    total) are derived from the finest result — the standard rollup
+    optimization, since the finest table is tiny (types × days) and counts
+    re-aggregate exactly. 'ALL' marks the rolled-up dimension."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df.ts.dt.floor("D").dt.strftime("%Y-%m-%d")
+        return df[["event_type", "day", "value"]]
+
+    finest = _preagg(ev.map_batches(tag, batch_format="pandas"),
+                     ["event_type", "day"], [
+        ("n_events", None, "count"),
+        ("sum_value", "value", "sum"),
+    ]).to_pandas()
+    per_type = (finest.groupby("event_type", as_index=False)
+                .agg(n_events=("n_events", "sum"),
+                     sum_value=("sum_value", "sum")))
+    per_type["day"] = "ALL"
+    grand = pd.DataFrame({"event_type": ["ALL"], "day": ["ALL"],
+                          "n_events": [finest.n_events.sum()],
+                          "sum_value": [finest.sum_value.sum()]})
+    out = pd.concat([finest, per_type, grand], ignore_index=True)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(4)
+    return out[["event_type", "day", "n_events", "sum_value"]]
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT (long → wide conditional aggregation): one row per day with a
+    count column per event type plus purchase revenue. The pivot happens
+    INSIDE map_batches as vectorized indicator columns, so the shuffle is
+    the same one-row-per-(day × block) partial-aggregate exchange — no
+    per-type passes, no driver loop."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def indicators(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"day": df.ts.dt.floor("D").dt.strftime("%Y-%m-%d")})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (df.event_type == t).to_numpy(np.int64)
+        out["purchase_value"] = np.where(
+            df.event_type.to_numpy() == "purchase", df.value.to_numpy(), 0.0)
+        return out
+
+    spec = [(f"n_{t}", f"n_{t}", "sum") for t in _EVENT_TYPES]
+    spec.append(("purchase_value", "purchase_value", "sum"))
+    agg = _preagg(ev.map_batches(indicators, batch_format="pandas"),
+                  ["day"], spec)
+    df = agg.to_pandas()
+    df["purchase_value"] = df["purchase_value"].round(4)
     return df
 
 
