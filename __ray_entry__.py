@@ -47,17 +47,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": Q.q18_large_orders,
         "customers_inactive_1997": Q.customers_inactive_1997,
         "lineitem_corr_stats": Q.lineitem_corr_stats,
+        "q4_bloom_semijoin": Q.q4_bloom_semijoin,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
+        "events_sliding_window": Q.events_sliding_window,
+        "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
         "events_rolling_max": Q.events_rolling_max,
+        "events_user_lag": Q.events_user_lag,
+        "events_value_cume_dist": Q.events_value_cume_dist,
         "events_topk_per_type": Q.events_topk_per_type,
         "events_hll_users": Q.events_hll_users,
         "events_distinct_users": Q.events_distinct_users,
@@ -74,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.doc_fingerprints,
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_vocab_topk": Q.doc_vocab_topk,
+        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
         "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_bm25_scores": Q.doc_bm25_scores,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
@@ -100,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_enriched": Q.flagship_enriched,
         "flagship_captures": Q.flagship_captures,
         "image_exact_dedup": Q.image_exact_dedup,
+        "image_phash_near_dup": Q.image_phash_near_dup,
         "caption_exact_dedup": Q.caption_exact_dedup,
         "px_histogram": Q.px_histogram,
         "band_stats_by_class": Q.band_stats_by_class,

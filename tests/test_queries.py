@@ -2,6 +2,7 @@
 DuckDB oracle at sf0.001 (schema + rows + order-insensitive values) — the
 same compare the driver performs at sf0.01."""
 
+import numpy as np
 import sys
 
 import pytest
@@ -72,11 +73,17 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2f: HAVING-join, distributed anti-join, multi-moment
            # correlation aggregate, ROLLUP grouping sets, conditional-agg pivot
            "q18_large_orders", "customers_inactive_1997",
-           "lineitem_corr_stats", "events_rollup", "events_pivot"]
+           "lineitem_corr_stats", "events_rollup", "events_pivot",
+           # round 2f: sliding windows, certified-exact MG heavy hitters,
+           # bloom-pruned semi-join (all exact despite the sketch stages)
+           "events_sliding_window", "doc_vocab_topk_mg", "q4_bloom_semijoin",
+           # round 2f: per-row window functions (LAG gap, CUME_DIST)
+           "events_user_lag", "events_value_cume_dist"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
-             "audio_stats", "video_frame_sample", "ann_lsh_topk"]
+             "audio_stats", "video_frame_sample", "ann_lsh_topk",
+             "events_value_percentiles_tdigest", "image_phash_near_dup"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -225,3 +232,59 @@ class TestJoinSafe:
         df = j2.to_pandas().sort_values("k").reset_index(drop=True)
         assert df.k.tolist() == [2, 3]
         assert df.name.tolist() == ["ex", "why"]
+
+
+def test_tdigest_percentiles_near_exact(gate):
+    """The t-digest query's per-group percentiles must rank-match the exact
+    events_value_percentiles within the sketch's documented error."""
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    q = entrymod.queries()
+    exact = to_pandas(q["events_value_percentiles"](sf_dir)) \
+        .set_index("event_type").sort_index()
+    approx = to_pandas(q["events_value_percentiles_tdigest"](sf_dir)) \
+        .set_index("event_type").sort_index()
+    assert list(exact.index) == list(approx.index)
+    assert (exact.n == approx.n).all()
+    # value-space tolerance: within 2% of the group's IQR per percentile
+    for col in ("p25", "p50", "p75"):
+        iqr = (exact.p75 - exact.p25).to_numpy()
+        err = np.abs(exact[col].to_numpy() - approx[col].to_numpy())
+        assert (err <= 0.02 * iqr + 1e-9).all(), (col, err / iqr)
+
+
+def test_image_phash_near_dup_matches_brute_force(gate):
+    """Banded-bucket pHash pair join == brute-force all-pairs popcount at
+    sf0.001 (banding is lossless for d ≤ 3 by pigeonhole)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines.queries import _flagship_out
+    from tiff_enrichment_pipeline_ray.sources import synth
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    got = to_pandas(entrymod.queries()["image_phash_near_dup"](sf_dir))
+    got_set = {(a, b, int(h))
+               for a, b, h in zip(got.img_a, got.img_b, got.hamming)}
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    files = sorted(glob.glob(f"{out}/enriched/**/*.parquet", recursive=True))
+    t = pq.read_table(files, columns=["image_id", "phash", "decode_ok"])
+    df = t.to_pandas()
+    df = df[df.decode_ok].drop_duplicates("image_id").sort_values("image_id")
+    ids = df.image_id.to_numpy()
+    hs = df.phash.to_numpy(np.int64).astype(np.uint64)
+    expect = set()
+    for i in range(len(ids)):
+        x = (hs[i] ^ hs[i + 1:]).astype(np.uint64)
+        # vectorized popcount via byte view
+        d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                          axis=1).sum(axis=1)
+        for j in np.flatnonzero(d <= 3):
+            a, b = ids[i], ids[i + 1 + j]
+            expect.add((min(a, b), max(a, b), int(d[j])))
+    assert got_set == expect
+    assert len(expect) > 0  # fixture has exact-duplicate images (d = 0)

@@ -232,3 +232,79 @@ class TestHLL:
         for _, r in got.iterrows():
             e = exact[r.event_type]
             assert abs(r.approx_users - e) / e < 0.1, (r.event_type, r.approx_users, e)
+
+
+class TestTDigest:
+    """Mergeable t-digest (functions/tdigest.py) — the extreme-cardinality
+    percentile scale path."""
+
+    def _sample(self, n=200_000):
+        rng = np.random.default_rng(7)
+        return rng.lognormal(mean=0.0, sigma=1.2, size=n)
+
+    def test_rank_accuracy(self):
+        from tiff_enrichment_pipeline_ray.functions import tdigest as td
+
+        x = self._sample()
+        m, w = td.build(x, delta=400.0)
+        xs = np.sort(x)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = float(td.quantile(m, w, q))
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_merge_matches_whole(self):
+        from tiff_enrichment_pipeline_ray.functions import tdigest as td
+
+        x = self._sample(80_000)
+        parts = [td.build(c, delta=400.0) for c in np.array_split(x, 7)]
+        m, w = td.merge(parts, delta=400.0)
+        assert abs(w.sum() - len(x)) < 1e-6  # weight is conserved exactly
+        xs = np.sort(x)
+        for q in (0.25, 0.5, 0.75):
+            est = float(td.quantile(m, w, q))
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert abs(rank - q) < 0.015, (q, rank)
+
+    def test_size_bound_and_determinism(self):
+        from tiff_enrichment_pipeline_ray.functions import tdigest as td
+
+        x = self._sample(50_000)
+        m, w = td.build(x, delta=200.0)
+        assert len(m) <= 220  # ≤ ~delta centroids
+        m2, w2 = td.build(x, delta=200.0)
+        assert np.array_equal(m, m2) and np.array_equal(w, w2)
+        # order-insensitive: shuffled input → identical digest
+        m3, w3 = td.build(x[::-1].copy(), delta=200.0)
+        assert np.allclose(m, m3) and np.allclose(w, w3)
+
+
+class TestBloom:
+    """Packed Bloom filter (functions/bloom.py) used for broadcast
+    semi-join pruning."""
+
+    def test_no_false_negatives(self):
+        from tiff_enrichment_pipeline_ray.functions import bloom as bf
+
+        keys = np.arange(1, 10_001, dtype=np.int64) * 7919
+        bits = bf.add(bf.empty(20), keys)
+        assert bf.might_contain(bits, keys).all()
+
+    def test_false_positive_rate(self):
+        from tiff_enrichment_pipeline_ray.functions import bloom as bf
+
+        keys = np.arange(1, 10_001, dtype=np.int64) * 7919
+        bits = bf.add(bf.empty(20), keys)
+        probe = np.arange(10_000_001, 10_050_001, dtype=np.int64)
+        fp = bf.might_contain(bits, probe).mean()
+        # 10k keys / 2^20 bits, k=4 → theoretical FP ≈ (1-e^-0.038)^4 ≈ 2e-6
+        assert fp < 0.001, fp
+
+    def test_merge_equals_union(self):
+        from tiff_enrichment_pipeline_ray.functions import bloom as bf
+
+        a = np.arange(1, 5_001, dtype=np.int64)
+        b = np.arange(5_001, 10_001, dtype=np.int64)
+        merged = bf.merge(bf.add(bf.empty(18), a), bf.add(bf.empty(18), b))
+        assert np.array_equal(merged, bf.add(bf.empty(18),
+                                             np.concatenate([a, b])))

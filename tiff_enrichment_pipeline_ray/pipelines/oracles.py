@@ -201,6 +201,27 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority
 """
 
+ORACLES["q4_bloom_semijoin"] = ORACLES["q4_priority_semijoin"]
+
+ORACLES["events_sliding_window"] = """
+SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - hops.j)
+                               * 900000000), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS hops(j)
+GROUP BY 1
+"""
+
+ORACLES["doc_vocab_topk_mg"] = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+      FROM documents)
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 100
+"""
+
 ORACLES["q14_promo_revenue"] = """
 WITH f AS (
   SELECT l_extendedprice * (1.0 - l_discount) AS rev, p.p_type AS p_type
@@ -343,6 +364,20 @@ SELECT e.event_id,
 FROM events e
 LEFT JOIN p ON p.user_id = e.user_id AND p.us < epoch_us(e.ts)
 GROUP BY e.event_id
+"""
+
+ORACLES["events_user_lag"] = """
+SELECT event_id, user_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+ORACLES["events_value_cume_dist"] = """
+SELECT event_id, event_type,
+       round(cume_dist() OVER
+             (PARTITION BY event_type ORDER BY round(value, 6)), 6) AS cume
+FROM events
 """
 
 ORACLES["events_rolling_max"] = """

@@ -394,6 +394,72 @@ def q4_priority_semijoin(sf_dir: str):
     return agg
 
 
+def q4_bloom_semijoin(sf_dir: str, p: int = 20):
+    """q4's EXISTS semi-join with BLOOM-FILTER shuffle pruning (the
+    100-TB-scale variant): a Bloom filter over the date-filtered orders keys
+    is built distributed (per-block packed partials → one bitwise-OR
+    map_groups level → tiny driver OR), broadcast once via ray.put, and
+    probed INSIDE the lineitem scan — R-flag rows whose orderkey cannot be a
+    1996H1 order are dropped before the dedup shuffle, so the exchange
+    carries ~matching keys + false positives instead of every returned
+    lineitem. The final hash join is exact, so FPs never leak into the
+    result (same oracle as q4_priority_semijoin)."""
+    import ray
+
+    from ..functions import bloom as bf
+
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderpriority",
+                                    "o_orderdate"])
+    orders = orders.map_batches(
+        _ts_filter("o_orderdate", "greater_equal", "1996-01-01"),
+        batch_format="pyarrow").map_batches(
+        _ts_filter("o_orderdate", "less", "1996-07-01"),
+        batch_format="pyarrow")
+
+    nmerge = 16
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.o_orderkey.to_numpy(np.int64)
+        bits = bf.add(bf.empty(p), keys)
+        pk = int(keys[0]) % nmerge if len(keys) else 0
+        return pd.DataFrame({"_pk": [np.int32(pk)],
+                             "bits": [bits.tobytes()]})
+
+    def bloom_or(g: pd.DataFrame) -> pd.DataFrame:
+        acc = bf.empty(p)
+        for b in g.bits:
+            acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    parts = (orders.select_columns(["o_orderkey"])
+             .map_batches(bloom_partial, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_pk").map_groups(bloom_or, batch_format="pandas")
+             .to_pandas())  # ≤ nmerge one-row partials reach the driver
+    acc = bf.empty(p)
+    for b in parts.bits:
+        acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
+    bloom_ref = ray.put(acc)
+
+    li = read_testdata(sf_dir, "lineitem", columns=["l_orderkey",
+                                                    "l_returnflag"])
+
+    def probe(df: pd.DataFrame, _b=bloom_ref) -> pd.DataFrame:
+        bits = ray.get(_b) if isinstance(_b, ray.ObjectRef) else _b
+        df = df[df.l_returnflag == "R"]
+        keys = df.l_orderkey.to_numpy(np.int64)
+        keep = pd.unique(keys[bf.might_contain(bits, keys)])
+        return pd.DataFrame({"o_orderkey": keep})
+
+    semi = (li.map_batches(probe, batch_format="pandas")
+            .groupby("o_orderkey").count().select_columns(["o_orderkey"]))
+    joined = _dsjoin(orders.select_columns(["o_orderkey", "o_orderpriority"]),
+                     semi, on=("o_orderkey",))
+    return _preagg(joined.select_columns(["o_orderpriority"]),
+                   ["o_orderpriority"], [("n_orders", None, "count")])
+
+
 def q14_promo_revenue(sf_dir: str):
     """TPC-H Q14-shaped promo revenue share for 1996-01: lineitem ⋈ part is
     a BROADCAST join (part is the small dimension; partkeys are dense ints →
@@ -637,6 +703,37 @@ def events_pivot(sf_dir: str):
     return df
 
 
+def events_sliding_window(sf_dir: str, win_min: int = 60, hop_min: int = 15):
+    """SLIDING (hopping) window aggregate: 60-minute windows advancing every
+    15 minutes. Each event is replicated into its win/hop = 4 windows with
+    vectorized integer arithmetic INSIDE map_batches (a flat_map done as one
+    numpy tile — no Python row loop, no UDF-per-window), then the standard
+    partial-aggregate shuffle keys on window_start. Integer epoch µs math on
+    both engines → bit-exact SQL parity."""
+    n_rep = win_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    ev = read_testdata(sf_dir, "events", columns=["ts", "value"])
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.ts.to_numpy(np.int64) // hop_us  # datetime64[us] → µs
+        j = np.repeat(np.arange(n_rep, dtype=np.int64), len(df))
+        starts = (np.tile(base, n_rep) - j) * hop_us
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(starts, unit="us")
+                              .strftime("%Y-%m-%d %H:%M:%S"),
+            "value": np.tile(df.value.to_numpy(np.float64), n_rep),
+        })
+
+    agg = _preagg(ev.map_batches(replicate, batch_format="pandas"),
+                  ["window_start"], [
+        ("n_events", None, "count"),
+        ("sum_value", "value", "sum"),
+    ])
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
 def events_top_values(sf_dir: str):
     ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
@@ -686,6 +783,43 @@ def events_value_percentiles(sf_dir: str):
         })
 
     return ev.groupby("event_type").map_groups(grp, batch_format="pandas")
+
+
+def events_value_percentiles_tdigest(sf_dir: str, delta: float = 400.0):
+    """Approximate per-group percentiles via mergeable t-digest partials
+    (functions/tdigest.py) — the documented extreme-cardinality scale path
+    of events_value_percentiles: the shuffle carries O(delta) centroids per
+    (event_type × block) instead of every row, so a group bigger than one
+    worker's heap still quantiles. Approximate by design → rows-only; rank
+    error vs the exact quantile is pinned in tests/test_text.py."""
+    from ..functions import tdigest as td
+
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            means, weights = td.build(g.value.to_numpy(np.float64),
+                                      delta=delta)
+            rows.append({"event_type": et, "means": means.tolist(),
+                         "weights": weights.tolist()})
+        return pd.DataFrame(rows)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [(np.asarray(m), np.asarray(w))
+                 for m, w in zip(g.means, g.weights)]
+        means, weights = td.merge(parts, delta=delta)
+        p = td.quantile(means, weights, np.array([0.25, 0.5, 0.75]))
+        return pd.DataFrame({
+            "event_type": [g.event_type.iloc[0]],
+            "n": [np.int64(round(weights.sum()))],
+            "p25": [round(float(p[0]), 6)],
+            "p50": [round(float(p[1]), 6)],
+            "p75": [round(float(p[2]), 6)],
+        })
+
+    return (ev.map_batches(partial, batch_format="pandas", batch_size=None)
+            .groupby("event_type").map_groups(final, batch_format="pandas"))
 
 
 def events_type_minmax(sf_dir: str):
@@ -770,6 +904,51 @@ def events_asof_purchase(sf_dir: str):
             "last_purchase_us": last.astype(np.int64)})
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_user_lag(sf_dir: str):
+    """Per-row LAG window function: µs gap to the same user's previous
+    event (−1 for the first). One shuffle keyed on user_id, vectorized
+    np.diff per group — the Ray-Data form of
+    LAG(...) OVER (PARTITION BY user_id ORDER BY ts, event_id).
+    Integer-µs arithmetic on both engines → bit-exact SQL parity."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "user_id",
+                                                  "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        order = np.lexsort((g.event_id.to_numpy(), us))
+        gap = np.empty(len(us), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = np.diff(us[order])
+        return pd.DataFrame({"event_id": g.event_id.to_numpy()[order],
+                             "user_id": g.user_id.to_numpy(),
+                             "gap_us": gap})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_value_cume_dist(sf_dir: str):
+    """Per-row CUME_DIST within event_type: fraction of the group's rows
+    with value ≤ this row's (ties inclusive — exactly SQL's
+    CUME_DIST() OVER (PARTITION BY event_type ORDER BY round(value, 6))).
+    One shuffle keyed on event_type, then one sort + searchsorted per
+    group. Scale note: like events_value_percentiles this holds a group in
+    one call; beyond worker heap, swap in broadcast t-digest CDFs
+    (functions/tdigest.py) at the documented approximation boundary."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type",
+                                                  "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.value.round(6).to_numpy(np.float64)
+        sv = np.sort(v)
+        cume = np.searchsorted(sv, v, side="right") / float(len(v))
+        return pd.DataFrame({"event_id": g.event_id.to_numpy(),
+                             "event_type": g.event_type.to_numpy(),
+                             "cume": np.round(cume, 6)})
+
+    return ev.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")
 
 
 def events_rolling_max(sf_dir: str, window: int = 10):
@@ -1574,6 +1753,64 @@ def image_exact_dedup(sf_dir: str):
     return agg
 
 
+def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
+    """Image NEAR-dup pair join on the perceptual hash (the multimodal
+    sibling of dedup_simhash_pairs): banded hamming buckets over the
+    flagship's phash column — any two 64-bit hashes within d ≤ 3 agree on
+    ≥ 1 of 4 disjoint 16-bit bands (pigeonhole → lossless candidates),
+    verified with an exact popcount. Approximation-free but not
+    SQL-expressible at scale (the exact formulation is an O(N²) self-join)
+    → rows-only; pair-set equality vs brute force is pinned in
+    tests/test_queries.py."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    imgs = fl.read_enriched(out).select_columns(
+        ["image_id", "phash", "decode_ok"])
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.decode_ok]
+        ph = df.phash.to_numpy(np.int64).astype(np.uint64)
+        n = len(df)
+        bands = np.stack([(ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                          for b in range(4)], axis=1).astype(np.int64)
+        out = pd.DataFrame({
+            "image_id": np.repeat(df.image_id.to_numpy(), 4),
+            "phash": np.repeat(ph.astype(np.int64), 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
+            "key": bands.ravel(),
+        })
+        out["kbucket"] = ((out["key"] * 4 + out["band"]) % 64).astype(np.int64)
+        return out
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (_, _), g in df.groupby(["band", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            u = g.drop_duplicates("image_id").sort_values("image_id")
+            ids = u.image_id.to_numpy()
+            hs = u.phash.to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                d = np.array([int(v).bit_count() for v in x])
+                for j in np.flatnonzero(d <= max_hamming):
+                    rows.append((str(ids[i]), str(ids[i + 1 + j]), int(d[j])))
+        if not rows:
+            return pd.DataFrame({"img_a": pd.Series(dtype=object),
+                                 "img_b": pd.Series(dtype=object),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
+
+    pairs = (imgs.map_batches(band_rows, batch_format="pandas")
+             .groupby("kbucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas())
+    if not len(pairs):
+        return pairs
+    return (pairs.drop_duplicates(["img_a", "img_b"])
+            .sort_values(["img_a", "img_b"]).reset_index(drop=True))
+
+
 def caption_exact_dedup(sf_dir: str):
     """Cross-modal exact dedup: the CAPTION (text) side of the image+caption
     pair grouped distributed by exact string — the doc_exact_dedup /
@@ -2065,6 +2302,75 @@ def doc_vocab_topk(sf_dir: str):
 
     agg = agg.map_batches(topk, batch_format="pandas", batch_size=None)
     return agg.sort(["cnt", "word"], descending=[True, False]).limit(100)
+
+
+def doc_vocab_topk_mg(sf_dir: str, k: int = 100, capacity: int = 400):
+    """Heavy hitters: CERTIFIED-exact top-k words via two passes, never
+    shuffling the full vocabulary (the scale path beside doc_vocab_topk,
+    whose word-sum shuffle is vocab-proportional).
+
+    Pass 1 — per-block Misra-Gries summaries (capacity m): value_counts,
+    subtract the (m+1)-th largest count sub_b, keep the ≤ m positive rows.
+    Guarantee: c_b(w) ≤ f_b(w) ≤ c_b(w) + sub_b, and Σ(m+1 counts ≥ sub_b)
+    ≤ n_b ⇒ sub_b ≤ n_b/(m+1). The sub_b's ride the same shuffle as a
+    NULL-word row, so one distributed word-sum over the TRUNCATED summaries
+    yields c(w) and the global error bound e = Σ sub_b with f ≤ c + e.
+    Candidates = {w : c(w) + e ≥ ck} where ck is the k-th largest c — a
+    provable superset of the exact top-k (any non-candidate has
+    f ≤ c + e < ck ≤ fk), independent of the data distribution.
+
+    Pass 2 — broadcast the candidate set, exact-count ONLY those words
+    (shuffle ≤ blocks × |candidates| rows), exact top-k with the same
+    (cnt desc, word asc) tie-break as doc_vocab_topk ⇒ identical SQL
+    oracle. Misra & Gries '82; mergeability per Agarwal et al. '13."""
+    import ray
+
+    docs = read_testdata(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat = [w for t in df["text"].fillna("").str.split(" ") for w in t]
+        vc = pd.Series(flat, dtype=object).value_counts()
+        sub = int(vc.iloc[capacity]) if len(vc) > capacity else 0
+        kept = (vc.iloc[:capacity] - sub)
+        kept = kept[kept > 0]
+        out = pd.DataFrame({"word": kept.index.to_numpy(dtype=object),
+                            "cnt": kept.to_numpy(dtype=np.int64)})
+        return pd.concat([out, pd.DataFrame({"word": [None],
+                                             "cnt": [np.int64(sub)]})],
+                         ignore_index=True)
+
+    pds = docs.map_batches(mg_partial, batch_format="pandas",
+                           batch_size=None)
+    merged = _preagg(pds, ["word"], [("cnt", "cnt", "sum")]).to_pandas()
+    # bounded: ≤ blocks × (capacity+1) summary rows survive the shuffle
+    is_err = merged.word.isna()
+    e = int(merged.loc[is_err, "cnt"].sum())
+    c = merged[~is_err]
+    ck = int(c.cnt.sort_values(ascending=False).iloc[min(k, len(c)) - 1])
+    cand = c.loc[c.cnt + e >= ck, "word"]
+    cand_ref = ray.put(frozenset(cand.tolist()))
+
+    def exact_partial(df: pd.DataFrame, _c=cand_ref) -> pd.DataFrame:
+        cs = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
+        flat = [w for t in df["text"].fillna("").str.split(" ")
+                for w in t if w in cs]
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    pds2 = docs.map_batches(exact_partial, batch_format="pandas",
+                            batch_size=None)
+    agg = _preagg(pds2, ["word"], [("cnt", "cnt", "sum")])
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "word"], ascending=[False, True],
+                              kind="stable").head(k)
+
+    agg = agg.map_batches(topk_block, batch_format="pandas", batch_size=None)
+    out = agg.sort(["cnt", "word"], descending=[True, False]).limit(k)
+    df = out.to_pandas()
+    assert int(df.cnt.iloc[-1]) >= ck, "MG certification violated"
+    return df
 
 
 def doc_pii_scrub(sf_dir: str):
