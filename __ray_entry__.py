@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": Q.events_hll_users,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
+        "events_stratified_sample": Q.events_stratified_sample,
+        "events_user_setops": Q.events_user_setops,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,

@@ -78,7 +78,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # bloom-pruned semi-join (all exact despite the sketch stages)
            "events_sliding_window", "doc_vocab_topk_mg", "q4_bloom_semijoin",
            # round 2f: per-row window functions (LAG gap, CUME_DIST)
-           "events_user_lag", "events_value_cume_dist"]
+           "events_user_lag", "events_value_cume_dist",
+           # round 2f: deterministic stratified sampling + user-set ops
+           "events_stratified_sample", "events_user_setops"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

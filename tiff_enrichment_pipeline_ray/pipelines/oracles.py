@@ -540,6 +540,32 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT 10
 """
 
+ORACLES["events_stratified_sample"] = """
+SELECT event_id, event_type, rnk FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('samp:' || CAST(event_id AS VARCHAR)), event_id
+         ) AS rnk
+  FROM events) t
+WHERE rnk <= 50
+"""
+
+ORACLES["events_user_setops"] = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY user_id)
+SELECT CAST(sum(p) AS BIGINT) AS n_purchase_users,
+       CAST(sum(e) AS BIGINT) AS n_error_users,
+       CAST(sum(p * e) AS BIGINT) AS n_both,
+       CAST(sum(p * (1 - e)) AS BIGINT) AS n_purchase_only,
+       CAST(sum(e * (1 - p)) AS BIGINT) AS n_error_only,
+       CAST(sum(CASE WHEN p + e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_either
+FROM u
+"""
+
 ORACLES["events_latest_per_user"] = """
 SELECT event_id, user_id, ts, event_type, value FROM (
   SELECT event_id, user_id, ts, event_type, value,

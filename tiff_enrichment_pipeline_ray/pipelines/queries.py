@@ -990,6 +990,72 @@ def events_topk_per_type(sf_dir: str, k: int = 3):
             .groupby("event_type").map_groups(final, batch_format="pandas"))
 
 
+def events_stratified_sample(sf_dir: str, n: int = 50):
+    """Deterministic STRATIFIED sampling: the n events per event_type with
+    the lexicographically smallest salted md5 — a balanced, reproducible
+    subset (the class-balancing step of a training-data pipeline), stable
+    across runs, partitionings and cluster sizes. Per-block partial top-n
+    (the shuffle carries ≤ n × types × blocks rows, never the stream) →
+    per-type final; the hex-string sort key is recomputed identically by
+    DuckDB's md5 so the oracle is value-exact."""
+    import hashlib
+
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def tag_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hx"] = [hashlib.md5(f"samp:{int(e)}".encode()).hexdigest()
+                    for e in df.event_id]
+        return (df.sort_values(["hx", "event_id"])
+                .groupby("event_type", sort=False).head(n))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hx", "event_id"]).head(n)
+        return pd.DataFrame({"event_id": g.event_id.to_numpy(),
+                             "event_type": g.event_type.to_numpy(),
+                             "rnk": np.arange(1, len(g) + 1,
+                                              dtype=np.int64)})
+
+    return (ev.map_batches(tag_topn, batch_format="pandas",
+                           batch_size=None)
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))
+
+
+def events_user_setops(sf_dir: str):
+    """Distributed set operations (INTERSECT / EXCEPT / UNION over user
+    sets): which users purchased, errored, did both, or either. Per-block
+    flag dedup → one user-keyed max-flag aggregate (the shuffle carries one
+    row per user × block, not one per event) → tiny flag-sum summary."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df.user_id,
+            "p": (df.event_type == "purchase").to_numpy(np.int64),
+            "e": (df.event_type == "error").to_numpy(np.int64),
+        })
+        return out.groupby("user_id", as_index=False, sort=False).max()
+
+    per_user = _preagg(ev.map_batches(flags, batch_format="pandas"),
+                       ["user_id"], [("p", "p", "max"), ("e", "e", "max")])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        p, e = df.p.to_numpy(np.int64), df.e.to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_purchase_users": [np.int64(p.sum())],
+            "n_error_users": [np.int64(e.sum())],
+            "n_both": [np.int64((p & e).sum())],
+            "n_purchase_only": [np.int64((p & (1 - e)).sum())],
+            "n_error_only": [np.int64((e & (1 - p)).sum())],
+            "n_either": [np.int64((p | e).sum())],
+        })
+
+    parts = per_user.map_batches(summarize, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    return parts.sum().to_frame().T.astype(np.int64)
+
+
 def events_latest_per_user(sf_dir: str):
     """Snapshot compaction: keep each user's LATEST event (max (ts,
     event_id)) — the 'latest version wins' dedup of CDC/crawl pipelines.
