@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": Q.events_latest_per_user,
         "events_stratified_sample": Q.events_stratified_sample,
         "events_user_setops": Q.events_user_setops,
+        "events_zscore_outliers": Q.events_zscore_outliers,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,

@@ -80,7 +80,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2f: per-row window functions (LAG gap, CUME_DIST)
            "events_user_lag", "events_value_cume_dist",
            # round 2f: deterministic stratified sampling + user-set ops
-           "events_stratified_sample", "events_user_setops"]
+           "events_stratified_sample", "events_user_setops",
+           # round 2f: z-score outlier filter (two-pass broadcast stats)
+           "events_zscore_outliers"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

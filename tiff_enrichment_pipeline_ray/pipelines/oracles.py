@@ -566,6 +566,18 @@ SELECT CAST(sum(p) AS BIGINT) AS n_purchase_users,
 FROM u
 """
 
+ORACLES["events_zscore_outliers"] = """
+WITH s AS (SELECT event_type, count(*) AS n, sum(value) AS sv,
+                  sum(value * value) AS sv2
+           FROM events GROUP BY event_type),
+z AS (SELECT e.event_id, e.event_type,
+             round((e.value - s.sv / s.n)
+                   / sqrt(s.sv2 / s.n - (s.sv / s.n) * (s.sv / s.n)), 6)
+               AS zscore
+      FROM events e JOIN s USING (event_type))
+SELECT event_id, event_type, zscore FROM z WHERE abs(zscore) > 3.0
+"""
+
 ORACLES["events_latest_per_user"] = """
 SELECT event_id, user_id, ts, event_type, value FROM (
   SELECT event_id, user_id, ts, event_type, value,

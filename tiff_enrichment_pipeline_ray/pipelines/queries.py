@@ -1123,6 +1123,41 @@ def events_distinct_users(sf_dir: str):
     return _preagg(parts, ["event_type"], [("n_users", "n_part", "sum")])
 
 
+def events_zscore_outliers(sf_dir: str, z: float = 3.0):
+    """Feature-normalization outlier filter: events whose value is more
+    than z standard deviations from their event_type's mean. Two passes —
+    pass 1 aggregates (n, Σv, Σv²) per type (3-float partials, no row
+    shuffle), the 5-row stats table is broadcast into pass 2's vectorized
+    filter. Population std via the same algebra DuckDB evaluates in the
+    oracle CTE, and the z-threshold compares ROUNDED z on both engines so
+    the boundary is identical."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type",
+                                                  "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df.event_type, "v": df.value,
+                             "v2": df.value * df.value})
+
+    m = _preagg(ev.map_batches(derive, batch_format="pandas"),
+                ["event_type"], [
+        ("n", None, "count"), ("sv", "v", "sum"), ("sv2", "v2", "sum"),
+    ]).to_pandas()
+    mean = (m.sv / m.n)
+    std = np.sqrt(m.sv2 / m.n - mean * mean)
+    stats = {t: (mu, sd) for t, mu, sd in zip(m.event_type, mean, std)}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        mu = df.event_type.map({t: v[0] for t, v in stats.items()})
+        sd = df.event_type.map({t: v[1] for t, v in stats.items()})
+        zs = ((df.value - mu) / sd).round(6)
+        out = pd.DataFrame({"event_id": df.event_id,
+                            "event_type": df.event_type,
+                            "zscore": zs})
+        return out[np.abs(zs.to_numpy()) > z]
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
 def events_hll_users(sf_dir: str, p: int = 12):
     """Approximate distinct users per event_type via HyperLogLog: per-block
     partial registers (one 4 KB blob per group × block through the shuffle —
