@@ -48,6 +48,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_inactive_1997": Q.customers_inactive_1997,
         "lineitem_corr_stats": Q.lineitem_corr_stats,
         "q4_bloom_semijoin": Q.q4_bloom_semijoin,
+        "q7_volume_shipping": Q.q7_volume_shipping,
+        "q8_market_share": Q.q8_market_share,
+        "q9_profit_by_nation": Q.q9_profit_by_nation,
+        "q10_returned_items": Q.q10_returned_items,
+        "q13_customer_distribution": Q.q13_customer_distribution,
+        "q16_supplier_part_counts": Q.q16_supplier_part_counts,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
+        "q22_idle_customers": Q.q22_idle_customers,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,

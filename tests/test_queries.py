@@ -82,7 +82,15 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2f: deterministic stratified sampling + user-set ops
            "events_stratified_sample", "events_user_setops",
            # round 2f: z-score outlier filter (two-pass broadcast stats)
-           "events_zscore_outliers"]
+           "events_zscore_outliers",
+           # round 2g: TPC-H join breadth — two-nation cross join, market
+           # share, profit-by-nation, returned-items top-k, LEFT OUTER
+           # distribution, two-level distinct counts, correlated-avg join,
+           # disjunctive fact⋈dim hash join, windowed anti-join report
+           "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+           "q10_returned_items", "q13_customer_distribution",
+           "q16_supplier_part_counts", "q17_small_quantity_revenue",
+           "q19_disjunctive_revenue", "q22_idle_customers"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

@@ -715,6 +715,117 @@ FROM m
 """
 
 
+# ---------------------------------------------- TPC-H join breadth (round 2g)
+
+ORACLES["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q8_market_share"] = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1998-01-01'
+        AND p_type = 'PROMO') all_nations
+GROUP BY o_year ORDER BY o_year
+"""
+
+ORACLES["q9_profit_by_nation"] = """
+SELECT n_name, o_year, ROUND(SUM(amount), 4) AS sum_profit
+FROM (SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.01 AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%') profit
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+"""
+
+ORACLES["q10_returned_items"] = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q16_supplier_part_counts"] = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_type <> 'PROMO' AND p_size <= 15
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+ORACLES["q19_disjunctive_revenue"] = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size <= 10
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size <= 20
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size <= 30
+        AND l_quantity BETWEEN 20 AND 40))
+"""
+
+ORACLES["q22_idle_customers"] = """
+SELECT n_name, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer, nation
+WHERE c_nationkey = n_nationkey
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

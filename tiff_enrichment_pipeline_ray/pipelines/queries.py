@@ -2496,3 +2496,437 @@ def doc_pii_scrub(sf_dir: str):
         })
 
     return docs.map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------- TPC-H join breadth (round 2g)
+#
+# Nine more classic join shapes, adapted to the testdata schema (no partsupp,
+# no commit/receipt dates). Join-side discipline, applied consistently:
+#   - nation/region: driver-side lookups (25 / 5 rows at every sf).
+#   - supplier / part: BROADCAST maps (the two smallest sf-proportional
+#     tables — TPC-H sizes them 100× / 10× smaller than lineitem; a dict of
+#     int keys ships once per worker via the closure). Where the pattern is
+#     the point, q19 instead joins lineitem ⋈ part with a distributed hash
+#     join to demonstrate the at-scale alternative.
+#   - customer / orders / lineitem: NEVER on the driver — distributed
+#     hash-partition joins (_dsjoin) with block-level pre-aggregation
+#     (_preagg) so every shuffle carries aggregate-sized rows.
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    nat = read_testdata(sf_dir, "nation").to_pandas()
+    return nat.set_index("n_nationkey")["n_name"].to_dict()
+
+
+def _supp_nation(sf_dir: str) -> dict[int, int]:
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    return supp.set_index("s_suppkey")["s_nationkey"].to_dict()
+
+
+def q7_volume_shipping(sf_dir: str, n_a: str = "NATION_18",
+                       n_b: str = "NATION_19"):
+    """TPC-H Q7-shaped two-nation shipping volume: revenue between supplier
+    nation and customer nation (both directions) per ship year, 1996–1997.
+    customer⋈orders and lineitem⋈(orders⋈customer) are distributed hash
+    joins; the lineitem side is pre-aggregated by (orderkey, supp-nation,
+    year) before its shuffle."""
+    nmap = _nation_names(sf_dir)
+    inv = {v: k for k, v in nmap.items()}
+    keys = {inv[n_a], inv[n_b]}
+    smap = _supp_nation(sf_dir)
+
+    cust = read_testdata(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey"])
+
+    def c_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.c_nationkey.isin(keys)]
+        return pd.DataFrame({"o_custkey": df.c_custkey,
+                             "cust_nk": df.c_nationkey})
+
+    cust = cust.map_batches(c_proj, batch_format="pandas")
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey"])
+    o_nat = _dsjoin(orders, cust, on=("o_custkey",)).select_columns(
+        ["o_orderkey", "cust_nk"])
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                "l_extendedprice", "l_discount"])
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.l_shipdate >= lo) & (df.l_shipdate < hi)]
+        sn = df.l_suppkey.map(smap)
+        m = sn.isin(keys)
+        out = pd.DataFrame({
+            "o_orderkey": df.l_orderkey[m],
+            "supp_nk": sn[m].astype(np.int64),
+            "l_year": df.l_shipdate[m].dt.year.astype(np.int64),
+            "revenue": (df.l_extendedprice * (1.0 - df.l_discount))[m],
+        })
+        return out.groupby(["o_orderkey", "supp_nk", "l_year"],
+                           as_index=False, sort=False).sum()
+
+    li = li.map_batches(li_pre, batch_format="pandas")
+    joined = _dsjoin(li, o_nat, on=("o_orderkey",))
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.supp_nk != df.cust_nk]
+        return pd.DataFrame({"supp_nation": df.supp_nk.map(nmap),
+                             "cust_nation": df.cust_nk.map(nmap),
+                             "l_year": df.l_year,
+                             "revenue": df.revenue})
+
+    agg = _preagg(joined.map_batches(cross, batch_format="pandas"),
+                  ["supp_nation", "cust_nation", "l_year"],
+                  [("revenue", "revenue", "sum")])
+    df = agg.to_pandas()  # ≤ 2 directions × 2 years: tiny
+    if df.empty:
+        df = pd.DataFrame({"supp_nation": pd.Series(dtype=object),
+                           "cust_nation": pd.Series(dtype=object),
+                           "l_year": pd.Series(dtype=np.int64),
+                           "revenue": pd.Series(dtype=np.float64)})
+    df["revenue"] = df.revenue.round(4)
+    return df.sort_values(["supp_nation", "cust_nation", "l_year"]
+                          ).reset_index(drop=True)
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_3",
+                    region: str = "EUROPE", ptype: str = "PROMO"):
+    """TPC-H Q8-shaped market share: the fraction of PROMO-part revenue to
+    EUROPE customers supplied by NATION_3, per order year 1996–1997.
+    orders⋈customer and lineitem⋈orders are distributed; part qualifies via
+    a broadcast partkey set, supplier via a broadcast nation map."""
+    reg = read_testdata(sf_dir, "region").to_pandas()
+    rk = reg.loc[reg.r_name == region, "r_regionkey"].iloc[0]
+    nat = read_testdata(sf_dir, "nation").to_pandas()
+    rnat = set(nat.loc[nat.n_regionkey == rk, "n_nationkey"])
+    target_nk = nat.loc[nat.n_name == nation, "n_nationkey"].iloc[0]
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    pset = set(part.loc[part.p_type == ptype, "p_partkey"])
+    smap = _supp_nation(sf_dir)
+
+    cust = read_testdata(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey"])
+
+    def c_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.c_nationkey.isin(rnat)]
+        return pd.DataFrame({"o_custkey": df.c_custkey})
+
+    cust = cust.map_batches(c_proj, batch_format="pandas")
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1998-01-01", "us")
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+        return pd.DataFrame({"o_orderkey": df.o_orderkey,
+                             "o_custkey": df.o_custkey,
+                             "o_year": df.o_orderdate.dt.year.astype(np.int64)})
+
+    orders = orders.map_batches(o_proj, batch_format="pandas")
+    o_eur = _dsjoin(orders, cust, on=("o_custkey",)).select_columns(
+        ["o_orderkey", "o_year"])
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                "l_extendedprice", "l_discount"])
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.l_partkey.isin(pset)
+        vol = (df.l_extendedprice * (1.0 - df.l_discount))[m]
+        is_t = (df.l_suppkey[m].map(smap) == target_nk)
+        out = pd.DataFrame({"o_orderkey": df.l_orderkey[m],
+                            "volume": vol,
+                            "vol_target": vol.where(is_t, 0.0)})
+        return out.groupby("o_orderkey", as_index=False, sort=False).sum()
+
+    li = li.map_batches(li_pre, batch_format="pandas")
+    joined = _dsjoin(li, o_eur, on=("o_orderkey",))
+    agg = _preagg(joined.select_columns(["o_year", "volume", "vol_target"]),
+                  ["o_year"], [("volume", "volume", "sum"),
+                               ("vol_target", "vol_target", "sum")])
+    df = agg.to_pandas()  # one row per year
+    df["mkt_share"] = (df.vol_target / df.volume).round(6)
+    return df[["o_year", "mkt_share"]].sort_values("o_year"
+                                                   ).reset_index(drop=True)
+
+
+def q9_profit_by_nation(sf_dir: str, word: str = "red"):
+    """TPC-H Q9-shaped profit by supplier nation × order year, adapted to the
+    schema (no partsupp): amount = extprice·(1−disc) − retailprice·qty·0.01
+    for parts whose name contains `word`. part/supplier qualify via broadcast
+    maps; lineitem⋈orders is a distributed hash join on a pre-aggregated
+    lineitem side."""
+    nmap = _nation_names(sf_dir)
+    smap = _supp_nation(sf_dir)
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    red = part[part.p_name.str.contains(word)]
+    price = red.set_index("p_partkey")["p_retailprice"].to_dict()
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                "l_quantity", "l_extendedprice",
+                                "l_discount"])
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        rp = df.l_partkey.map(price)
+        m = rp.notna()
+        amount = (df.l_extendedprice * (1.0 - df.l_discount)
+                  - rp * df.l_quantity * 0.01)[m]
+        out = pd.DataFrame({
+            "o_orderkey": df.l_orderkey[m],
+            "n_name": df.l_suppkey[m].map(smap).map(nmap),
+            "amount": amount})
+        return out.groupby(["o_orderkey", "n_name"],
+                           as_index=False, sort=False).sum()
+
+    li = li.map_batches(li_pre, batch_format="pandas")
+
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderdate"])
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df.o_orderkey,
+                             "o_year": df.o_orderdate.dt.year.astype(np.int64)})
+
+    orders = orders.map_batches(o_proj, batch_format="pandas")
+    joined = _dsjoin(li, orders, on=("o_orderkey",))
+    agg = _preagg(joined.select_columns(["n_name", "o_year", "amount"]),
+                  ["n_name", "o_year"], [("sum_profit", "amount", "sum")])
+    df = agg.to_pandas()  # 25 nations × 7 years
+    df["sum_profit"] = df.sum_profit.round(4)
+    return df.sort_values(["n_name", "o_year"],
+                          ascending=[True, False]).reset_index(drop=True)
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+    lost to returns ('R' lineitems) on 1996-Q3 orders. Three distributed
+    stages — lineitem preagg by order, ⋈ date-filtered orders, re-agg by
+    customer — then a distributed join against customer and a per-block
+    top-k with a tiny driver merge."""
+    nmap = _nation_names(sf_dir)
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_extendedprice", "l_discount"])
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_returnflag == "R"]
+        out = pd.DataFrame({
+            "o_orderkey": df.l_orderkey,
+            "revenue": df.l_extendedprice * (1.0 - df.l_discount)})
+        return out.groupby("o_orderkey", as_index=False, sort=False).sum()
+
+    li = li.map_batches(li_pre, batch_format="pandas")
+
+    lo = np.datetime64("1996-07-01", "us")
+    hi = np.datetime64("1996-10-01", "us")
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+        return df[["o_orderkey", "o_custkey"]]
+
+    orders = orders.map_batches(o_proj, batch_format="pandas")
+    per_cust = _preagg(
+        _dsjoin(li, orders, on=("o_orderkey",)).select_columns(
+            ["o_custkey", "revenue"]),
+        ["o_custkey"], [("revenue", "revenue", "sum")])
+
+    cust = read_testdata(sf_dir, "customer",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    joined = _dsjoin(per_cust, cust, on=("o_custkey",),
+                     right_on=("c_custkey",))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df.revenue.round(4)
+        df["n_name"] = df.c_nationkey.map(nmap)
+        return df.sort_values(["revenue", "o_custkey"],
+                              ascending=[False, True]).head(20)
+
+    parts = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    df = parts.sort_values(["revenue", "o_custkey"],
+                           ascending=[False, True]).head(20)
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    return df[["c_custkey", "c_name", "revenue", "c_acctbal",
+               "n_name"]].reset_index(drop=True)
+
+
+def q13_customer_distribution(sf_dir: str, excl: str = "1-URGENT"):
+    """TPC-H Q13-shaped customer order-count distribution via a distributed
+    LEFT OUTER join (customers with zero qualifying orders must surface as
+    c_count=0): orders are pre-aggregated per customer, left-joined back to
+    the full customer table, and the distribution re-aggregated."""
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_custkey", "o_orderpriority"])
+    counts = _preagg(orders.filter(expr=f"o_orderpriority != '{excl}'")
+                     .select_columns(["o_custkey"]),
+                     ["o_custkey"], [("c_count", None, "count")])
+    cust = read_testdata(sf_dir, "customer", columns=["c_custkey"])
+    joined = _dsjoin(cust, counts, on=("c_custkey",),
+                     right_on=("o_custkey",), join_type="left_outer")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": df.c_count.fillna(0).astype(np.int64)})
+
+    dist = _preagg(joined.map_batches(norm, batch_format="pandas"),
+                   ["c_count"], [("custdist", None, "count")])
+    df = dist.to_pandas()
+    return df.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+
+
+def q16_supplier_part_counts(sf_dir: str, max_size: int = 15,
+                             excl_type: str = "PROMO"):
+    """TPC-H Q16-shaped distinct-supplier counts per (brand, size) using
+    lineitem as the part↔supplier link (no partsupp in this schema).
+    Two-level distributed DISTINCT: (partkey, suppkey) pairs dedup in the
+    first hash aggregate, map to (brand, size, suppkey) via a broadcast part
+    map, dedup again, then count. Suppliers with negative balance (the
+    'complaints' analogue) are excluded by a broadcast set."""
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    ok = part[(part.p_type != excl_type) & (part.p_size <= max_size)]
+    brand = ok.set_index("p_partkey")["p_brand"].to_dict()
+    size = ok.set_index("p_partkey")["p_size"].to_dict()
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = set(supp.loc[supp.s_acctbal < 0, "s_suppkey"])
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_suppkey"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_partkey.isin(brand) & ~df.l_suppkey.isin(bad)]
+        return df.drop_duplicates()
+
+    pairs = _preagg(li.map_batches(pre, batch_format="pandas"),
+                    ["l_partkey", "l_suppkey"], [("n", None, "count")])
+
+    def to_bs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": df.l_partkey.map(brand),
+            "p_size": df.l_partkey.map(size).astype(np.int64),
+            "l_suppkey": df.l_suppkey}).drop_duplicates()
+
+    bss = _preagg(pairs.map_batches(to_bs, batch_format="pandas"),
+                  ["p_brand", "p_size", "l_suppkey"], [("n", None, "count")])
+    cnt = _preagg(bss.select_columns(["p_brand", "p_size"]),
+                  ["p_brand", "p_size"], [("supplier_cnt", None, "count")])
+    df = cnt.to_pandas()  # ≤ brands × sizes
+    return df.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str, pbrand: str = "Brand#3"):
+    """TPC-H Q17-shaped small-quantity order revenue: weekly-averaged
+    revenue from Brand#3 lineitems whose quantity is below 20% of that
+    part's corpus-wide average quantity. The per-part average is a
+    distributed aggregate JOINED back to the filtered lineitems (the
+    correlated-subquery shape) — exact, because quantities are integral so
+    sum/count are order-independent in fp64."""
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    bset = set(part.loc[part.p_brand == pbrand, "p_partkey"])
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"])
+    li = li.map_batches(
+        lambda df: df[df.l_partkey.isin(bset)], batch_format="pandas")
+    avg = _preagg(li.select_columns(["l_partkey", "l_quantity"]),
+                  ["l_partkey"], [("sq", "l_quantity", "sum"),
+                                  ("nq", None, "count")])
+    joined = _dsjoin(li, avg, on=("l_partkey",))
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.l_quantity < 0.2 * (df.sq / df.nq)
+        return pd.DataFrame({"s": [df.l_extendedprice[m].sum()],
+                             "n": [np.int64(1)]})
+
+    tot = _preagg(joined.map_batches(pre, batch_format="pandas"),
+                  ["n"], [("s", "s", "sum")]).to_pandas()
+    return pd.DataFrame({"avg_yearly": [round(float(tot.s.iloc[0]) / 7.0, 4)]})
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue over a DISTRIBUTED
+    lineitem ⋈ part hash join (the at-scale alternative to broadcasting
+    part), with the three brand/size/quantity disjuncts evaluated
+    vectorized on the joined batches."""
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice", "l_discount"])
+    joined = _dsjoin(li, part, on=("l_partkey",), right_on=("p_partkey",))
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        q, b, s = df.l_quantity, df.p_brand, df.p_size
+        m = (((b == "Brand#1") & (s <= 10) & (q >= 1) & (q <= 20))
+             | ((b == "Brand#2") & (s <= 20) & (q >= 10) & (q <= 30))
+             | ((b == "Brand#3") & (s <= 30) & (q >= 20) & (q <= 40)))
+        rev = (df.l_extendedprice * (1.0 - df.l_discount))[m]
+        return pd.DataFrame({"s": [rev.sum()], "n": [np.int64(1)]})
+
+    tot = _preagg(joined.map_batches(pre, batch_format="pandas"),
+                  ["n"], [("s", "s", "sum")]).to_pandas()
+    return pd.DataFrame({"revenue": [round(float(tot.s.iloc[0]), 4)]})
+
+
+def q22_idle_customers(sf_dir: str, since: str = "1999-01-01"):
+    """TPC-H Q22-shaped global-sales-opportunity report, grouped by nation
+    (no phone column in this schema): customers with above-average positive
+    balance and no order since `since` (every synthetic customer has SOME
+    order, so the classic no-orders-at-all predicate selects nothing). The
+    global average is a distributed two-pass scalar; the no-recent-orders
+    test is a distributed ANTI join against the deduped recent-orders key
+    set."""
+    nmap = _nation_names(sf_dir)
+    cust = read_testdata(sf_dir, "customer",
+                         columns=["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def pos_pre(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.c_acctbal[df.c_acctbal > 0.0]
+        return pd.DataFrame({"s": [v.sum()], "c": [np.int64(len(v))],
+                             "n": [np.int64(1)]})
+
+    tot = _preagg(cust.map_batches(pos_pre, batch_format="pandas"),
+                  ["n"], [("s", "s", "sum"), ("c", "c", "sum")]).to_pandas()
+    thresh = float(tot.s.iloc[0]) / float(tot.c.iloc[0])
+
+    rich = cust.map_batches(
+        lambda df: df[df.c_acctbal > thresh], batch_format="pandas")
+    recent = read_testdata(sf_dir, "orders",
+                           columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(_ts_filter("o_orderdate", "greater_equal", since),
+                     batch_format="pyarrow") \
+        .select_columns(["o_custkey"])
+    okeys = _preagg(recent, ["o_custkey"], [("n", None, "count")]) \
+        .select_columns(["o_custkey"])
+    idle = _dsjoin(rich, okeys, on=("c_custkey",), right_on=("o_custkey",),
+                   join_type="left_anti")
+
+    def to_nat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": df.c_nationkey.map(nmap),
+                             "acctbal": df.c_acctbal})
+
+    agg = _preagg(idle.map_batches(to_nat, batch_format="pandas"),
+                  ["n_name"], [("numcust", None, "count"),
+                               ("totacctbal", "acctbal", "sum")])
+    df = agg.to_pandas()  # ≤ 25 nations
+    df["totacctbal"] = df.totacctbal.round(4)
+    return df.sort_values("n_name").reset_index(drop=True)
