@@ -90,7 +90,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
            "q10_returned_items", "q13_customer_distribution",
            "q16_supplier_part_counts", "q17_small_quantity_revenue",
-           "q19_disjunctive_revenue", "q22_idle_customers"]
+           "q19_disjunctive_revenue", "q22_idle_customers",
+           # round 2g: FULL OUTER reconciliation + unigram-LM cross-entropy
+           # (perplexity-filter analogue)
+           "events_purchase_error_matrix", "doc_unigram_xent"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

@@ -826,6 +826,35 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+ORACLES["events_purchase_error_matrix"] = """
+WITH p AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS n_purchase, sum(value) AS v_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+     e AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS n_error
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT coalesce(p.user_id, e.user_id) AS user_id,
+       coalesce(p.day, e.day) AS day,
+       coalesce(p.n_purchase, 0) AS n_purchase,
+       round(coalesce(p.v_purchase, 0.0), 4) AS v_purchase,
+       coalesce(e.n_error, 0) AS n_error
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+"""
+
+ORACLES["doc_unigram_xent"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+     vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+     tot AS (SELECT count(*) AS n FROM toks)
+SELECT doc_id,
+       round(avg(-ln(vocab.cnt / tot.n)), 6) AS xent,
+       count(*) AS n_tokens
+FROM toks, vocab, tot
+WHERE toks.word = vocab.word
+GROUP BY doc_id
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -2930,3 +2930,77 @@ def q22_idle_customers(sf_dir: str, since: str = "1999-01-01"):
     df = agg.to_pandas()  # ≤ 25 nations
     df["totacctbal"] = df.totacctbal.round(4)
     return df.sort_values("n_name").reset_index(drop=True)
+
+
+def events_purchase_error_matrix(sf_dir: str):
+    """FULL OUTER join reconciliation at (user, day) grain: per-user-day
+    purchase stats ⋈ error counts, with zero-fill on both unmatched sides
+    (~40% of user-days are one-sided in the synthetic stream — the outer
+    semantics are genuinely exercised). Both sides are distributed
+    pre-aggregates; the join is Ray's hash-partition full_outer."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["user_id", "ts", "event_type", "value"])
+
+    def side(etype: str, with_value: bool):
+        def pre(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df.event_type == etype]
+            out = pd.DataFrame({
+                "user_id": df.user_id,
+                "day": df.ts.dt.strftime("%Y-%m-%d")})
+            if with_value:
+                out["value"] = df.value.to_numpy()
+            return out
+        cols = [("n_" + etype, None, "count")]
+        if with_value:
+            cols.append(("v_" + etype, "value", "sum"))
+        return _preagg(ev.map_batches(pre, batch_format="pandas"),
+                       ["user_id", "day"], cols)
+
+    p = side("purchase", True)
+    e = side("error", False)
+    # Ray's full_outer COALESCES the key columns (never-null user_id/day)
+    joined = _dsjoin(p, e, on=("user_id", "day"), join_type="full_outer")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id,
+            "day": df.day,
+            "n_purchase": df.n_purchase.fillna(0).astype(np.int64),
+            "v_purchase": df.v_purchase.fillna(0.0).round(4),
+            "n_error": df.n_error.fillna(0).astype(np.int64)})
+
+    return joined.map_batches(norm, batch_format="pandas")
+
+
+def doc_unigram_xent(sf_dir: str):
+    """Unigram-LM cross-entropy per document — the perplexity-filter
+    analogue used by LLM data pipelines (CCNet / Gopher style): pass 1
+    builds the corpus unigram distribution with a distributed word-count
+    (per-block value_counts partials → hash-partition sum); the vocabulary
+    (bounded by |vocab|, not corpus size — the model, not the data) is
+    gathered once and broadcast into pass 2, which scores each doc as
+    mean(−ln p(w)), p(w) = cnt(w)/N over the whole-corpus ML estimate.
+    Every token is in-vocab by construction (the model was fit on this
+    corpus), so no OOV smoothing is needed; the SQL oracle recomputes the
+    identical estimate relationally."""
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.text.fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    counts = _preagg(docs.map_batches(partial, batch_format="pandas"),
+                     ["word"], [("cnt", "cnt", "sum")]).to_pandas()
+    total = float(counts.cnt.sum())
+    logp = -np.log(counts.cnt.to_numpy(np.float64) / total)
+    lp_map = pd.Series(logp, index=counts.word)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id").text.fillna("").str.split(" ").explode()
+        xent = toks.map(lp_map).groupby(level=0)
+        out = pd.DataFrame({"xent": xent.mean().round(6),
+                            "n_tokens": xent.size().astype(np.int64)})
+        return out.reset_index()
+
+    return docs.map_batches(score, batch_format="pandas")
