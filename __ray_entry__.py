@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
+        "events_props_stats": Q.events_props_stats,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": Q.doc_pii_scrub,
         "doc_bm25_scores": Q.doc_bm25_scores,
         "doc_unigram_xent": Q.doc_unigram_xent,
+        "doc_source_token_budget": Q.doc_source_token_budget,
         "dedup_minhash_docs": Q.dedup_minhash_docs,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,

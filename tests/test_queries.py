@@ -93,7 +93,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "q19_disjunctive_revenue", "q22_idle_customers",
            # round 2g: FULL OUTER reconciliation + unigram-LM cross-entropy
            # (perplexity-filter analogue)
-           "events_purchase_error_matrix", "doc_unigram_xent"]
+           "events_purchase_error_matrix", "doc_unigram_xent",
+           # round 2g: JSON props extraction + per-source token-budget mix
+           "events_props_stats", "doc_source_token_budget"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

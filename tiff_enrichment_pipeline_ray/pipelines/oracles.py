@@ -855,6 +855,46 @@ GROUP BY doc_id
 """
 
 
+ORACLES["events_props_stats"] = """
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       round(sum(json_extract(props, '$.k')::BIGINT)
+             / count(*), 6) AS avg_k
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+ORACLES["doc_source_token_budget"] = r"""
+WITH f AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(COALESCE(text,'')) AS DOUBLE) AS n,
+         CAST(len(string_split(COALESCE(text,''), ' ')) AS DOUBLE) AS words,
+         CAST(length(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '\bthe\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\band\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bof\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\ba\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bto\b')) AS DOUBLE) AS stop_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         round(0.4 * least(greatest(n / 200.0, 0.0), 1.0)
+             + 0.3 * least(greatest(1.0 - 3.0 * digits / greatest(n, 1.0), 0.0), 1.0)
+             + 0.3 * least(greatest(stop_hits / greatest(words * 0.05, 1.0), 0.0), 1.0), 6) AS quality
+  FROM f
+), ranked AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, quality, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= 1000
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -3004,3 +3004,64 @@ def doc_unigram_xent(sf_dir: str):
         return out.reset_index()
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured JSON handling: extract the integer field ``k`` from
+    the ``props`` JSON-string column (vectorized regex — the schema is
+    '{"k": <int>}'; a malformed row degrades to NULL and is dropped, same
+    as SQL json_extract) and aggregate per event type. Demonstrates the
+    props-payload path a clickstream pipeline needs without shipping a JSON
+    parser per row."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "props"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df.props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce")
+        out = pd.DataFrame({"event_type": df.event_type, "k": k})
+        return out[out.k.notna()]
+
+    agg = _preagg(ev.map_batches(pre, batch_format="pandas"),
+                  ["event_type"], [("n", None, "count"),
+                                   ("sum_k", "k", "sum")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df.event_type,
+                             "n": df.n,
+                             "sum_k": df.sum_k.astype(np.int64),
+                             "avg_k": (df.sum_k / df.n).round(6)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def doc_source_token_budget(sf_dir: str, budget: int = 1000):
+    """Data-mix curation: per-source token budget enforcement. Within every
+    source, documents are ranked by quality desc (doc_id tiebreak — the
+    rounded quality score has proven bit-exact SQL parity, so the rank is
+    deterministic across engines) and kept while the running token count
+    stays within the budget — the greedy quality-first mix used to cap
+    over-represented domains in LLM training sets. The rank+cumsum runs
+    inside groupby(source).map_groups, distributed per source; only
+    (id, score, count) rows ride the shuffle, never the text."""
+    from ..functions.textkernels import quality_score, token_count
+
+    docs = read_testdata(sf_dir, "documents",
+                         columns=["doc_id", "source", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df.doc_id,
+            "source": df.source,
+            "quality": quality_score(df.text).round(6),
+            "n_tokens": token_count(df.text).astype(np.int64)})
+
+    scored = docs.map_batches(score, batch_format="pandas")
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True],
+                          kind="stable")
+        g["cum_tokens"] = g.n_tokens.cumsum()
+        return g[g.cum_tokens <= budget]
+
+    return scored.groupby("source").map_groups(cut, batch_format="pandas")
