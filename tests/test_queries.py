@@ -95,7 +95,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # (perplexity-filter analogue)
            "events_purchase_error_matrix", "doc_unigram_xent",
            # round 2g: JSON props extraction + per-source token-budget mix
-           "events_props_stats", "doc_source_token_budget"]
+           "events_props_stats", "doc_source_token_budget",
+           # round 2g: uniform sampling over a join, pushed below the FK
+           # join (Reservoir Sampling over Joins, SIGMOD'24 — PAPERS.md)
+           "sample_join_uniform"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

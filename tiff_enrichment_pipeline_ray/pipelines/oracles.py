@@ -895,6 +895,16 @@ FROM ranked WHERE cum_tokens <= 1000
 """
 
 
+ORACLES["sample_join_uniform"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+ORDER BY md5('joinsamp:' || l_orderkey || ':' || l_linenumber
+             || ':' || l_quantity::BIGINT),
+         l_orderkey, l_linenumber
+LIMIT 200
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

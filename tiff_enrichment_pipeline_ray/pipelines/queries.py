@@ -3065,3 +3065,46 @@ def doc_source_token_budget(sf_dir: str, budget: int = 1000):
         return g[g.cum_tokens <= budget]
 
     return scored.groupby("source").map_groups(cut, batch_format="pandas")
+
+
+def sample_join_uniform(sf_dir: str, k: int = 200):
+    """Uniform sampling OVER A JOIN without materializing the join
+    (Reservoir Sampling over Joins, SIGMOD'24 / Sampling over Union of
+    Joins, SIGMOD'23 — the FK-join special case): lineitem⋈orders is
+    key-preserving on the lineitem side (every lineitem matches exactly one
+    order), so a uniform sample of the join IS a uniform sample of lineitem
+    pushed BELOW the join. Deterministic salted-md5 priorities make the
+    sample reproducible across runs/partitionings and give the SQL oracle
+    bit-exact parity (ORDER BY md5(...) LIMIT k over the real join).
+
+    Plan: per-block partial top-k by priority (shuffle ≤ k × blocks rows,
+    never the fact table) → bounded driver merge → broadcast the k sampled
+    orderkeys → distributed filter of orders → tiny join."""
+    import hashlib
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # the priority hashes every output-determining column — tied priorities
+    # are then value-identical rows and either engine's pick compares equal.
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hx"] = [hashlib.md5(
+            f"joinsamp:{int(o)}:{int(n)}:{int(q)}".encode()).hexdigest()
+            for o, n, q in zip(df.l_orderkey, df.l_linenumber,
+                               df.l_quantity)]
+        return df.sort_values(["hx", "l_orderkey", "l_linenumber"]).head(k)
+
+    parts = li.map_batches(topk, batch_format="pandas").to_pandas()
+    samp = parts.sort_values(["hx", "l_orderkey", "l_linenumber"]).head(k)
+    keys = set(samp.l_orderkey)
+
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderpriority"])
+    omap = orders.map_batches(
+        lambda df: df[df.o_orderkey.isin(keys)],
+        batch_format="pandas").to_pandas()  # ≤ k rows
+    out = samp.merge(omap, left_on="l_orderkey", right_on="o_orderkey")
+    return out[["l_orderkey", "l_linenumber", "l_quantity",
+                "o_orderpriority"]].reset_index(drop=True)
