@@ -119,7 +119,10 @@ def run(sf_dir, only=None):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.001"
+    # default to sf0.01 — the scale the driver compares at; the flagship
+    # oracles are pinned to GRAFT_ORACLE_SF (default 0.01), so running the
+    # queries at any other sf makes the flagship-derived rows mismatch.
+    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(a for a in args if not a.startswith("/")) or None
     bad = run(sf_dir, only)
     sys.exit(1 if bad else 0)
