@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_census": Q.geo_tile_census,
         "geo_knn_station": Q.geo_knn_station,
         "geo_point_in_rect": Q.geo_point_in_rect,
+        "geo_distance_join": Q.geo_distance_join,
         # flagship geospatial enrichment over the synthetic images table
         "flagship_enriched": Q.flagship_enriched,
         "flagship_captures": Q.flagship_captures,

@@ -98,7 +98,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_props_stats", "doc_source_token_budget",
            # round 2g: uniform sampling over a join, pushed below the FK
            # join (Reservoir Sampling over Joins, SIGMOD'24 — PAPERS.md)
-           "sample_join_uniform"]
+           "sample_join_uniform",
+           # round 2g: spatial distance self-join (cell-bucket range join
+           # with 3x3 ghost replication; integer metric -> bit-exact SQL)
+           "geo_distance_join"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

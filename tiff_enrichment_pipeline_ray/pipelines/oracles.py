@@ -905,6 +905,20 @@ LIMIT 200
 """
 
 
+ORACLES["geo_distance_join"] = """
+WITH p AS (SELECT event_id, (event_id % 2900) AS mlat,
+                  ((event_id // 7) % 4300) AS mlon FROM events)
+SELECT a.event_id AS event_id, count(*) AS n_neighbors,
+       min((a.mlat - b.mlat) * (a.mlat - b.mlat)
+         + (a.mlon - b.mlon) * (a.mlon - b.mlon)) AS min_d2
+FROM p a JOIN p b
+  ON a.event_id <> b.event_id
+ AND (a.mlat - b.mlat) * (a.mlat - b.mlat)
+   + (a.mlon - b.mlon) * (a.mlon - b.mlon) <= 400
+GROUP BY a.event_id
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

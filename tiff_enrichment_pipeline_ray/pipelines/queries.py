@@ -3108,3 +3108,60 @@ def sample_join_uniform(sf_dir: str, k: int = 200):
     out = samp.merge(omap, left_on="l_orderkey", right_on="o_orderkey")
     return out[["l_orderkey", "l_linenumber", "l_quantity",
                 "o_orderpriority"]].reset_index(drop=True)
+
+
+def geo_distance_join(sf_dir: str, radius: int = 20):
+    """Spatial DISTANCE self-join (Random Sampling over Spatial Range Joins,
+    ICDE'25 family — the join itself, exact): for every event point, count
+    neighbors within `radius` milli-degrees (planar metric over the integer
+    point lattice — integer-only arithmetic so the SQL oracle is bit-exact;
+    the haversine variant is geo_knn_station's domain).
+
+    The distributed plan is the canonical cell-bucket range join: each point
+    lands HOME in its (mlat//R, mlon//R) cell and is GHOST-replicated to the
+    8 neighbor cells (a 9× shuffle of slim integer keys, never the payload);
+    every pair within R is then local to exactly one home group, and
+    per-group counting is a vectorized O(g²) over bounded groups (cell size
+    = R caps the group radius; skewed cells would be salted exactly like
+    the flagship's census plan). Output: per-event neighbor count + min
+    squared distance, events with ≥1 neighbor."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+    r2 = radius * radius
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(np.int64)
+        mlat = eid % 2900
+        mlon = (eid // 7) % 4300
+        cy, cx = mlat // radius, mlon // radius
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                outs.append(pd.DataFrame({
+                    "cell": (cy + dy) * 100000 + (cx + dx),
+                    "event_id": eid, "mlat": mlat, "mlon": mlon,
+                    "is_home": (dy == 0) & (dx == 0)}))
+        return pd.concat(outs, ignore_index=True)
+
+    pts = ev.map_batches(replicate, batch_format="pandas")
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.is_home]
+        if home.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                                 "n_neighbors": pd.Series(dtype=np.int64),
+                                 "min_d2": pd.Series(dtype=np.int64)})
+        ay = home.mlat.to_numpy(np.int64)[:, None]
+        ax = home.mlon.to_numpy(np.int64)[:, None]
+        by = g.mlat.to_numpy(np.int64)[None, :]
+        bx = g.mlon.to_numpy(np.int64)[None, :]
+        d2 = (ay - by) ** 2 + (ax - bx) ** 2
+        same = home.event_id.to_numpy()[:, None] == g.event_id.to_numpy()[None, :]
+        near = (d2 <= r2) & ~same
+        n = near.sum(axis=1).astype(np.int64)
+        d2m = np.where(near, d2, np.iinfo(np.int64).max).min(axis=1)
+        keep = n > 0
+        return pd.DataFrame({"event_id": home.event_id.to_numpy()[keep],
+                             "n_neighbors": n[keep],
+                             "min_d2": d2m[keep].astype(np.int64)})
+
+    return pts.groupby("cell").map_groups(per_cell, batch_format="pandas")
