@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
         "events_props_stats": Q.events_props_stats,
         "sample_join_uniform": Q.sample_join_uniform,
+        "sample_weighted": Q.sample_weighted,
         # documents: text analysis + dedup
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,

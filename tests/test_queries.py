@@ -101,7 +101,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "sample_join_uniform",
            # round 2g: spatial distance self-join (cell-bucket range join
            # with 3x3 ghost replication; integer metric -> bit-exact SQL)
-           "geo_distance_join"]
+           "geo_distance_join",
+           # round 2g: Efraimidis-Spirakis weighted sampling (bit-exact pow)
+           "sample_weighted"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

@@ -919,6 +919,19 @@ GROUP BY a.event_id
 """
 
 
+ORACLES["sample_weighted"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, round(wkey, 6) AS wkey
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             pow(CAST(('0x' || substr(md5('ws:' || l_orderkey || ':'
+                       || l_linenumber || ':' || l_quantity::BIGINT),
+                       1, 8))::BIGINT AS DOUBLE) / 4294967296.0,
+                 1.0 / l_quantity) AS wkey
+      FROM lineitem)
+ORDER BY wkey DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -3165,3 +3165,35 @@ def geo_distance_join(sf_dir: str, radius: int = 20):
                              "min_d2": d2m[keep].astype(np.int64)})
 
     return pts.groupby("cell").map_groups(per_cell, batch_format="pandas")
+
+
+def sample_weighted(sf_dir: str, k: int = 20):
+    """Weighted sampling without replacement (Efraimidis–Spirakis priorities,
+    the streaming-weighted-sampling building block from EDBT'23): keep the k
+    lineitems with the largest u^(1/w), u a deterministic md5-derived
+    uniform, w = l_quantity — heavier rows proportionally likelier, yet the
+    sample is reproducible across runs/partitionings and both engines
+    compute the BIT-EXACT same double key (verified: pow parity holds).
+    Per-block partial top-k (the shuffle carries ≤ k × blocks rows) →
+    bounded driver merge."""
+    import hashlib
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        u = np.array([int(hashlib.md5(
+            f"ws:{int(o)}:{int(n)}:{int(q)}".encode()).hexdigest()[:8], 16)
+            for o, n, q in zip(df.l_orderkey, df.l_linenumber,
+                               df.l_quantity)], dtype=np.float64)
+        df["wkey"] = (u / 4294967296.0) ** (1.0 / df.l_quantity.to_numpy())
+        return df.sort_values(["wkey", "l_orderkey", "l_linenumber"],
+                              ascending=[False, True, True]).head(k)
+
+    parts = li.map_batches(topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["wkey", "l_orderkey", "l_linenumber"],
+                            ascending=[False, True, True]).head(k)
+    out["wkey"] = out.wkey.round(6)
+    return out[["l_orderkey", "l_linenumber", "l_quantity",
+                "wkey"]].reset_index(drop=True)
