@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
         "events_props_stats": Q.events_props_stats,
+        "events_groupby_estimate": Q.events_groupby_estimate,
         "sample_join_uniform": Q.sample_join_uniform,
         "sample_weighted": Q.sample_weighted,
         # documents: text analysis + dedup

@@ -103,7 +103,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # with 3x3 ghost replication; integer metric -> bit-exact SQL)
            "geo_distance_join",
            # round 2g: Efraimidis-Spirakis weighted sampling (bit-exact pow)
-           "sample_weighted"]
+           "sample_weighted",
+           # round 2g: sample-based GROUP BY estimation audit (CIDR'19)
+           "events_groupby_estimate"]
 
 ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",

@@ -932,6 +932,21 @@ LIMIT 20
 """
 
 
+ORACLES["events_groupby_estimate"] = """
+WITH t AS (SELECT event_type,
+                  CASE WHEN ('0x' || substr(md5('gb:' || event_id), 1, 8))
+                            ::BIGINT % 100 < 10
+                       THEN 1 ELSE 0 END AS s
+           FROM events)
+SELECT event_type,
+       sum(s)::BIGINT * 10 AS n_est,
+       count(*) AS n_exact,
+       round((sum(s)::BIGINT * 10 - count(*)) / CAST(count(*) AS DOUBLE), 6)
+         AS rel_err
+FROM t GROUP BY event_type
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -3197,3 +3197,41 @@ def sample_weighted(sf_dir: str, k: int = 20):
     out["wkey"] = out.wkey.round(6)
     return out[["l_orderkey", "l_linenumber", "l_quantity",
                 "wkey"]].reset_index(drop=True)
+
+
+def events_groupby_estimate(sf_dir: str, pct: int = 10):
+    """Sample-based GROUP BY estimation (Every Row Counts, CIDR'19):
+    per-type counts estimated from a deterministic md5 Bernoulli sample
+    (rate pct%), reported beside the exact count and the signed relative
+    error — the accuracy-audit table a sampling-based SQL engine maintains.
+    One pass computes both (the exact side is the audit, not a second
+    scan in production); the sample membership hashes the row id so both
+    engines select the identical sample."""
+    import hashlib
+
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        insamp = np.array([int(hashlib.md5(
+            f"gb:{int(e)}".encode()).hexdigest()[:8], 16) % 100 < pct
+            for e in df.event_id])
+        out = pd.DataFrame({"event_type": df.event_type,
+                            "n_samp": insamp.astype(np.int64)})
+        g = out.groupby("event_type", sort=False)
+        return pd.DataFrame({"event_type": g.size().index,
+                             "n_samp": g.n_samp.sum().to_numpy(),
+                             "n_exact": g.size().to_numpy().astype(np.int64)})
+
+    agg = _preagg(ev.map_batches(pre, batch_format="pandas"),
+                  ["event_type"], [("n_samp", "n_samp", "sum"),
+                                   ("n_exact", "n_exact", "sum")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        est = (df.n_samp * (100 // pct)).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df.event_type,
+            "n_est": est,
+            "n_exact": df.n_exact,
+            "rel_err": ((est - df.n_exact) / df.n_exact).round(6)})
+
+    return agg.map_batches(fin, batch_format="pandas")
