@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_knn_join": Q.ann_knn_join,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_pq_topk": Q.ann_pq_topk,
         "embedding_label_stats": Q.embedding_label_stats,
         "embedding_near_dup": Q.embedding_near_dup,
         # multimodal plumbing (actor-pool decode / feature extraction)

@@ -314,3 +314,79 @@ class TestThumbnails:
         # corrupt rows flow through as empty blobs (never raise)
         bad = got[~got.decode_ok]
         assert len(bad) == 1 and bad.bytes.iloc[0] == b""
+
+
+class TestPQ:
+    SF = "/root/testdata/sf0.001"
+
+    def _brute(self):
+        import os
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.SF, "embeddings.parquet"))
+        ids = t.column("vec_id").to_numpy()
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        n = np.sqrt((X * X).sum(1))
+        Xn = X / np.where(n == 0, 1, n)[:, None]
+        return ids, Xn
+
+    def test_build_and_search_recall(self, tmp_path):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            build_pq_index, search_pq)
+
+        idx = build_pq_index(self.SF, out_dir=str(tmp_path / "pq"))
+        ids, Xn = self._brute()
+        qpos = int(np.argmin(ids))
+        q = Xn[qpos]
+        got = search_pq(self.SF, idx, q, topk=10, rerank=64,
+                        exclude_vec_id=int(ids[qpos]))
+        sims = Xn @ q
+        sims[qpos] = -9.0
+        order = np.lexsort((ids, -np.round(sims, 6)))[:10]
+        want = set(ids[order].tolist())
+        recall = len(set(got.vec_id.tolist()) & want) / 10.0
+        # near-orthogonal fixture = PQ worst case; exact re-rank recovers it
+        assert recall >= 0.8
+        # exact re-rank: returned sims must equal brute-force sims
+        brute = dict(zip(ids.tolist(), np.round(Xn @ q, 6).tolist()))
+        for vid, s in zip(got.vec_id, got.cosine_sim):
+            assert abs(brute[int(vid)] - float(s)) < 1e-12
+
+    def test_encode_roundtrip_determinism(self):
+        from tiff_enrichment_pipeline_ray.stages.ann import (
+            pq_encode, pq_train)
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(256, 64)).astype(np.float32)
+        books = pq_train(X, m=16, ksub=32, seed=7)
+        c1 = pq_encode(X, books)
+        c2 = pq_encode(X, books)
+        assert (c1 == c2).all()
+        assert c1.shape == (256, 16) and c1.dtype == np.uint8
+        # codes must beat random assignment: reconstruction error below
+        # the mean pairwise distance
+        m, ksub, dsub = books.shape
+        rec = np.concatenate([books[j][c1[:, j]] for j in range(m)], axis=1)
+        err = ((X - rec) ** 2).sum(1).mean()
+        base = ((X - X.mean(0)) ** 2).sum(1).mean()
+        assert err < base
+
+    def test_build_never_gathers_dataset(self, tmp_path, monkeypatch):
+        """Only the bounded training sample may reach the driver."""
+        import ray.data as rd
+
+        from tiff_enrichment_pipeline_ray.stages import ann
+
+        real = rd.Dataset.to_pandas
+        calls = []
+
+        def spy(self, *a, **k):
+            df = real(self, *a, **k)
+            calls.append(len(df))
+            return df
+
+        monkeypatch.setattr(rd.Dataset, "to_pandas", spy)
+        ann.build_pq_index(self.SF, sample_rows=128,
+                           out_dir=str(tmp_path / "pq2"))
+        assert calls and max(calls) <= 128

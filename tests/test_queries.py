@@ -107,7 +107,8 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2g: sample-based GROUP BY estimation audit (CIDR'19)
            "events_groupby_estimate"]
 
-ROWS_ONLY = ["doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
+ROWS_ONLY = ["ann_pq_topk",
+             "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
              "audio_stats", "video_frame_sample", "ann_lsh_topk",
              "events_value_percentiles_tdigest", "image_phash_near_dup"]

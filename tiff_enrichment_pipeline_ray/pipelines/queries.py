@@ -1440,6 +1440,16 @@ def ann_lsh_topk(sf_dir: str):
     return _lsh(sf_dir)
 
 
+def ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN — the memory-compression scale path (16
+    uint8 codes per 64-dim vector = 16× smaller scan side; ADC lookup-table
+    scoring + exact re-rank of a bounded candidate set). Approximate by
+    design → rows-only; recall vs brute force pinned in tests."""
+    from ..stages.ann import ann_pq_topk as _pq
+
+    return _pq(sf_dir)
+
+
 def audio_stats(sf_dir: str):
     """Actor-pool audio decode over the synthetic audio table (multimodal
     plumbing: GA01 container → sample_rate / duration / RMS per clip; poison

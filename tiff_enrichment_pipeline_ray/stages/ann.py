@@ -437,3 +437,150 @@ class IVFIndex:
         sims = np.concatenate(cand_sims)
         order = np.lexsort((ids, -sims))[:topk]
         return ids[order], sims[order]
+
+
+# ------------------------------------------------------- PQ scale path
+#
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): the memory-compression path for
+# 10^12-vector corpora. Each d-dim float vector becomes m uint8 codes
+# (here 64×4B → 16B at m=16, 16× smaller), so the scan side of a search touches
+# codes only; queries score candidates with an ADC lookup table (m × ksub
+# dot-product partials, computed once per query) and a bounded candidate
+# set is re-ranked exactly against the raw vectors (a pruned distributed
+# filter). Same cache/layout discipline as the IVF path.
+
+_PQ_CACHE_ROOT = "/tmp/graft_synth/pq_cache"
+
+
+def pq_train(X: np.ndarray, m: int = 16, ksub: int = 32,
+             seed: int = 42) -> np.ndarray:
+    """Per-subspace deterministic k-means codebooks: (m, ksub, d//m)."""
+    X = np.asarray(X, dtype=np.float32)
+    d = X.shape[1]
+    assert d % m == 0, f"d={d} not divisible by m={m}"
+    dsub = d // m
+    return np.stack([
+        kmeans_fit(X[:, j * dsub:(j + 1) * dsub], ksub, seed=seed + j)
+        for j in range(m)])
+
+
+def pq_encode(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: nearest sub-centroid per subspace."""
+    X = np.asarray(X, dtype=np.float32)
+    m, ksub, dsub = books.shape
+    return np.stack([
+        np.argmin(_sq_dists(X[:, j * dsub:(j + 1) * dsub], books[j]), axis=1)
+        for j in range(m)], axis=1).astype(np.uint8)
+
+
+def build_pq_index(sf_dir: str, m: int = 16, ksub: int = 32, seed: int = 42,
+                   sample_rows: int = 4096, out_dir: str | None = None) -> str:
+    """Distributed PQ build: sample-trained codebooks (bounded limit-read),
+    broadcast once, codes + exact norms written as parquet. Layout:
+
+        <dir>/codebooks.npy                 (m, ksub, dsub) small
+        <dir>/codes/*.parquet               (vec_id, code bytes, norm)
+    """
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.blake2b(
+        f"pq|{path}|{os.path.getsize(path)}|{m}|{ksub}|{seed}|{sample_rows}"
+        .encode(), digest_size=10).hexdigest()
+    out = out_dir or os.path.join(_PQ_CACHE_ROOT, tag)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    sample = ds.limit(sample_rows).to_pandas()
+    books = pq_train(np.stack(sample.embedding.to_numpy()), m, ksub, seed)
+    b_ref = ray.put(books)
+
+    def encode(df: pd.DataFrame, _b=b_ref) -> pd.DataFrame:
+        import ray as _r
+
+        bk = _r.get(_b) if isinstance(_b, _r.ObjectRef) else _b
+        X = np.stack(df.embedding.to_numpy()).astype(np.float32)
+        codes = pq_encode(X, bk)
+        norms = np.sqrt((X.astype(np.float64) ** 2).sum(1))
+        return pd.DataFrame({"vec_id": df.vec_id.astype(np.int64),
+                             "code": [c.tobytes() for c in codes],
+                             "norm": norms})
+
+    codes_dir = os.path.join(out, "codes")
+    os.makedirs(codes_dir, exist_ok=True)
+    ds.map_batches(encode, batch_format="pandas").write_parquet(codes_dir)
+    np.save(os.path.join(out, "codebooks.npy"), books)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def search_pq(sf_dir: str, index_dir: str, q: np.ndarray, topk: int = 10,
+              rerank: int = 64, exclude_vec_id: int | None = None) -> pd.DataFrame:
+    """ADC scan over the codes table (distributed, per-batch partial
+    top-`rerank`) → bounded driver merge → EXACT re-rank of the candidate
+    ids against the raw vectors via a distributed key filter."""
+    import ray.data as rd
+
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, ksub, dsub = books.shape
+    q = np.asarray(q, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    # ADC lookup table: lut[j, c] = <q_subj, books[j, c]>
+    lut = np.stack([
+        books[j].astype(np.float64) @ q[j * dsub:(j + 1) * dsub]
+        for j in range(m)])
+
+    def adc(df: pd.DataFrame) -> pd.DataFrame:
+        codes = np.frombuffer(b"".join(df.code.to_numpy()),
+                              dtype=np.uint8).reshape(len(df), m)
+        approx_dot = lut[np.arange(m)[None, :], codes].sum(1)
+        norm = df.norm.to_numpy(np.float64)
+        sim = approx_dot / (np.where(norm == 0, 1, norm) * qn)
+        out = pd.DataFrame({"vec_id": df.vec_id.astype(np.int64),
+                            "approx_sim": sim})
+        if exclude_vec_id is not None:
+            out = out[out.vec_id != exclude_vec_id]
+        return out.sort_values(["approx_sim", "vec_id"],
+                               ascending=[False, True]).head(rerank)
+
+    parts = (rd.read_parquet(os.path.join(index_dir, "codes"))
+             .map_batches(adc, batch_format="pandas").to_pandas())
+    cand = set(parts.sort_values(["approx_sim", "vec_id"],
+                                 ascending=[False, True])
+               .head(rerank).vec_id)
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.vec_id.isin(cand)]
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                                 "cosine_sim": pd.Series(dtype=float)})
+        M = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(1))
+        sims = np.round((M @ q) / (np.where(norms == 0, 1, norms) * qn), 6)
+        return pd.DataFrame({"vec_id": df.vec_id.astype(np.int64),
+                             "cosine_sim": sims})
+
+    ex = emb.map_batches(exact, batch_format="pandas").to_pandas()
+    return (ex.sort_values(["cosine_sim", "vec_id"],
+                           ascending=[False, True])
+            .head(topk).reset_index(drop=True))
+
+
+def ann_pq_topk(sf_dir: str, topk: int = 10, m: int = 16, ksub: int = 32,
+                rerank: int = 64):
+    """Driver query: PQ-compressed ANN top-k for the min-vec_id query
+    (32× smaller scan side; exact re-rank of a bounded candidate set)."""
+    from ..pipelines.queries import _query_vec
+
+    qid, q = _query_vec(sf_dir)
+    index_dir = build_pq_index(sf_dir, m=m, ksub=ksub)
+    return search_pq(sf_dir, index_dir, q, topk=topk, rerank=rerank,
+                     exclude_vec_id=qid)
