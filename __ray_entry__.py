@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "suppliers_with_returns": Q.suppliers_with_returns,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,

@@ -105,7 +105,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2g: Efraimidis-Spirakis weighted sampling (bit-exact pow)
            "sample_weighted",
            # round 2g: sample-based GROUP BY estimation audit (CIDR'19)
-           "events_groupby_estimate"]
+           "events_groupby_estimate",
+           # round 2g: Q15 max-over-aggregate + native LEFT SEMI join
+           "q15_top_supplier", "suppliers_with_returns"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

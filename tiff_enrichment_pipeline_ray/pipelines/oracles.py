@@ -947,6 +947,30 @@ FROM t GROUP BY event_type
 """
 
 
+ORACLES["q15_top_supplier"] = """
+WITH rev AS (SELECT l_suppkey,
+                    round(sum(l_extendedprice * (1 - l_discount)), 4)
+                      AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate < DATE '1996-04-01'
+             GROUP BY l_suppkey)
+SELECT l_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY l_suppkey
+"""
+
+ORACLES["suppliers_with_returns"] = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+                AND l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01')
+"""
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -3269,3 +3269,74 @@ def events_groupby_estimate(sf_dir: str, pct: int = 10):
             "rel_err": ((est - df.n_exact) / df.n_exact).round(6)})
 
     return agg.map_batches(fin, batch_format="pandas")
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: revenue per supplier for 1996-Q1
+    shipments, returning every supplier tied at the max (the scalar
+    subquery over an aggregate). The per-supplier aggregate is distributed;
+    the max is a two-phase scalar (per-block max partials → tiny driver
+    max) and the filter runs distributed on the already-small aggregate."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-04-01", "us")
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_suppkey", "l_shipdate",
+                                "l_extendedprice", "l_discount"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.l_shipdate >= lo) & (df.l_shipdate < hi)]
+        return pd.DataFrame({
+            "l_suppkey": df.l_suppkey,
+            "total_revenue": df.l_extendedprice * (1.0 - df.l_discount)})
+
+    per_supp = _preagg(li.map_batches(pre, batch_format="pandas"),
+                       ["l_suppkey"], [("total_revenue", "total_revenue",
+                                        "sum")])
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_revenue"] = df.total_revenue.round(4)
+        return df
+
+    per_supp = per_supp.map_batches(rnd, batch_format="pandas")
+    mx = per_supp.map_batches(
+        lambda df: pd.DataFrame({"m": [df.total_revenue.max()]})
+        if len(df) else pd.DataFrame({"m": pd.Series(dtype=float)}),
+        batch_format="pandas").to_pandas()  # one row per block
+    m = float(mx.m.max())
+    top = per_supp.map_batches(
+        lambda df: df[df.total_revenue == m], batch_format="pandas")
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_name"])
+    joined = _dsjoin(top, supp, on=("l_suppkey",), right_on=("s_suppkey",))
+    df = joined.to_pandas()  # ties at the max: tiny
+    return df[["l_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("l_suppkey").reset_index(drop=True)
+
+
+def suppliers_with_returns(sf_dir: str):
+    """Native LEFT SEMI join (Ray join_type='left_semi'): suppliers with at
+    least one returned 1996 lineitem — existence, not multiplicity, so the
+    probe side is deduped per block before the shuffle and the semi join
+    emits each left row at most once (no post-dedup needed)."""
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_suppkey", "l_returnflag", "l_shipdate"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.l_returnflag == "R")
+                & (df.l_shipdate >= lo) & (df.l_shipdate < hi)]
+        return pd.DataFrame({"l_suppkey": df.l_suppkey.unique()})
+
+    probe = li.map_batches(keys, batch_format="pandas")
+    semi = _dsjoin(supp, probe, on=("s_suppkey",), right_on=("l_suppkey",),
+                   join_type="left_semi")
+    nmap = _nation_names(sf_dir)
+    return semi.map_batches(
+        lambda df: pd.DataFrame({"s_suppkey": df.s_suppkey,
+                                 "s_name": df.s_name,
+                                 "n_name": df.s_nationkey.map(nmap)}),
+        batch_format="pandas")
