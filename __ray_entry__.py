@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": Q.q22_idle_customers,
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,
+        "q12_priority_by_status": Q.q12_priority_by_status,
+        "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
@@ -84,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
         "events_props_stats": Q.events_props_stats,
         "events_groupby_estimate": Q.events_groupby_estimate,
+        "events_cube": Q.events_cube,
+        "events_skewkurt": Q.events_skewkurt,
+        "events_value_mad": Q.events_value_mad,
         "sample_join_uniform": Q.sample_join_uniform,
         "sample_weighted": Q.sample_weighted,
         # documents: text analysis + dedup

@@ -107,7 +107,12 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2g: sample-based GROUP BY estimation audit (CIDR'19)
            "events_groupby_estimate",
            # round 2g: Q15 max-over-aggregate + native LEFT SEMI join
-           "q15_top_supplier", "suppliers_with_returns"]
+           "q15_top_supplier", "suppliers_with_returns",
+           # round 2h: Q12 conditional-count join, Q21 double-correlated
+           # EXISTS/NOT EXISTS, CUBE grouping sets, two-pass higher moments
+           # (skew/kurtosis), exact per-group median absolute deviation
+           "q12_priority_by_status", "q21_waiting_suppliers",
+           "events_cube", "events_skewkurt", "events_value_mad"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -970,6 +970,76 @@ WHERE EXISTS (SELECT 1 FROM lineitem
                 AND l_shipdate < DATE '1997-01-01')
 """
 
+ORACLES["q12_priority_by_status"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+# the authentic Q21 double-correlated EXISTS / NOT EXISTS form; the Ray side
+# evaluates the same predicates vectorized inside one orderkey-hash shuffle
+ORACLES["q21_waiting_suppliers"] = """
+WITH sm AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS md
+  FROM lineitem GROUP BY l_orderkey, l_suppkey)
+SELECT l_suppkey, count(*) AS numwait
+FROM sm s
+WHERE EXISTS (SELECT 1 FROM sm o
+              WHERE o.l_orderkey = s.l_orderkey
+                AND o.l_suppkey <> s.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sm o
+                  WHERE o.l_orderkey = s.l_orderkey
+                    AND o.l_suppkey <> s.l_suppkey
+                    AND o.md >= s.md)
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey
+LIMIT 10
+"""
+
+ORACLES["events_cube"] = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(dow, 'ALL') AS dow,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, strftime(ts, '%w') AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+"""
+
+# centered two-pass moments spelled out explicitly (identical formula to the
+# Ray side) rather than DuckDB's built-in skewness/kurtosis, which apply
+# sample-size bias corrections this population-moment query does not
+ORACLES["events_skewkurt"] = """
+WITH m AS (SELECT event_type, sum(value) / count(*) AS mu
+           FROM events GROUP BY event_type)
+SELECT e.event_type AS event_type, count(*) AS n,
+       round((sum(power(e.value - m.mu, 3)) / count(*))
+             / power(sum(power(e.value - m.mu, 2)) / count(*), 1.5), 6)
+         AS skew_pop,
+       round((sum(power(e.value - m.mu, 4)) / count(*))
+             / power(sum(power(e.value - m.mu, 2)) / count(*), 2) - 3.0, 6)
+         AS kurt_excess
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
+ORDER BY event_type
+"""
+
+ORACLES["events_value_mad"] = """
+WITH med AS (SELECT event_type, median(value) AS mv
+             FROM events GROUP BY event_type)
+SELECT e.event_type AS event_type, count(*) AS n,
+       round(any_value(m.mv), 6) AS median_value,
+       round(median(abs(e.value - m.mv)), 6) AS mad_value
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type
+"""
+
 
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same

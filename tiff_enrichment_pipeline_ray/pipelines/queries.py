@@ -3340,3 +3340,183 @@ def suppliers_with_returns(sf_dir: str):
                                  "s_name": df.s_name,
                                  "n_name": df.s_nationkey.map(nmap)}),
         batch_format="pandas")
+
+
+# ------------------------------------------- round 2h: final join/agg breadth
+
+
+def q12_priority_by_status(sf_dir: str):
+    """TPC-H Q12-shaped shipping classification (adapted: this schema has no
+    l_shipmode/commitdate, so the grouping dimension is l_linestatus and the
+    window is shipdate-1996): a DISTRIBUTED lineitem ⋈ orders hash join
+    feeding vectorized conditional counts — high-priority (1-URGENT/2-HIGH)
+    vs low-priority line counts per status. The lineitem side is
+    pre-aggregated to (orderkey, linestatus, n) BEFORE the join, so the
+    exchange carries one row per order × status instead of one per line —
+    the same preagg-below-join rule every fact⋈fact query here follows."""
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.l_shipdate >= lo) & (df.l_shipdate < hi)]
+        return df[["l_orderkey", "l_linestatus"]]
+
+    cnt = _preagg(li.map_batches(pre, batch_format="pandas"),
+                  ["l_orderkey", "l_linestatus"],
+                  [("n_lines", None, "count")])
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderkey", "o_orderpriority"])
+    joined = _dsjoin(cnt, orders, on=("l_orderkey",),
+                     right_on=("o_orderkey",))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        hi_m = df.o_orderpriority.isin(("1-URGENT", "2-HIGH")).to_numpy()
+        n = df.n_lines.to_numpy(np.int64)
+        return pd.DataFrame({"l_linestatus": df.l_linestatus,
+                             "high_line_count": np.where(hi_m, n, 0),
+                             "low_line_count": np.where(hi_m, 0, n)})
+
+    agg = _preagg(joined.map_batches(classify, batch_format="pandas"),
+                  ["l_linestatus"],
+                  [("high_line_count", "high_line_count", "sum"),
+                   ("low_line_count", "low_line_count", "sum")])
+    df = agg.to_pandas()
+    df["high_line_count"] = df.high_line_count.astype(np.int64)
+    df["low_line_count"] = df.low_line_count.astype(np.int64)
+    return df.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 10):
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS (adapted: no
+    commit/receipt dates, so 'the supplier that held up the order' is the
+    one whose latest shipdate within a multi-supplier order is STRICTLY
+    later than every other supplier's). Plan: one hash aggregate to
+    per-(order, supplier) max-shipdate rows, then ONE orderkey-hash shuffle
+    whose per-partition combine evaluates both correlated subqueries with
+    vectorized pandas transforms (group max / sizes) — never a per-order
+    Python loop, never a driver materialization. Output: top-k blamed
+    suppliers (count desc, suppkey asc — total order, deterministic)."""
+    import ray
+
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    sm = _preagg(li, ["l_orderkey", "l_suppkey"],
+                 [("md", "l_shipdate", "max")])
+
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pk"] = (pd.util.hash_pandas_object(df["l_orderkey"], index=False)
+                     % npart).astype("int32")
+        return df
+
+    def blame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)
+        mx = g.md.transform("max")
+        ns = g.l_orderkey.transform("size")
+        w = df[(df.md.to_numpy() == mx.to_numpy()) & (ns.to_numpy() >= 2)]
+        nw = w.groupby("l_orderkey", sort=False).l_suppkey.transform("size")
+        w = w[nw.to_numpy() == 1]
+        return pd.DataFrame({"l_suppkey": w.l_suppkey.astype(np.int64)})
+
+    blamed = (sm.map_batches(key, batch_format="pandas")
+                .groupby("_pk")
+                .map_groups(lambda df: blame(df.drop(columns=["_pk"])),
+                            batch_format="pandas"))
+    cnt = _preagg(blamed, ["l_suppkey"],
+                  [("numwait", None, "count")]).to_pandas()
+    cnt["numwait"] = cnt.numwait.astype(np.int64)
+    return (cnt.sort_values(["numwait", "l_suppkey"],
+                            ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow): all four grouping sets from ONE
+    distributed finest pass (type × day-of-week ≤ 35 rows); the three
+    coarser marginals are derived from that tiny table — the standard cube
+    optimization (additive measures re-aggregate exactly). 'ALL' marks a
+    rolled-up dimension, same convention as events_rollup."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        # (dayofweek+1) % 7 maps pandas Monday=0 onto strftime %w Sunday=0
+        dow = ((df.ts.dt.dayofweek + 1) % 7).astype(str)
+        return pd.DataFrame({"event_type": df.event_type, "dow": dow,
+                             "value": df.value})
+
+    finest = _preagg(ev.map_batches(tag, batch_format="pandas"),
+                     ["event_type", "dow"],
+                     [("n_events", None, "count"),
+                      ("sum_value", "value", "sum")]).to_pandas()
+    per_type = finest.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    per_type["dow"] = "ALL"
+    per_dow = finest.groupby("dow", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    per_dow["event_type"] = "ALL"
+    grand = pd.DataFrame({"event_type": ["ALL"], "dow": ["ALL"],
+                          "n_events": [finest.n_events.sum()],
+                          "sum_value": [finest.sum_value.sum()]})
+    out = pd.concat([finest, per_type, per_dow, grand], ignore_index=True)
+    out["n_events"] = out.n_events.astype(np.int64)
+    out["sum_value"] = out.sum_value.round(4)
+    return out[["event_type", "dow", "n_events", "sum_value"]]
+
+
+def events_skewkurt(sf_dir: str):
+    """Higher-moment aggregates (population skewness and excess kurtosis per
+    event_type) via the numerically-stable TWO-PASS pattern (same shape as
+    lineitem_corr_stats): pass 1 = distributed (n, Σv) → broadcast means;
+    pass 2 = centered power sums. Centered sums avoid the catastrophic
+    cancellation of the one-pass raw-moment identity; the SQL oracle spells
+    out the IDENTICAL centered formula, so parity holds within round(·, 6)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "value"])
+    m1 = _preagg(ev, ["event_type"],
+                 [("n", None, "count"), ("sv", "value", "sum")]).to_pandas()
+    means = {r.event_type: r.sv / r.n for r in m1.itertuples()}
+
+    def centered(df: pd.DataFrame) -> pd.DataFrame:
+        mu = df.event_type.map(means).to_numpy(np.float64)
+        d = df.value.to_numpy(np.float64) - mu
+        d2 = d * d
+        return pd.DataFrame({"event_type": df.event_type,
+                             "d2": d2, "d3": d2 * d, "d4": d2 * d2})
+
+    m2 = _preagg(ev.map_batches(centered, batch_format="pandas"),
+                 ["event_type"],
+                 [("d2", "d2", "sum"), ("d3", "d3", "sum"),
+                  ("d4", "d4", "sum")]).to_pandas()
+    df = m1.merge(m2, on="event_type")
+    n = df.n.astype(np.float64)
+    v = df.d2 / n
+    return pd.DataFrame({
+        "event_type": df.event_type,
+        "n": df.n.astype(np.int64),
+        "skew_pop": (df.d3 / n / np.power(v, 1.5)).round(6),
+        "kurt_excess": (df.d4 / n / (v * v) - 3.0).round(6),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_mad(sf_dir: str):
+    """Median absolute deviation per event_type — the robust-dispersion
+    member of the A4 percentile family: one event_type-keyed exchange, both
+    medians computed exactly in-group (np.median ≡ DuckDB median linear
+    interpolation). Same extreme-cardinality note as
+    events_value_percentiles: swap in t-digest partials when one group
+    outgrows a worker's heap."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "value"])
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.value.to_numpy(np.float64)
+        med = float(np.median(v))
+        return pd.DataFrame({
+            "event_type": [g.event_type.iloc[0]],
+            "n": [np.int64(len(g))],
+            "median_value": [round(med, 6)],
+            "mad_value": [round(float(np.median(np.abs(v - med))), 6)],
+        })
+
+    return ev.groupby("event_type").map_groups(grp, batch_format="pandas")
