@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": Q.events_cube,
         "events_skewkurt": Q.events_skewkurt,
         "events_value_mad": Q.events_value_mad,
+        "events_interval_join": Q.events_interval_join,
+        "events_ntile": Q.events_ntile,
         "sample_join_uniform": Q.sample_join_uniform,
         "sample_weighted": Q.sample_weighted,
         # documents: text analysis + dedup

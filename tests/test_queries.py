@@ -112,7 +112,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # EXISTS/NOT EXISTS, CUBE grouping sets, two-pass higher moments
            # (skew/kurtosis), exact per-group median absolute deviation
            "q12_priority_by_status", "q21_waiting_suppliers",
-           "events_cube", "events_skewkurt", "events_value_mad"]
+           "events_cube", "events_skewkurt", "events_value_mad",
+           # round 2h: interval (band) self-join with overlap multiplicity,
+           # NTILE window bucketing
+           "events_interval_join", "events_ntile"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

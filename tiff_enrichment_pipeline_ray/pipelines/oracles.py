@@ -1030,6 +1030,25 @@ GROUP BY e.event_type
 ORDER BY event_type
 """
 
+ORACLES["events_interval_join"] = """
+SELECT e.user_id AS user_id, count(*) AS n_pairs
+FROM events e JOIN events p ON e.user_id = p.user_id
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 2 HOUR
+GROUP BY e.user_id
+"""
+
+ORACLES["events_ntile"] = """
+WITH t AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS tile
+  FROM events)
+SELECT event_type, tile, count(*) AS n,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM t GROUP BY event_type, tile
+"""
+
 ORACLES["events_value_mad"] = """
 WITH med AS (SELECT event_type, median(value) AS mv
              FROM events GROUP BY event_type)

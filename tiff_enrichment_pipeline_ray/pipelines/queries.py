@@ -3520,3 +3520,70 @@ def events_value_mad(sf_dir: str):
         })
 
     return ev.groupby("event_type").map_groups(grp, batch_format="pandas")
+
+
+def events_interval_join(sf_dir: str, window_h: int = 2):
+    """INTERVAL (band) self-join: per user, the number of (error event,
+    purchase window) pairs where the error falls inside
+    [purchase_ts, purchase_ts + 2h]. Unlike events_asof_purchase (which
+    matches only the MOST RECENT purchase), every covering window counts —
+    the overlap-multiplicity interval-join semantic. One user_id-keyed
+    shuffle; inside each group the pair count is two np.searchsorted calls
+    against the user's sorted purchase timestamps (integer-µs arithmetic on
+    both engines → bit-exact SQL parity). Users with zero pairs drop out,
+    matching the SQL inner join."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["user_id", "ts", "event_type"])
+    W = window_h * 3_600_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        et = g.event_type.to_numpy()
+        us = _epoch_us(g.ts)
+        p = np.sort(us[et == "purchase"])
+        e = us[et == "error"]
+        empty = pd.DataFrame({"user_id": np.array([], dtype=np.int64),
+                              "n_pairs": np.array([], dtype=np.int64)})
+        if len(p) == 0 or len(e) == 0:
+            return empty
+        # purchases covering e: p ∈ [e − W, e]
+        n = (np.searchsorted(p, e, side="right")
+             - np.searchsorted(p, e - W, side="left"))
+        tot = int(n.sum())
+        if tot == 0:
+            return empty
+        return pd.DataFrame({"user_id": [np.int64(g.user_id.iloc[0])],
+                             "n_pairs": [np.int64(tot)]})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_ntile(sf_dir: str, tiles: int = 4):
+    """NTILE(4) window bucketing per event_type: rows totally ordered by
+    (value, event_id) are split into 4 near-equal buckets — the first
+    n mod 4 buckets take the extra row, exactly SQL NTILE — and reported as
+    per-(type, tile) count + mean. One event_type-keyed exchange, one
+    argsort per group (same in-group scale boundary as
+    events_value_percentiles)."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = g.value.to_numpy(np.float64)
+        order = np.lexsort((g.event_id.to_numpy(np.int64), v))
+        n = len(v)
+        base, rem = divmod(n, tiles)
+        sizes = np.full(tiles, base, dtype=np.int64)
+        sizes[:rem] += 1
+        sv = v[order]
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        rows = []
+        for t in range(tiles):
+            seg = sv[bounds[t]:bounds[t + 1]]
+            rows.append({"event_type": g.event_type.iloc[0],
+                         "tile": np.int64(t + 1),
+                         "n": np.int64(len(seg)),
+                         "avg_value": round(float(seg.sum() / len(seg)), 6)})
+        return pd.DataFrame(rows)
+
+    return ev.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")
