@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_exact_dedup": Q.caption_exact_dedup,
         "px_histogram": Q.px_histogram,
         "band_stats_by_class": Q.band_stats_by_class,
+        "zonal_stats_landcover": Q.zonal_stats_landcover,
         "enriched_daily_stats": Q.enriched_daily_stats,
         "file_class_counts": Q.file_class_counts,
         "gps_export": Q.gps_export,

@@ -115,7 +115,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_cube", "events_skewkurt", "events_value_mad",
            # round 2h: interval (band) self-join with overlap multiplicity,
            # NTILE window bucketing
-           "events_interval_join", "events_ntile"]
+           "events_interval_join", "events_ntile",
+           # round 2h: zonal stats per land-cover class over the J2 join
+           "zonal_stats_landcover"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1111,6 +1111,16 @@ FROM {enr} GROUP BY caption
 SELECT phash, min(image_id) AS keep_image_id, count(*) AS dup_count
 FROM {enr} GROUP BY phash
 """
+    o["zonal_stats_landcover"] = f"""
+SELECT COALESCE(landcover_class, 'none') AS landcover_class,
+       count(*) AS n_images,
+       CAST(count(elevation_m) AS BIGINT) AS n_elev,
+       round(sum(COALESCE(elevation_m, 0.0))
+             / greatest(count(elevation_m), 1), 4) AS mean_elevation,
+       round(sum(COALESCE(footprint_m2, 0.0))
+             / greatest(count(footprint_m2), 1), 4) AS mean_footprint_m2
+FROM {enr} GROUP BY 1
+"""
     o["enriched_daily_stats"] = f"""
 SELECT COALESCE(strftime(ts, '%Y-%m-%d'), 'unknown') AS date,
        count(*) AS n_images,

@@ -3587,3 +3587,40 @@ def events_ntile(sf_dir: str, tiles: int = 4):
 
     return ev.groupby("event_type").map_groups(per_type,
                                                batch_format="pandas")
+
+
+def zonal_stats_landcover(sf_dir: str):
+    """Zonal statistics over the J2 spatial-join output: per land-cover
+    class (the polygon layer each image fell in), image count, elevation
+    coverage and means of elevation/footprint — the reference's PostGIS
+    zonal-summary view family (create-tables.sql A3 analogue) recomputed
+    over the materialized enriched parquet with one tiny-key hash
+    aggregate. NULL class (no GPS / outside polygons) groups as 'none' on
+    both engines."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["landcover_class", "elevation_m", "footprint_m2"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "landcover_class": df.landcover_class.fillna("none"),
+            "n": np.int64(1),
+            "sum_elev": df.elevation_m.fillna(0.0),
+            "n_elev": df.elevation_m.notna().astype(np.int64),
+            "sum_fp": df.footprint_m2.fillna(0.0),
+            "n_fp": df.footprint_m2.notna().astype(np.int64),
+        })
+
+    agg = _preagg(ds.map_batches(tag, batch_format="pandas"),
+                  ["landcover_class"],
+                  [("n_images", "n", "sum"), ("sum_elev", "sum_elev", "sum"),
+                   ("n_elev", "n_elev", "sum"), ("sum_fp", "sum_fp", "sum"),
+                   ("n_fp", "n_fp", "sum")]).to_pandas()
+    agg["mean_elevation"] = (agg.sum_elev / agg.n_elev.clip(lower=1)).round(4)
+    agg["mean_footprint_m2"] = (agg.sum_fp / agg.n_fp.clip(lower=1)).round(4)
+    agg["n_images"] = agg.n_images.astype(np.int64)
+    agg["n_elev"] = agg.n_elev.astype(np.int64)
+    return agg[["landcover_class", "n_images", "n_elev",
+                "mean_elevation", "mean_footprint_m2"]]
