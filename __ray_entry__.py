@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": Q.events_value_mad,
         "events_interval_join": Q.events_interval_join,
         "events_ntile": Q.events_ntile,
+        "events_value_histogram": Q.events_value_histogram,
         "sample_join_uniform": Q.sample_join_uniform,
         "sample_weighted": Q.sample_weighted,
         # documents: text analysis + dedup

@@ -117,7 +117,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # NTILE window bucketing
            "events_interval_join", "events_ntile",
            # round 2h: zonal stats per land-cover class over the J2 join
-           "zonal_stats_landcover"]
+           "zonal_stats_landcover",
+           # round 2h: equal-width histogram (A5 family, SQL-exact bins)
+           "events_value_histogram"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1049,6 +1049,20 @@ SELECT event_type, tile, count(*) AS n,
 FROM t GROUP BY event_type, tile
 """
 
+ORACLES["events_value_histogram"] = """
+WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+b AS (SELECT least(CAST(floor((value - s.mn) / ((s.mx - s.mn) / 20))
+                        AS BIGINT), 19) AS bin
+      FROM events, s)
+SELECT bin,
+       round((SELECT mn FROM s)
+             + bin * (((SELECT mx FROM s) - (SELECT mn FROM s)) / 20), 6)
+         AS bin_lo,
+       count(*) AS n
+FROM b GROUP BY bin
+ORDER BY bin
+"""
+
 ORACLES["events_value_mad"] = """
 WITH med AS (SELECT event_type, median(value) AS mv
              FROM events GROUP BY event_type)

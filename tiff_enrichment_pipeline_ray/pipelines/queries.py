@@ -3624,3 +3624,31 @@ def zonal_stats_landcover(sf_dir: str):
     agg["n_elev"] = agg.n_elev.astype(np.int64)
     return agg[["landcover_class", "n_images", "n_elev",
                 "mean_elevation", "mean_footprint_m2"]]
+
+
+def events_value_histogram(sf_dir: str, bins: int = 20):
+    """Equal-width histogram over events.value — the A5 histogram family
+    with an exact SQL oracle (px_histogram's bins come from decoded pixels,
+    so it is rows-only; this one is value-checked end to end): pass 1 =
+    distributed global min/max (order-insensitive, exact); pass 2 =
+    vectorized bin ids + one tiny-key hash aggregate. bin =
+    min(floor((v − mn)/w), bins−1) with w = (mx − mn)/bins, the IDENTICAL
+    fp expression on both engines → bit-exact."""
+    ev = read_testdata(sf_dir, "events", columns=["value"])
+    mm = ev.map_batches(
+        lambda df: pd.DataFrame({"mn": [df.value.min()],
+                                 "mx": [df.value.max()]}),
+        batch_format="pandas").to_pandas()  # one row per block
+    mn, mx = float(mm.mn.min()), float(mm.mx.max())
+    w = (mx - mn) / bins
+
+    def binit(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor((df.value.to_numpy(np.float64) - mn) / w)
+        return pd.DataFrame({"bin": np.minimum(b, bins - 1).astype(np.int64)})
+
+    agg = _preagg(ev.map_batches(binit, batch_format="pandas"),
+                  ["bin"], [("n", None, "count")]).to_pandas()
+    agg["bin_lo"] = (mn + agg.bin * w).round(6)
+    agg["n"] = agg.n.astype(np.int64)
+    return (agg.sort_values("bin").reset_index(drop=True)
+            [["bin", "bin_lo", "n"]])
