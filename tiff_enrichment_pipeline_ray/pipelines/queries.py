@@ -3425,8 +3425,15 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 10):
                 .groupby("_pk")
                 .map_groups(lambda df: blame(df.drop(columns=["_pk"])),
                             batch_format="pandas"))
-    cnt = _preagg(blamed, ["l_suppkey"],
-                  [("numwait", None, "count")]).to_pandas()
+    cnt = _preagg(blamed, ["l_suppkey"], [("numwait", None, "count")])
+
+    # per-block partial top-k so the driver merges ≤ blocks × k rows, not the
+    # full supplier-level aggregate (sf-proportional at scale)
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["numwait", "l_suppkey"],
+                              ascending=[False, True]).head(k)
+
+    cnt = cnt.map_batches(topk_block, batch_format="pandas").to_pandas()
     cnt["numwait"] = cnt.numwait.astype(np.int64)
     return (cnt.sort_values(["numwait", "l_suppkey"],
                             ascending=[False, True])
