@@ -32,11 +32,94 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
+    FIRST ~50 entries, so the front window holds (a) the queries changed
+    this round and (b) every SQL-oracled query that had no driver row in
+    CORRECTNESS_r02 (interleaved so all nine families land inside). The
+    already-green r02 TPC-H/events bulk and the rows-only sketch queries
+    (pinned by pytest error-bound / brute-force oracles; by nature they
+    cannot hash-match a SQL oracle) sit behind the window."""
     return {
-        # TPC-H-style relational pipelines (scan → partial agg → shuffle)
+        # --- sweep window: changed this round --------------------------
+        "events_props_stats": Q.events_props_stats,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q8_market_share": Q.q8_market_share,
+        "q9_profit_by_nation": Q.q9_profit_by_nation,
+        # --- flagship geospatial enrichment (SQL-oracled derived views) -
+        "flagship_enriched": Q.flagship_enriched,
+        "flagship_captures": Q.flagship_captures,
+        "image_exact_dedup": Q.image_exact_dedup,
+        "caption_exact_dedup": Q.caption_exact_dedup,
+        "band_stats_by_class": Q.band_stats_by_class,
+        "zonal_stats_landcover": Q.zonal_stats_landcover,
+        "enriched_daily_stats": Q.enriched_daily_stats,
+        "file_class_counts": Q.file_class_counts,
+        "gps_export": Q.gps_export,
+        "validation_report": Q.validation_report,
+        "quarantine_report": Q.quarantine_report,
+        "ops_stats": Q.ops_stats,
+        # --- geospatial joins with exact SQL parity ---------------------
+        "geo_tile_census": Q.geo_tile_census,
+        "geo_knn_station": Q.geo_knn_station,
+        "geo_point_in_rect": Q.geo_point_in_rect,
+        "geo_distance_join": Q.geo_distance_join,
+        # --- near-dup pipelines with exact SQL oracles ------------------
+        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
+        "doc_dup_clusters": Q.doc_dup_clusters,
+        # --- similarity search / embeddings ------------------------------
+        "ann_topk_cosine": Q.ann_topk_cosine,
+        "ann_knn_join": Q.ann_knn_join,
+        "embedding_label_stats": Q.embedding_label_stats,
+        "embedding_near_dup": Q.embedding_near_dup,
+        # --- documents: text analysis / curation -------------------------
+        "doc_train_split": Q.doc_train_split,
+        "doc_exact_dedup": Q.doc_exact_dedup,
+        "doc_token_counts": Q.doc_token_counts,
+        "doc_quality_counts": Q.doc_quality_counts,
+        "doc_lang_stats": Q.doc_lang_stats,
+        "doc_source_stats": Q.doc_source_stats,
+        "doc_quality_scores": Q.doc_quality_scores,
+        "doc_token_counts_regex": Q.doc_token_counts_regex,
+        "doc_repetition_stats": Q.doc_repetition_stats,
+        "doc_vocab_topk": Q.doc_vocab_topk,
+        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
+        "doc_pii_scrub": Q.doc_pii_scrub,
+        "doc_bm25_scores": Q.doc_bm25_scores,
+        "doc_unigram_xent": Q.doc_unigram_xent,
+        "doc_source_token_budget": Q.doc_source_token_budget,
+        # --- events tail that missed the r02 window ----------------------
+        "events_groupby_estimate": Q.events_groupby_estimate,
+        "events_cube": Q.events_cube,
+        "events_skewkurt": Q.events_skewkurt,
+        "events_value_mad": Q.events_value_mad,
+        "events_interval_join": Q.events_interval_join,
+        "events_ntile": Q.events_ntile,
+        "events_value_histogram": Q.events_value_histogram,
+        "sample_join_uniform": Q.sample_join_uniform,
+        "sample_weighted": Q.sample_weighted,
+        # ================= end of the ~50-entry sweep window =============
+        # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
+        # match is impossible by construction — see COVERAGE.md)
+        "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
+        "events_hll_users": Q.events_hll_users,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "dedup_minhash_docs": Q.dedup_minhash_docs,
+        "dedup_simhash_docs": Q.dedup_simhash_docs,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_pq_topk": Q.ann_pq_topk,
+        "image_features": Q.image_features,
+        "audio_stats": Q.audio_stats,
+        "video_frame_sample": Q.video_frame_sample,
+        "image_phash_near_dup": Q.image_phash_near_dup,
+        "px_histogram": Q.px_histogram,
+        "thumbnails": Q.thumbnails,
+        # TPC-H / events bulk — driver-green in CORRECTNESS_r02 at this
+        # same implementation (only q3/q8/q9/props_stats changed; those
+        # four are re-swept at the top of this dict)
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
-        "q3_shipping_priority": Q.q3_shipping_priority,
         "q5_regional_revenue": Q.q5_regional_revenue,
         "orders_per_segment": Q.orders_per_segment,
         "top10_customers": Q.top10_customers,
@@ -49,8 +132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": Q.lineitem_corr_stats,
         "q4_bloom_semijoin": Q.q4_bloom_semijoin,
         "q7_volume_shipping": Q.q7_volume_shipping,
-        "q8_market_share": Q.q8_market_share,
-        "q9_profit_by_nation": Q.q9_profit_by_nation,
         "q10_returned_items": Q.q10_returned_items,
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q16_supplier_part_counts": Q.q16_supplier_part_counts,
@@ -61,13 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_returns": Q.suppliers_with_returns,
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
-        # events / windowed aggregates / top-k
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,
-        "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,
@@ -77,78 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lag": Q.events_user_lag,
         "events_value_cume_dist": Q.events_value_cume_dist,
         "events_topk_per_type": Q.events_topk_per_type,
-        "events_hll_users": Q.events_hll_users,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
         "events_stratified_sample": Q.events_stratified_sample,
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
-        "events_props_stats": Q.events_props_stats,
-        "events_groupby_estimate": Q.events_groupby_estimate,
-        "events_cube": Q.events_cube,
-        "events_skewkurt": Q.events_skewkurt,
-        "events_value_mad": Q.events_value_mad,
-        "events_interval_join": Q.events_interval_join,
-        "events_ntile": Q.events_ntile,
-        "events_value_histogram": Q.events_value_histogram,
-        "sample_join_uniform": Q.sample_join_uniform,
-        "sample_weighted": Q.sample_weighted,
-        # documents: text analysis + dedup
-        "doc_train_split": Q.doc_train_split,
-        "doc_exact_dedup": Q.doc_exact_dedup,
-        "doc_token_counts": Q.doc_token_counts,
-        "doc_quality_counts": Q.doc_quality_counts,
-        "doc_lang_stats": Q.doc_lang_stats,
-        "doc_source_stats": Q.doc_source_stats,
-        "doc_quality_scores": Q.doc_quality_scores,
-        "doc_token_counts_regex": Q.doc_token_counts_regex,
-        "doc_fingerprints": Q.doc_fingerprints,
-        "doc_repetition_stats": Q.doc_repetition_stats,
-        "doc_vocab_topk": Q.doc_vocab_topk,
-        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
-        "doc_pii_scrub": Q.doc_pii_scrub,
-        "doc_bm25_scores": Q.doc_bm25_scores,
-        "doc_unigram_xent": Q.doc_unigram_xent,
-        "doc_source_token_budget": Q.doc_source_token_budget,
-        "dedup_minhash_docs": Q.dedup_minhash_docs,
-        "dedup_simhash_docs": Q.dedup_simhash_docs,
-        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
-        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
-        "doc_dup_clusters": Q.doc_dup_clusters,
-        # embeddings: similarity search (brute baseline + IVF scale path)
-        "ann_topk_cosine": Q.ann_topk_cosine,
-        "ann_knn_join": Q.ann_knn_join,
-        "ann_ivf_topk": Q.ann_ivf_topk,
-        "ann_lsh_topk": Q.ann_lsh_topk,
-        "ann_pq_topk": Q.ann_pq_topk,
-        "embedding_label_stats": Q.embedding_label_stats,
-        "embedding_near_dup": Q.embedding_near_dup,
-        # multimodal plumbing (actor-pool decode / feature extraction)
-        "image_features": Q.image_features,
-        "audio_stats": Q.audio_stats,
-        "video_frame_sample": Q.video_frame_sample,
-        # geospatial joins with exact SQL parity (events-derived points)
-        "geo_tile_census": Q.geo_tile_census,
-        "geo_knn_station": Q.geo_knn_station,
-        "geo_point_in_rect": Q.geo_point_in_rect,
-        "geo_distance_join": Q.geo_distance_join,
-        # flagship geospatial enrichment over the synthetic images table
-        "flagship_enriched": Q.flagship_enriched,
-        "flagship_captures": Q.flagship_captures,
-        "image_exact_dedup": Q.image_exact_dedup,
-        "image_phash_near_dup": Q.image_phash_near_dup,
-        "caption_exact_dedup": Q.caption_exact_dedup,
-        "px_histogram": Q.px_histogram,
-        "band_stats_by_class": Q.band_stats_by_class,
-        "zonal_stats_landcover": Q.zonal_stats_landcover,
-        "enriched_daily_stats": Q.enriched_daily_stats,
-        "file_class_counts": Q.file_class_counts,
-        "gps_export": Q.gps_export,
-        "validation_report": Q.validation_report,
-        "quarantine_report": Q.quarantine_report,
-        "ops_stats": Q.ops_stats,
-        "thumbnails": Q.thumbnails,
     }
 
 

@@ -857,7 +857,7 @@ GROUP BY doc_id
 
 ORACLES["events_props_stats"] = """
 SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        round(sum(json_extract(props, '$.k')::BIGINT)
              / count(*), 6) AS avg_k
 FROM events WHERE json_extract(props, '$.k') IS NOT NULL
