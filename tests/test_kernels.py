@@ -297,3 +297,18 @@ class TestConfigFile:
         user = {"a": {"y": 9}, "c": 4}
         assert merge_configs(base, user) == {"a": {"x": 1, "y": 9},
                                              "b": 3, "c": 4}
+
+    def test_yaml_and_override_precedence(self, tmp_path):
+        """YAML file (reference ships config/dev/settings.yml) + overrides
+        win over file values, file values win over defaults."""
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+
+        p = tmp_path / "settings.yml"
+        p.write_text("enrich_weather: false\nbatch_size: 256\n")
+        cfg = PipelineConfig.from_file(str(p))
+        assert cfg.enrich_weather is False and cfg.batch_size == 256
+        cfg2 = PipelineConfig.from_file(
+            str(p), overrides={"batch_size": 512})
+        assert cfg2.batch_size == 512          # override beats file
+        assert cfg2.enrich_weather is False    # file beats default
+        assert cfg2.enrich_landcover is True   # default preserved

@@ -110,11 +110,25 @@ class PipelineConfig:
         return cls(**merged)
 
     @classmethod
-    def from_file(cls, path: str) -> "PipelineConfig":
-        import json
+    def from_file(cls, path: str,
+                  overrides: dict | None = None) -> "PipelineConfig":
+        """Load JSON (reference core/config.py:104-127) or YAML (reference
+        ships config/dev/settings.yml) by extension; ``overrides`` deep-merge
+        over the file contents (file over defaults, overrides over file —
+        the reference's merge precedence)."""
+        if path.endswith((".yml", ".yaml")):
+            import yaml
 
-        with open(path) as f:
-            return cls.from_dict(json.load(f))
+            with open(path) as f:
+                user = yaml.safe_load(f) or {}
+        else:
+            import json
+
+            with open(path) as f:
+                user = json.load(f)
+        if overrides:
+            user = merge_configs(user, overrides)
+        return cls.from_dict(user)
 
     def save(self, path: str) -> str:
         import json

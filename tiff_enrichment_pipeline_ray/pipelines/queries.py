@@ -99,10 +99,13 @@ def _ts_filter(col, op, iso):
 
 def _dsjoin(left, right, on, join_type="inner", right_on=None):
     """Distributed hash-partition join sized to the cluster: partition count
-    ~ CPUs (enough parallelism without flooding the scheduler), aggregator
-    actors at fractional CPU so chained joins can coexist with the map
-    stages on a small cluster (full-CPU aggregators deadlock two chained
-    joins on a 4-CPU test session). join_type passes through to Ray
+    ~ CPUs (enough parallelism without flooding the scheduler). Aggregator
+    actors reserve ZERO logical CPUs: every join in a plan eagerly spawns
+    num_partitions aggregators, so any positive reservation deadlocks a
+    deep-enough join chain (4 joins x 8 partitions x 0.25 CPU ate an entire
+    8-CPU session and starved the map tasks — observed livelock). The
+    aggregators' combine work is bounded by the shuffle's memory
+    backpressure, not by CPU reservation. join_type passes through to Ray
     (inner | left_outer | left_semi | left_anti | ...)."""
     import ray
 
@@ -110,7 +113,7 @@ def _dsjoin(left, right, on, join_type="inner", right_on=None):
     return left.join(right, join_type=join_type,
                      num_partitions=max(4, cpus),
                      on=on, right_on=right_on,
-                     aggregator_ray_remote_args={"num_cpus": 0.25})
+                     aggregator_ray_remote_args={"num_cpus": 0})
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -173,30 +176,37 @@ def q6_forecast_revenue(sf_dir: str):
 
 
 def q3_shipping_priority(sf_dir: str):
-    """Top-10 order revenue. Customer (the small side after the BUILDING
-    filter) is broadcast; orders and the lineitem revenue aggregate are BOTH
-    fact-sized, so they meet in a distributed hash-partition join
-    (``Dataset.join``) — neither fact table is ever gathered to the driver
-    (round-1 fix). Top-10 = per-batch partial top-k + tiny driver merge."""
-    import ray
-
-    cust = read_testdata(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys_ref = ray.put(frozenset(
-        cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"].tolist()))
+    """Top-10 order revenue. Customer is SF-proportional, so the BUILDING
+    qualification is a distributed LEFT SEMI hash join (``Dataset.join``) —
+    no table, dimension or fact, is ever gathered to the driver (round-3
+    fix; round 2 broadcast a frozenset of all BUILDING custkeys, O(SF)
+    driver state). Top-10 = per-batch partial top-k + tiny driver merge."""
     cutoff = np.datetime64("1998-03-15", "us")
+
+    bcust = read_testdata(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"])
+
+    def c_building(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"c_custkey": df.loc[df.c_mktsegment == "BUILDING", "c_custkey"]})
+
+    bcust = bcust.map_batches(c_building, batch_format="pandas")
 
     orders = read_testdata(sf_dir, "orders",
                            columns=["o_orderkey", "o_custkey", "o_orderdate",
                                     "o_orderpriority"])
 
-    def o_filter(df: pd.DataFrame, _k=keys_ref) -> pd.DataFrame:
-        k = ray.get(_k) if isinstance(_k, ray.ObjectRef) else _k
-        df = df[(df.o_orderdate < cutoff) & df.o_custkey.isin(k)]
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.o_orderdate < cutoff]
         return pd.DataFrame({"l_orderkey": df.o_orderkey,
+                             "o_custkey": df.o_custkey,
                              "o_orderdate": df.o_orderdate.dt.strftime("%Y-%m-%d"),
                              "o_orderpriority": df.o_orderpriority})
 
-    orders = orders.map_batches(o_filter, batch_format="pandas")
+    orders = _dsjoin(orders.map_batches(o_filter, batch_format="pandas"),
+                     bcust, on=("o_custkey",), right_on=("c_custkey",),
+                     join_type="left_semi").select_columns(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"])
 
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_orderkey", "l_extendedprice", "l_discount",
@@ -205,16 +215,13 @@ def q3_shipping_priority(sf_dir: str):
                         batch_format="pyarrow")
 
     def rev(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "l_orderkey": df.l_orderkey,
             "revenue": df.l_extendedprice * (1.0 - df.l_discount),
         })
-        return out.groupby("l_orderkey", as_index=False, sort=False).sum()
 
-    from ray.data.aggregate import Sum
-
-    agg = (li.map_batches(rev, batch_format="pandas")
-           .groupby("l_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
+    agg = _preagg(li.map_batches(rev, batch_format="pandas"),
+                  ["l_orderkey"], [("revenue", "revenue", "sum")])
     joined = _dsjoin(agg, orders, on=("l_orderkey",))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -2630,18 +2637,35 @@ def q7_volume_shipping(sf_dir: str, n_a: str = "NATION_18",
 def q8_market_share(sf_dir: str, nation: str = "NATION_3",
                     region: str = "EUROPE", ptype: str = "PROMO"):
     """TPC-H Q8-shaped market share: the fraction of PROMO-part revenue to
-    EUROPE customers supplied by NATION_3, per order year 1996–1997.
-    orders⋈customer and lineitem⋈orders are distributed; part qualifies via
-    a broadcast partkey set, supplier via a broadcast nation map."""
+    EUROPE customers supplied by NATION_3, per order year 1996–1997. Every
+    SF-proportional table meets the fact in a distributed hash join: part
+    qualifies lineitem via an inner join on partkey, the target-nation
+    supplier flag arrives by LEFT OUTER join on suppkey, orders⋈customer is
+    a distributed join (round-3 fix; round 2 gathered part into a driver
+    set). Only region/nation (25 constant rows) stay driver-side."""
     reg = read_testdata(sf_dir, "region").to_pandas()
     rk = reg.loc[reg.r_name == region, "r_regionkey"].iloc[0]
     nat = read_testdata(sf_dir, "nation").to_pandas()
     rnat = set(nat.loc[nat.n_regionkey == rk, "n_nationkey"])
     target_nk = nat.loc[nat.n_name == nation, "n_nationkey"].iloc[0]
-    part = read_testdata(sf_dir, "part",
-                         columns=["p_partkey", "p_type"]).to_pandas()
-    pset = set(part.loc[part.p_type == ptype, "p_partkey"])
-    smap = _supp_nation(sf_dir)
+
+    ppart = read_testdata(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def p_promo(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"p_partkey": df.loc[df.p_type == ptype, "p_partkey"]})
+
+    ppart = ppart.map_batches(p_promo, batch_format="pandas")
+
+    tsupp = read_testdata(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"])
+
+    def s_target(df: pd.DataFrame, _nk=int(target_nk)) -> pd.DataFrame:
+        df = df[df.s_nationkey == _nk]
+        return pd.DataFrame({"s_suppkey": df.s_suppkey,
+                             "is_target": np.ones(len(df), dtype=np.float64)})
+
+    tsupp = tsupp.map_batches(s_target, batch_format="pandas")
 
     cust = read_testdata(sf_dir, "customer",
                          columns=["c_custkey", "c_nationkey"])
@@ -2670,14 +2694,15 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_orderkey", "l_partkey", "l_suppkey",
                                 "l_extendedprice", "l_discount"])
+    li = _dsjoin(li, ppart, on=("l_partkey",), right_on=("p_partkey",))
+    li = _dsjoin(li, tsupp, on=("l_suppkey",), right_on=("s_suppkey",),
+                 join_type="left_outer")
 
     def li_pre(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.l_partkey.isin(pset)
-        vol = (df.l_extendedprice * (1.0 - df.l_discount))[m]
-        is_t = (df.l_suppkey[m].map(smap) == target_nk)
-        out = pd.DataFrame({"o_orderkey": df.l_orderkey[m],
+        vol = df.l_extendedprice * (1.0 - df.l_discount)
+        out = pd.DataFrame({"o_orderkey": df.l_orderkey,
                             "volume": vol,
-                            "vol_target": vol.where(is_t, 0.0)})
+                            "vol_target": vol * df.is_target.fillna(0.0)})
         return out.groupby("o_orderkey", as_index=False, sort=False).sum()
 
     li = li.map_batches(li_pre, batch_format="pandas")
@@ -2694,30 +2719,37 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_3",
 def q9_profit_by_nation(sf_dir: str, word: str = "red"):
     """TPC-H Q9-shaped profit by supplier nation × order year, adapted to the
     schema (no partsupp): amount = extprice·(1−disc) − retailprice·qty·0.01
-    for parts whose name contains `word`. part/supplier qualify via broadcast
-    maps; lineitem⋈orders is a distributed hash join on a pre-aggregated
-    lineitem side."""
+    for parts whose name contains `word`. part (retailprice) and supplier
+    (nationkey) both reach lineitem by distributed hash joins — round-3 fix;
+    round 2 gathered part into a driver price dict, O(SF) state. Only the
+    25-row nation name map is a driver-side constant."""
     nmap = _nation_names(sf_dir)
-    smap = _supp_nation(sf_dir)
-    part = read_testdata(sf_dir, "part",
-                         columns=["p_partkey", "p_name",
-                                  "p_retailprice"]).to_pandas()
-    red = part[part.p_name.str.contains(word)]
-    price = red.set_index("p_partkey")["p_retailprice"].to_dict()
+
+    rpart = read_testdata(sf_dir, "part",
+                          columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def p_match(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.p_name.str.contains(word)]
+        return pd.DataFrame({"p_partkey": df.p_partkey,
+                             "p_retailprice": df.p_retailprice})
+
+    rpart = rpart.map_batches(p_match, batch_format="pandas")
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"])
 
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_orderkey", "l_partkey", "l_suppkey",
                                 "l_quantity", "l_extendedprice",
                                 "l_discount"])
+    li = _dsjoin(li, rpart, on=("l_partkey",), right_on=("p_partkey",))
+    li = _dsjoin(li, supp, on=("l_suppkey",), right_on=("s_suppkey",))
 
     def li_pre(df: pd.DataFrame) -> pd.DataFrame:
-        rp = df.l_partkey.map(price)
-        m = rp.notna()
         amount = (df.l_extendedprice * (1.0 - df.l_discount)
-                  - rp * df.l_quantity * 0.01)[m]
+                  - df.p_retailprice * df.l_quantity * 0.01)
         out = pd.DataFrame({
-            "o_orderkey": df.l_orderkey[m],
-            "n_name": df.l_suppkey[m].map(smap).map(nmap),
+            "o_orderkey": df.l_orderkey,
+            "n_name": df.s_nationkey.map(nmap),
             "amount": amount})
         return out.groupby(["o_orderkey", "n_name"],
                            as_index=False, sort=False).sum()
