@@ -151,7 +151,10 @@ class TestNgramJaccardJoin:
         )
 
         t = 0.6
-        got = doc_ngram_jaccard_pairs("/root/testdata/sf0.001", threshold=t)
+        from tools.minidriver import to_pandas
+
+        got = to_pandas(
+            doc_ngram_jaccard_pairs("/root/testdata/sf0.001", threshold=t))
         docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
                              columns=["doc_id", "text"]).to_pandas()
         sh = sketch.shingle_hashes_batch(docs.text.fillna("").tolist(), k=3)
@@ -178,7 +181,10 @@ class TestSimhashPairJoin:
             dedup_simhash_pairs,
         )
 
-        got = dedup_simhash_pairs("/root/testdata/sf0.001", max_hamming=3)
+        from tools.minidriver import to_pandas
+
+        got = to_pandas(
+            dedup_simhash_pairs("/root/testdata/sf0.001", max_hamming=3))
         docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
                              columns=["doc_id", "text"]).to_pandas()
         sh = sketch.shingle_hashes_batch(docs.text.fillna("").tolist(), k=3)

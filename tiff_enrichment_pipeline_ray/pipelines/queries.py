@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from ..functions.joinsafe import install_joinsafe
 from ..sources import synth
-from ..sources.tables import read_testdata
+from ..sources.tables import read_testdata, testdata_path
 
 install_joinsafe()  # every Dataset.join below tolerates empty hash partitions
 
@@ -92,6 +92,28 @@ def _ts_filter(col, op, iso):
 
     bound = pa.scalar(np.datetime64(iso, "us"))
     return lambda t: t.filter(getattr(pc, op)(t.column(col), bound))
+
+
+def _pq_nrows(path: str) -> int:
+    """Metadata-only parquet row count (file or directory) — no Ray job, no
+    data read. Used to size shuffle bucket counts to the input."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _nbuckets(n_rows: int, rows_per_bucket: int = 4096, lo: int = 64) -> int:
+    """Shuffle-bucket count that SCALES with the input (round-3 fix: the LSH
+    / banded-hamming buckets were fixed constants — 64/256 — which at 100 TB
+    would pile the whole key space into a bounded number of groups). Target
+    ~rows_per_bucket exploded rows per groupby group; floor keeps small-sf
+    runs parallel."""
+    return max(lo, int(np.ceil(n_rows / rows_per_bucket)))
 
 
 # ------------------------------------------------------- TPC-H-style
@@ -1909,6 +1931,7 @@ def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
     out = _flagship_out(synth.sf_from_dir(sf_dir))
     imgs = fl.read_enriched(out).select_columns(
         ["image_id", "phash", "decode_ok"])
+    nb = _nbuckets(_pq_nrows(os.path.join(out, "enriched")) * 4)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.decode_ok]
@@ -1922,7 +1945,7 @@ def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
             "band": np.tile(np.arange(4, dtype=np.int64), n),
             "key": bands.ravel(),
         })
-        out["kbucket"] = ((out["key"] * 4 + out["band"]) % 64).astype(np.int64)
+        out["kbucket"] = ((out["key"] * 4 + out["band"]) % nb).astype(np.int64)
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1946,11 +1969,11 @@ def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
 
     pairs = (imgs.map_batches(band_rows, batch_format="pandas")
              .groupby("kbucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas())
-    if not len(pairs):
-        return pairs
-    return (pairs.drop_duplicates(["img_a", "img_b"])
-            .sort_values(["img_a", "img_b"]).reset_index(drop=True))
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    # duplicate emissions across agreeing bands carry the same hamming →
+    # min() is a pure distributed dedup (round-3 fix: no driver gather)
+    return _preagg(pairs, ["img_a", "img_b"],
+                   [("hamming", "hamming", "min")])
 
 
 def caption_exact_dedup(sf_dir: str):
@@ -1978,30 +2001,31 @@ def minhash_candidate_pairs(sf_dir: str):
     (doc_id, band, key), shuffle on a hash BUCKET of the LSH key (most exact
     buckets are singletons; per-group engine overhead at n_docs × n_bands
     groups would dwarf the work), per-bucket pandas groupby recovers the
-    exact (band, key) buckets → unique candidate pairs."""
+    exact (band, key) buckets → unique candidate pairs. Bucket count scales
+    with the corpus (``_nbuckets``); pair dedup across buckets/bands is a
+    DISTRIBUTED groupby — the pair set never touches the driver (round-3
+    fix; round 2 ended with ``.to_pandas().drop_duplicates()``)."""
     from ..functions import sketch
 
     n_perm, n_bands = 64, 16
     a, b = sketch.minhash_params(n_perm)
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * n_bands)
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
         keys = sketch.lsh_band_keys_batch(
             sketch.minhash_signatures_batch(sh, a, b), n_bands)
         n = len(df)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": np.repeat(df.doc_id.to_numpy(), n_bands),
             "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
             "key": keys.ravel(),
         })
+        out["kbucket"] = (out["key"].to_numpy() % nb).astype(np.int64)
+        return out
 
     ds = docs.map_batches(sigs, batch_format="pandas")
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["kbucket"] = (df["key"].to_numpy() % 256).astype(np.int64)
-        return df
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -2016,10 +2040,10 @@ def minhash_candidate_pairs(sf_dir: str):
                                  "doc_b": pd.Series(dtype=np.int64)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    return (ds.map_batches(bucketize, batch_format="pandas")
-            .groupby("kbucket")
-            .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
-            .drop_duplicates().reset_index(drop=True))
+    pairs = (ds.groupby("kbucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    return _preagg(pairs, ["doc_a", "doc_b"],
+                   [("_c", None, "count")]).select_columns(["doc_a", "doc_b"])
 
 
 def dedup_minhash_docs(sf_dir: str, threshold: float = 0.5):
@@ -2029,33 +2053,27 @@ def dedup_minhash_docs(sf_dir: str, threshold: float = 0.5):
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
-def _verify_jaccard_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float):
+def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
     """Distributed exact-Jaccard verify of candidate (doc_a, doc_b) pairs.
+    ``cand`` is a DATASET of unique pairs — round-3 fix: round 2 gathered the
+    pair set to the driver and re-broadcast a candidate-id frozenset, O(pairs)
+    driver state (unbounded on a dup-heavy corpus). Now candidate docs
+    qualify via a distributed LEFT SEMI join and the pair side is exploded in
+    map_batches; only candidate-bounded data moves, none through the driver.
 
     A two-hop shuffle join keyed by doc_id then by pair:
-      hop 1: shingle rows (computed distributed, only for candidate docs —
-             the corpus scan is a streamed filter against the broadcast
-             candidate-id set) ⋈ pair-side rows on doc_id → each pair side
-             picks up its shingle blob;
+      hop 1: shingle rows (computed distributed, only for semi-join-qualified
+             candidate docs) ∪ pair-side rows, groupby doc_id → each pair
+             side picks up its shingle blob;
       hop 2: groupby (doc_a, doc_b) joins the two sides → exact Jaccard.
-    Only candidate-bounded data moves through either shuffle."""
-    import ray
-    import ray.data as rd
-
+    ``cand`` is materialized once (object-store-resident, spillable) because
+    two consumers branch from it; a lazy Dataset would recompute the whole
+    LSH candidate DAG per consumer."""
     from ..functions import sketch
 
-    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                          "doc_b": pd.Series(dtype=np.int64),
-                          "jaccard": pd.Series(dtype=float)})
-    if len(cand) == 0:
-        return empty
+    cand = cand.materialize()
 
-    cand_ids_ref = ray.put(frozenset(
-        np.union1d(cand.doc_a.to_numpy(), cand.doc_b.to_numpy()).tolist()))
-
-    def cand_shingles(df: pd.DataFrame, ids_ref=cand_ids_ref) -> pd.DataFrame:
-        ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
-        df = df[df.doc_id.isin(ids)]
+    def cand_shingles(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
         return pd.DataFrame({
             "doc_id": df.doc_id.to_numpy(),
@@ -2063,14 +2081,27 @@ def _verify_jaccard_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float):
             "sh": [s.tobytes() for s in sh],
         })
 
+    def cand_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cid": np.unique(np.concatenate(
+            [df.doc_a.to_numpy(np.int64), df.doc_b.to_numpy(np.int64)]))})
+
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.doc_a.to_numpy(np.int64)
+        b = df.doc_b.to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([a, b]),
+            "doc_a": np.tile(a, 2),
+            "doc_b": np.tile(b, 2),
+            # b"" sentinel (not None): keeps the column binary-typed so the
+            # union with real shingle blobs never hits Arrow null-type blocks
+            "sh": [b""] * (2 * len(df)),
+        })
+
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    sh_rows = docs.map_batches(cand_shingles, batch_format="pandas")
-    pair_rows = rd.from_pandas(pd.DataFrame({
-        "doc_id": np.concatenate([cand.doc_a.to_numpy(), cand.doc_b.to_numpy()]),
-        "doc_a": np.tile(cand.doc_a.to_numpy(), 2),
-        "doc_b": np.tile(cand.doc_b.to_numpy(), 2),
-        "sh": [None] * (2 * len(cand)),
-    }))
+    cdocs = _dsjoin(docs, cand.map_batches(cand_ids, batch_format="pandas"),
+                    on=("doc_id",), right_on=("cid",), join_type="left_semi")
+    sh_rows = cdocs.map_batches(cand_shingles, batch_format="pandas")
+    pair_rows = cand.map_batches(explode_pairs, batch_format="pandas")
 
     def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
         doc = g[g.doc_a < 0]
@@ -2095,15 +2126,11 @@ def _verify_jaccard_pairs(sf_dir: str, cand: pd.DataFrame, threshold: float):
                              "doc_b": [np.int64(g.doc_b.iloc[0])],
                              "jaccard": [j]})
 
-    verified = (sh_rows.union(pair_rows)
-                .groupby("doc_id")
-                .map_groups(attach_shingles, batch_format="pandas")
-                .groupby(["doc_a", "doc_b"])
-                .map_groups(verify_pair, batch_format="pandas")
-                .to_pandas())
-    if len(verified) == 0:
-        return empty
-    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return (sh_rows.union(pair_rows)
+            .groupby("doc_id")
+            .map_groups(attach_shingles, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(verify_pair, batch_format="pandas"))
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
@@ -2116,10 +2143,13 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
     must share at least one of A's first L = |A| − ceil(t·|A|) + 1 shingles.
     Emitting only prefix shingles bounds the inverted-index shuffle to a
     (1−t) fraction of the shingle volume; candidates are verified with the
-    same distributed two-hop exact-Jaccard join as the MinHash path."""
+    same distributed two-hop exact-Jaccard join as the MinHash path. Pair
+    dedup is a distributed groupby; bucket count scales with the corpus
+    (≈64 prefix shingles per doc at t=0.6 on the fixture texts)."""
     from ..functions import sketch
 
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * 64)
 
     def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
@@ -2138,7 +2168,7 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
                                  "kbucket": pd.Series(dtype=np.int64)})
         out = pd.DataFrame({"doc_id": np.concatenate(ids),
                             "key": np.concatenate(keys)})
-        out["kbucket"] = (out["key"].to_numpy() % 256).astype(np.int64)
+        out["kbucket"] = (out["key"].to_numpy() % nb).astype(np.int64)
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -2156,8 +2186,9 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
 
     cand = (docs.map_batches(prefix_rows, batch_format="pandas")
             .groupby("kbucket")
-            .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
-            .drop_duplicates().reset_index(drop=True))
+            .map_groups(pairs_in_bucket, batch_format="pandas"))
+    cand = _preagg(cand, ["doc_a", "doc_b"],
+                   [("_c", None, "count")]).select_columns(["doc_a", "doc_b"])
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
@@ -2178,8 +2209,6 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
     O(1) convergence aggregate (sum of labels, strictly decreasing until
     fixpoint). Output: (doc_id, cluster_id = min doc_id in the component,
     is_rep = doc is the cluster representative)."""
-    import ray.data as rd
-
     pairs = doc_ngram_jaccard_pairs(sf_dir, threshold)
     docs = read_testdata(sf_dir, "documents", columns=["doc_id"])
 
@@ -2188,13 +2217,20 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
 
     labels = docs.map_batches(init_labels, batch_format="pyarrow").materialize()
 
-    if len(pairs):
-        a = pairs.doc_a.to_numpy(dtype=np.int64)
-        b = pairs.doc_b.to_numpy(dtype=np.int64)
-        edges = rd.from_pandas(pd.DataFrame({
-            "src": np.concatenate([a, b]),
-            "node": np.concatenate([b, a]),
-        }))
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.doc_a.to_numpy(np.int64)
+        b = df.doc_b.to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "node": np.concatenate([b, a])})
+
+    # materialize ONCE: the propagation loop re-joins edges every round, and
+    # a lazy edges Dataset would re-run the whole LSH+verify DAG per round.
+    # Edge rows never reach the driver (round-3 fix: round 2 built edges
+    # from a driver-side pandas pair table).
+    edges = (pairs.map_batches(undirect, batch_format="pandas")
+             .materialize())
+
+    if edges.count():
         prev = labels.sum("lbl")
         for _ in range(max_rounds):
             prop = _dsjoin(edges, labels.rename_columns({"node": "src"}),
@@ -2241,10 +2277,13 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     exactly on at least one of 4 disjoint 16-bit bands, so grouping on
     (band_idx, band_value) is a LOSSLESS candidate generator for d ≤ 3;
     candidates are verified with an exact popcount. Same shuffle shape as
-    the MinHash LSH path (bucketed keys → in-group pairs)."""
+    the MinHash LSH path (bucketed keys → in-group pairs); buckets scale
+    with the corpus and pair dedup is a distributed groupby (round-3 fix:
+    no driver pair gather)."""
     from ..functions import sketch
 
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * 4)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
@@ -2260,7 +2299,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
         })
         # bucket the (band, key) space for the shuffle (most exact buckets
         # are singletons; per-group engine overhead would dominate)
-        out["kbucket"] = ((out["key"] * 4 + out["band"]) % 64).astype(np.int64)
+        out["kbucket"] = ((out["key"] * 4 + out["band"]) % nb).astype(np.int64)
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -2285,11 +2324,11 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     pairs = (docs.map_batches(band_rows, batch_format="pandas")
              .groupby("kbucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas").to_pandas())
-    if not len(pairs):
-        return pairs
-    return (pairs.drop_duplicates(["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+             .map_groups(pairs_in_bucket, batch_format="pandas"))
+    # same pair re-surfaces from every agreeing band with the SAME hamming
+    # distance, so min() is a pure distributed dedup
+    return _preagg(pairs, ["doc_a", "doc_b"],
+                   [("hamming", "hamming", "min")])
 
 
 def doc_token_counts_regex(sf_dir: str):
