@@ -109,6 +109,58 @@ class TestGeo:
         assert r[3] == 52.1234 and r[4] == -5.5 and r[5] == 51.5
         assert r[6] == 0.0 and r[7] == 0.0 and r[8] == 0.0
 
+    def test_float_fallback_accepts_all_float_parseable(self):
+        """ADVICE regression: the plain-float fallback must accept anything
+        Python float() parses (the reference's float(coord_str),
+        gps_utils.py:40-42) — incl. scientific notation, leading +, bare
+        leading-dot — not just a hand-rolled digit regex.
+
+        Reference-parity caveat: strings the DEC pattern intercepts first
+        never reach the fallback — "1e-3" is parsed by gps_utils.py:27's
+        IGNORECASE ``([\\d.]+)\\s*([NSEW])`` as value=1, direction=e(ast)
+        → 1.0, NOT float("1e-3"); we must reproduce that too."""
+        cases = ["+2.5e2", "-0.75", " 3.5 ", ".5", "+.25",
+                 "52.", "  -1E2"]
+        r = geo.parse_gps_coords(pd.Series(cases))
+        for i, c in enumerate(cases):
+            assert r[i] == float(c), (c, r[i])
+        r2 = geo.parse_gps_coords(
+            pd.Series(["1e-3", "2.5w", "inf-ish junk", "nan-ish junk"]))
+        assert r2[0] == 1.0     # DEC intercept: 1 + East, reference-exact
+        assert r2[1] == -2.5    # DEC intercept: lowercase w → West
+        assert r2[2] == 0.0 and r2[3] == 0.0
+
+    def test_surface_area_reference_corner_golden(self):
+        """ADVICE regression: footprint area must use the reference's
+        CORNER-pixel-center haversine legs (validation.py:76-112), not
+        image-center midpoints: width = haversine(corner(0,0)->corner(W,0))
+        at the TOP latitude, height down the EAST edge."""
+        import math
+
+        west, north = 4.95, 52.05
+        px, py = 1.2e-5, 1.1e-5
+        W, H = 1280.0, 960.0
+
+        def ref_haversine(lon1, lat1, lon2, lat2):
+            lon1, lat1, lon2, lat2 = map(math.radians,
+                                         [lon1, lat1, lon2, lat2])
+            dlon, dlat = lon2 - lon1, lat2 - lat1
+            a = (math.sin(dlat / 2) ** 2
+                 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2)
+            return 2 * math.asin(math.sqrt(a)) * 6371000
+
+        # rasterio.transform.xy(t, row, col, offset='center')
+        def xy(row, col):
+            return west + (col + 0.5) * px, north - (row + 0.5) * py
+
+        c0, c1, c2 = xy(0, 0), xy(0, W), xy(H, W)
+        want = abs(ref_haversine(c0[0], c0[1], c1[0], c1[1])
+                   * ref_haversine(c1[0], c1[1], c2[0], c2[1]))
+        got = geo.surface_area_m2(np.array([west]), np.array([north]),
+                                  np.array([px]), np.array([py]),
+                                  np.array([W]), np.array([H]))
+        assert got[0] == pytest.approx(want, rel=1e-12)
+
     def test_altitude_parser(self):
         r = geo.parse_altitude(pd.Series(["26.9 m Above Sea Level",
                                           "-4.2 m Below", "nope", None]))

@@ -195,3 +195,44 @@ class TestResample:
         out = affine_bilinear_resample(src, 0.0, 1.0, 0.1, 0.1,
                                        10.0, 1.0, 0.1, 0.1, 4, 4)
         assert (out == 0).all()
+
+
+class TestKNNExtremeLatitudes:
+    """ADVICE regression (knn.py ring-termination bound): the longitude-leg
+    cosine bound must hold for queries OUTSIDE the station latitude extent.
+    Mid-latitude stations × polar/equatorial queries (and the reverse) is the
+    geometry where a station-extent-only cosine overestimates the distance to
+    unexplored rings; bucketed must equal brute everywhere."""
+
+    def test_queries_far_outside_station_extent(self):
+        # coarse cells keep the ring walk tractable over a 35-degree gap
+        rng = np.random.default_rng(11)
+        slat = rng.uniform(50.7, 53.6, 300)
+        slon = rng.uniform(3.0, 7.3, 300)
+        brute = BruteKNN(slat, slon)
+        bucket = CellBucketKNN(slat, slon, cell_deg=2.0)
+        # polar, equatorial, antimeridian-ish, and the 0,0 no-GPS mask point
+        qlat = np.concatenate([rng.uniform(84.0, 89.0, 8),
+                               rng.uniform(-89.0, -84.0, 8),
+                               rng.uniform(-5.0, 5.0, 8),
+                               np.array([0.0, 89.0, -89.0])])
+        qlon = np.concatenate([rng.uniform(-179.0, 179.0, 24),
+                               np.array([0.0, 7.0, -170.0])])
+        for k in (1, 3):
+            bi, bd = brute.query(qlat, qlon, k)
+            ci, cd = bucket.query(qlat, qlon, k)
+            assert (bi == ci).all()
+            np.testing.assert_allclose(bd, cd, rtol=1e-12)
+
+    def test_polar_stations_low_queries(self):
+        rng = np.random.default_rng(12)
+        slat = rng.uniform(82.0, 88.0, 200)
+        slon = rng.uniform(-179.0, 179.0, 200)
+        brute = BruteKNN(slat, slon)
+        bucket = CellBucketKNN(slat, slon, cell_deg=2.0)
+        qlat = rng.uniform(20.0, 60.0, 20)
+        qlon = rng.uniform(-179.0, 179.0, 20)
+        bi, bd = brute.query(qlat, qlon, 2)
+        ci, cd = bucket.query(qlat, qlon, 2)
+        assert (bi == ci).all()
+        np.testing.assert_allclose(bd, cd, rtol=1e-12)
