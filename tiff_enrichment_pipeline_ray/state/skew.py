@@ -125,10 +125,13 @@ def salt_map(counts: pd.Series, budget: int) -> dict:
 
 
 def _salt_hash(image_ids: np.ndarray) -> np.ndarray:
-    return np.array([
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=4).digest(), "big")
-        for s in image_ids
-    ], dtype=np.int64)
+    """Stable vectorized 64-bit hash of id strings (pandas' C siphash with
+    its fixed default key — deterministic across runs and workers). Any
+    stable hash works here: the salt only spreads a hot cell's rows over F
+    sub-partitions; it never feeds a correctness compare."""
+    h = pd.util.hash_array(np.asarray(image_ids, dtype=object),
+                           categorize=False)
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5",
@@ -153,8 +156,12 @@ def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5",
             salts = np.where(factors > 1, _salt_hash(ids) % factors, 0)
         else:
             salts = np.zeros(n, dtype=np.int64)
-        keys = np.array([f"{b}" if s == 0 and f == 1 else f"{b}:{s}"
-                         for b, s, f in zip(bins, salts, factors)], dtype=object)
+        bs = bins.astype(np.int64).astype("U20")
+        plain = (salts == 0) & (factors == 1)
+        keys = np.where(plain, bs,
+                        np.char.add(np.char.add(bs, ":"),
+                                    salts.astype(np.int64).astype("U20"))
+                        ).astype(object)
     if "orph_bytes" in batch.schema.names:
         is_orph = ~np.asarray(
             batch.column("orph_bytes").is_null().to_numpy(zero_copy_only=False))
