@@ -330,3 +330,56 @@ def test_image_phash_near_dup_matches_brute_force(gate):
             expect.add((min(a, b), max(a, b), int(d[j])))
     assert got_set == expect
     assert len(expect) > 0  # fixture has exact-duplicate images (d = 0)
+
+
+def test_degenerate_distributions_guarded(gate, tmp_path):
+    """ADVICE regression (round 2): a constant-value events table must not
+    silently diverge — histogram w == 0 puts everything in bin 0 on BOTH
+    engines; a zero-variance group makes skew/kurt NULL/NaN explicitly on
+    BOTH engines (no divide-by-zero representation roulette)."""
+    import duckdb
+    import pandas as pd
+
+    from tiff_enrichment_pipeline_ray.pipelines import oracles as O
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tools.minidriver import to_pandas
+
+    n = 500
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "ts": pd.to_datetime("2024-03-01") + pd.to_timedelta(range(n), "min"),
+        "user_id": [i % 7 for i in range(n)],
+        # 'click' is constant-valued (zero variance); 'view' varies
+        "event_type": ["click" if i % 2 else "view" for i in range(n)],
+        "value": [42.0 if i % 2 else float(i) for i in range(n)],
+        "props": ["{}"] * n,
+    })
+    sf_dir = str(tmp_path)
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')")
+
+    sk = to_pandas(Q.events_skewkurt(sf_dir)).reset_index(drop=True)
+    sk_sql = con.sql(O.ORACLES["events_skewkurt"]).df()
+    assert sk.event_type.tolist() == sk_sql.event_type.tolist()
+    click = sk[sk.event_type == "click"].iloc[0]
+    assert np.isnan(click.skew_pop) and np.isnan(click.kurt_excess)
+    assert sk_sql[sk_sql.event_type == "click"].skew_pop.isna().all()
+    view = sk[sk.event_type == "view"]
+    vs = sk_sql[sk_sql.event_type == "view"]
+    assert view.skew_pop.iloc[0] == vs.skew_pop.iloc[0]
+    assert view.kurt_excess.iloc[0] == vs.kurt_excess.iloc[0]
+
+    # all-constant table → histogram degenerate range
+    df2 = df.assign(value=7.5)
+    df2.to_parquet(tmp_path / "events.parquet", index=False)
+    hist = to_pandas(Q.events_value_histogram(sf_dir))
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW events AS SELECT * FROM "
+             f"read_parquet('{sf_dir}/events.parquet')")
+    hist_sql = con2.sql(O.ORACLES["events_value_histogram"]).df()
+    assert hist.bin.tolist() == [0] and hist_sql.bin.tolist() == [0]
+    assert hist.n.iloc[0] == n == hist_sql.n.iloc[0]
+    assert hist.bin_lo.iloc[0] == 7.5 == hist_sql.bin_lo.iloc[0]

@@ -1019,12 +1019,14 @@ ORACLES["events_skewkurt"] = """
 WITH m AS (SELECT event_type, sum(value) / count(*) AS mu
            FROM events GROUP BY event_type)
 SELECT e.event_type AS event_type, count(*) AS n,
-       round((sum(power(e.value - m.mu, 3)) / count(*))
+       CASE WHEN sum(power(e.value - m.mu, 2)) = 0 THEN NULL
+       ELSE round((sum(power(e.value - m.mu, 3)) / count(*))
              / power(sum(power(e.value - m.mu, 2)) / count(*), 1.5), 6)
-         AS skew_pop,
-       round((sum(power(e.value - m.mu, 4)) / count(*))
+       END AS skew_pop,
+       CASE WHEN sum(power(e.value - m.mu, 2)) = 0 THEN NULL
+       ELSE round((sum(power(e.value - m.mu, 4)) / count(*))
              / power(sum(power(e.value - m.mu, 2)) / count(*), 2) - 3.0, 6)
-         AS kurt_excess
+       END AS kurt_excess
 FROM events e JOIN m ON e.event_type = m.event_type
 GROUP BY e.event_type
 ORDER BY event_type
@@ -1051,8 +1053,9 @@ FROM t GROUP BY event_type, tile
 
 ORACLES["events_value_histogram"] = """
 WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
-b AS (SELECT least(CAST(floor((value - s.mn) / ((s.mx - s.mn) / 20))
-                        AS BIGINT), 19) AS bin
+b AS (SELECT CASE WHEN s.mx = s.mn THEN 0
+             ELSE least(CAST(floor((value - s.mn) / ((s.mx - s.mn) / 20))
+                             AS BIGINT), 19) END AS bin
       FROM events, s)
 SELECT bin,
        round((SELECT mn FROM s)

@@ -3529,6 +3529,12 @@ def events_cube(sf_dir: str):
                      ["event_type", "dow"],
                      [("n_events", None, "count"),
                       ("sum_value", "value", "sum")]).to_pandas()
+    # the 'ALL' sentinel marks a rolled-up dimension on BOTH engines; a
+    # NULL or literal 'ALL' event_type would collide silently — fail loudly
+    # instead (same contract as the oracle's COALESCE(event_type,'ALL'))
+    assert finest.event_type.notna().all() and \
+        (finest.event_type != "ALL").all(), \
+        "event_type NULL/'ALL' collides with the cube rollup sentinel"
     per_type = finest.groupby("event_type", as_index=False).agg(
         n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
     per_type["dow"] = "ALL"
@@ -3570,11 +3576,16 @@ def events_skewkurt(sf_dir: str):
     df = m1.merge(m2, on="event_type")
     n = df.n.astype(np.float64)
     v = df.d2 / n
+    # zero-variance guard: both engines emit NULL/NaN explicitly instead of
+    # relying on divide-by-zero representation (oracle: CASE WHEN ... = 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skew = np.where(v > 0, df.d3 / n / np.power(v, 1.5), np.nan)
+        kurt = np.where(v > 0, df.d4 / n / (v * v) - 3.0, np.nan)
     return pd.DataFrame({
         "event_type": df.event_type,
         "n": df.n.astype(np.int64),
-        "skew_pop": (df.d3 / n / np.power(v, 1.5)).round(6),
-        "kurt_excess": (df.d4 / n / (v * v) - 3.0).round(6),
+        "skew_pop": pd.Series(skew).round(6),
+        "kurt_excess": pd.Series(kurt).round(6),
     }).sort_values("event_type").reset_index(drop=True)
 
 
@@ -3721,6 +3732,9 @@ def events_value_histogram(sf_dir: str, bins: int = 20):
     w = (mx - mn) / bins
 
     def binit(df: pd.DataFrame) -> pd.DataFrame:
+        if w == 0.0:  # degenerate range (min == max): everything is bin 0,
+            # guarded identically in the SQL oracle (CASE WHEN mx = mn)
+            return pd.DataFrame({"bin": np.zeros(len(df), dtype=np.int64)})
         b = np.floor((df.value.to_numpy(np.float64) - mn) / w)
         return pd.DataFrame({"bin": np.minimum(b, bins - 1).astype(np.int64)})
 
