@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dup": Q.image_phash_near_dup,
         "px_histogram": Q.px_histogram,
         "thumbnails": Q.thumbnails,
+        "index_visualizations": Q.index_visualizations,
+        "band_histograms": Q.band_histograms,
         # TPC-H / events bulk — driver-green in CORRECTNESS_r02 at this
         # same implementation (only q3/q8/q9/props_stats changed; those
         # four are re-swept at the top of this dict)

@@ -125,7 +125,10 @@ ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
              "audio_stats", "video_frame_sample", "ann_lsh_topk",
-             "events_value_percentiles_tdigest", "image_phash_near_dup"]
+             "events_value_percentiles_tdigest", "image_phash_near_dup",
+             # round 3: visualizer parity (PNG bytes, no SQL analogue;
+             # pixel-level correctness pinned by tests/test_viz.py)
+             "index_visualizations", "band_histograms"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

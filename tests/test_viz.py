@@ -1,0 +1,135 @@
+"""Visualization parity (visualizer.py:75-153 + processor.py:579-598):
+PNG codec roundtrip, colormap endpoints, index-vis stats vs brute force,
+and the Ray-side export datasets."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tiff_enrichment_pipeline_ray.functions import codec, viz
+
+
+class TestPngCodec:
+    def test_roundtrip_gray_and_rgb(self):
+        rng = np.random.default_rng(3)
+        for shape in [(1, 1), (7, 13), (200, 256)]:
+            g = rng.integers(0, 256, shape).astype(np.uint8)
+            assert (viz.decode_png(viz.encode_png(g)) == g).all()
+            rgb = rng.integers(0, 256, shape + (3,)).astype(np.uint8)
+            assert (viz.decode_png(viz.encode_png(rgb)) == rgb).all()
+
+    def test_png_signature_and_chunks(self):
+        data = viz.encode_png(np.zeros((4, 4), dtype=np.uint8))
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert b"IHDR" in data and b"IDAT" in data and data[-8:-4] == b"IEND"
+
+
+class TestColormaps:
+    def test_veg_ramp_endpoints_and_range(self):
+        """vmin=-0.2 → darkred(139,0,0); vmax=1.0 → darkgreen(0,100,0);
+        values beyond the range clip (imshow semantics)."""
+        for v, want in [(-0.2, (139, 0, 0)), (1.0, (0, 100, 0)),
+                        (-0.9, (139, 0, 0)), (1.7, (0, 100, 0))]:
+            rgb, _ = viz.index_vis_rgb(np.array([[v]]), "ndvi")
+            assert tuple(rgb[0, 0]) == want, (v, rgb[0, 0])
+
+    def test_ndwi_blue_white_green(self):
+        lo, _ = viz.index_vis_rgb(np.array([[-1.0]]), "ndwi")
+        hi, _ = viz.index_vis_rgb(np.array([[1.0]]), "ndwi")
+        mid, _ = viz.index_vis_rgb(np.array([[0.0]]), "ndwi")
+        assert tuple(lo[0, 0]) == (0, 0, 255)
+        assert tuple(hi[0, 0]) == (0, 128, 0)
+        assert (mid[0, 0] >= 250).all()  # ~white at the midpoint
+
+    def test_stats_block_matches_brute_force(self):
+        rng = np.random.default_rng(4)
+        v = rng.uniform(-1.2, 1.2, (31, 17))
+        _, st = viz.index_vis_rgb(v, "evi")
+        assert st["mean"] == pytest.approx(v.mean(), rel=1e-15)
+        assert st["std"] == pytest.approx(v.std(), rel=1e-15)
+        assert st["min"] == v.min() and st["max"] == v.max()
+        assert st["veg_pct"] == pytest.approx(
+            ((v > 0.2) & (v <= 1.0)).mean() * 100)
+        assert st["high_veg_pct"] == pytest.approx(
+            ((v > 0.5) & (v <= 1.0)).mean() * 100)
+
+    def test_lut_is_linear_between_stops(self):
+        """from_list(N=256) semantics: halfway between adjacent stops the
+        channel value is the rounded midpoint."""
+        lut = viz._build_lut(["red", "yellow"])  # 2 stops spanning [0,1]
+        mid = lut[128]
+        # x=128/255 ≈ 0.502: red(255,0,0) → yellow(255,255,0)
+        assert mid[0] == 255 and abs(int(mid[1]) - 128) <= 1 and mid[2] == 0
+
+
+class TestHistogramRender:
+    def test_bar_heights_proportional_to_counts(self):
+        px = np.concatenate([np.zeros(300, np.uint16),
+                             np.full(150, 65535, np.uint16)])
+        img = viz.render_histogram_rgb(px, height=100)
+        blue = (img == (70, 130, 180)).all(axis=2)
+        assert blue[:, 0].sum() == 100    # first bin: peak → full height
+        assert blue[:, 255].sum() == 50   # last bin: half the peak
+        assert blue[:, 1:255].sum() == 0  # everything else empty
+
+
+class TestVizDatasets:
+    def test_index_visualizations_dataset(self, tmp_path):
+        """End-to-end over a real (tiny) flagship output: every emitted PNG
+        decodes to the brute-force colormap application of its decoded
+        index raster."""
+        import ray
+
+        from tiff_enrichment_pipeline_ray.pipelines import export as E
+        from tiff_enrichment_pipeline_ray.pipelines import flagship as fl
+        from tiff_enrichment_pipeline_ray.sources import synth
+
+        img_dir = synth.ensure_images(0.0005)
+        out = str(tmp_path / "flag")
+        fl.run_flagship(img_dir, out, resume=False)
+        df = E.index_visualizations_dataset(out).to_pandas()
+        assert len(df) > 0
+        assert set(df.index_name) <= {"ndvi", "ndre", "gndvi", "savi",
+                                      "msavi", "evi", "osavi", "ndwi"}
+        # cross-check 5 rows against brute force
+        caps = fl.read_captures(out).to_pandas().set_index("capture_id")
+        for _, r in df.head(5).iterrows():
+            got = viz.decode_png(bytes(r.png))
+            q = codec.decode_pixels_only(
+                bytes(caps.loc[r.capture_id][f"index_{r.index_name}"]))
+            vals = q.astype(np.float64) / 32767.5 - 1.0
+            want, st = viz.index_vis_rgb(vals, r.index_name)
+            assert (got == want).all()
+            assert r["mean"] == pytest.approx(st["mean"])
+            assert r.veg_pct == pytest.approx(st["veg_pct"])
+
+    def test_export_visualizations_writes_pngs(self, tmp_path):
+        import glob
+        import os
+
+        from tiff_enrichment_pipeline_ray.pipelines import export as E
+        from tiff_enrichment_pipeline_ray.pipelines import flagship as fl
+        from tiff_enrichment_pipeline_ray.sources import synth
+
+        img_dir = synth.ensure_images(0.0005)
+        out = str(tmp_path / "flag")
+        fl.run_flagship(img_dir, out, resume=False)
+        E.export_visualizations(out, str(tmp_path / "exp"))
+        pngs = glob.glob(str(tmp_path / "exp" / "visualizations" / "*.png"))
+        assert len(pngs) > 0
+        arr = viz.decode_png(open(pngs[0], "rb").read())
+        assert arr.ndim == 3 and arr.shape[2] == 3
+        assert os.path.isdir(tmp_path / "exp" / "vis_stats")
+
+    def test_band_histograms_dataset(self):
+        from tiff_enrichment_pipeline_ray.pipelines import export as E
+        from tiff_enrichment_pipeline_ray.sources import synth
+
+        img_dir = synth.ensure_images(0.0005)
+        df = E.band_histograms_dataset(img_dir).limit(64).to_pandas()
+        assert len(df) > 0
+        img = viz.decode_png(bytes(df.png.iloc[0]))
+        assert img.shape == (200, 256, 3)

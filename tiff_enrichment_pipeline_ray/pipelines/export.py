@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 
 def export_gps_csv(out_dir: str, export_dir: str):
     """K7: image_id/lat/lon/alt CSV part files from a flagship output dir."""
@@ -100,4 +102,102 @@ def export_thumbnails(input_dir: str, export_dir: str, size: int = 32,
     os.makedirs(export_dir, exist_ok=True)
     thumbnails_dataset(input_dir, size=size,
                        concurrency=concurrency).write_parquet(export_dir)
+    return export_dir
+
+
+def index_visualizations_dataset(flag_dir: str, batch_size: int = 64):
+    """Per-(capture, index) colormap visualization + stats
+    (visualizer.py:75-153): decode each capture's quantized index rasters,
+    dequantize (v = q/32767.5 − 1, the inverse of processor.py:419), apply
+    the reference's per-index colormap/vmin/vmax, PNG-encode, and emit the
+    stats block (mean/std/min/max/veg%/high-veg%). One stateless map_batches
+    over the captures parquet — small batches (rows carry rasters); output
+    rows are slim (one PNG + 6 floats per index)."""
+    import pandas as pd
+
+    from . import flagship
+    from ..functions import codec as C
+    from ..functions import viz
+    from ..config import ALL_INDICES
+
+    caps = flagship.read_captures(flag_dir)
+    cols = ["capture_id"] + [f"index_{n}" for n in ALL_INDICES]
+    caps = caps.select_columns([c for c in cols if c in caps.schema().names])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            for name in ALL_INDICES:
+                blob = r.get(f"index_{name}")
+                if blob is None:
+                    continue
+                q = C.decode_pixels_only(bytes(blob))
+                if q is None:
+                    continue
+                vals = q.astype(np.float64) / 32767.5 - 1.0
+                rgb, st = viz.index_vis_rgb(vals, name)
+                rows.append({
+                    "capture_id": r.capture_id, "index_name": name,
+                    "png": viz.encode_png(rgb, level=1),
+                    "vis_w": np.int32(rgb.shape[1]),
+                    "vis_h": np.int32(rgb.shape[0]),
+                    "mean": st["mean"], "std": st["std"],
+                    "min": st["min"], "max": st["max"],
+                    "veg_pct": st["veg_pct"],
+                    "high_veg_pct": st["high_veg_pct"],
+                })
+        return pd.DataFrame(rows)
+
+    return caps.map_batches(render, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def band_histograms_dataset(input_dir: str, batch_size: int = 128):
+    """Per-band-file histogram PNG (processor.py:579-598): 256 bins over
+    (0, 65535) rendered as a deterministic bar raster. Stateless
+    map_batches over the images parquet."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..functions import codec as C
+    from ..functions import viz
+
+    ds = rd.read_parquet(input_dir, columns=["image_id", "bytes"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"image_id": [], "png": [], "n_px": []}
+        for iid, blob in zip(df.image_id, df["bytes"]):
+            px = C.decode_pixels_only(bytes(blob))
+            if px is None:
+                continue
+            out["image_id"].append(iid)
+            out["png"].append(viz.encode_png(
+                viz.render_histogram_rgb(px), level=1))
+            out["n_px"].append(np.int64(px.size))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(render, batch_format="pandas",
+                          batch_size=batch_size)
+
+
+def export_visualizations(flag_dir: str, export_dir: str):
+    """Write <capture_id>_<INDEX>_vis.png files (the reference's
+    visualizations/ directory layout, visualizer.py:131-137) plus a stats
+    parquet next to them. Idempotent: file content is deterministic."""
+    import pandas as pd
+
+    vis_dir = os.path.join(export_dir, "visualizations")
+    os.makedirs(vis_dir, exist_ok=True)
+    ds = index_visualizations_dataset(flag_dir)
+
+    def write(df: pd.DataFrame) -> pd.DataFrame:
+        for _, r in df.iterrows():
+            p = os.path.join(vis_dir,
+                             f"{r.capture_id}_{r.index_name.upper()}_vis.png")
+            with open(p, "w+b") as f:
+                f.write(r.png)
+        return df.drop(columns=["png"])
+
+    ds.map_batches(write, batch_format="pandas") \
+        .write_parquet(os.path.join(export_dir, "vis_stats"))
     return export_dir

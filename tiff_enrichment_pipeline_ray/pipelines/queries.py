@@ -1903,6 +1903,44 @@ def thumbnails(sf_dir: str):
     return ds.map_batches(meta, batch_format="pandas")
 
 
+def index_visualizations(sf_dir: str):
+    """Index-map visualizations (visualizer.py:75-153): per (capture,
+    index), the reference's colormap/vmin/vmax rendering PNG-encoded via
+    the pure-numpy PNG writer (functions/viz.py — matplotlib is not in
+    this environment) plus its stats block. Rows-only for the driver
+    (PNG bytes have no SQL analogue); pixel-level correctness pinned by
+    tests/test_viz.py against brute-force colormap application."""
+    from .export import index_visualizations_dataset
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = index_visualizations_dataset(out)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["png_len"] = df.png.map(len).astype(np.int64)
+        return df.drop(columns=["png"])
+
+    return ds.map_batches(slim, batch_format="pandas")
+
+
+def band_histograms(sf_dir: str):
+    """Per-band-file histogram PNGs (processor.py:579-598): 256 bins over
+    (0, 65535), rendered as a deterministic bar raster. Rows-only; bin
+    counts themselves are value-checked by the SQL-exact px_histogram /
+    events_value_histogram siblings."""
+    from .export import band_histograms_dataset
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = band_histograms_dataset(img_dir)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["png_len"] = df.png.map(len).astype(np.int64)
+        return df.drop(columns=["png"])
+
+    return ds.map_batches(slim, batch_format="pandas")
+
+
 def image_exact_dedup(sf_dir: str):
     """Exact image dedup: hash-partition on phash, keep min image_id
     (A7; groupby + per-group first)."""
