@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_report": Q.validation_report,
         "quarantine_report": Q.quarantine_report,
         "ops_stats": Q.ops_stats,
+        "micasense_sets": Q.micasense_sets,  # new round 3 (in-window)
         # --- geospatial joins with exact SQL parity ---------------------
         "geo_tile_census": Q.geo_tile_census,
         "geo_knn_station": Q.geo_knn_station,
@@ -178,13 +179,18 @@ def oracle_sql() -> dict[str, str]:
     """
     import os
 
-    from tiff_enrichment_pipeline_ray.pipelines.oracles import flagship_oracles
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import (
+        flagship_oracles,
+        images_oracles,
+    )
+    from tiff_enrichment_pipeline_ray.sources import synth
 
     out = dict(ORACLES)
     sf = float(os.environ.get("GRAFT_ORACLE_SF", "0.01"))
     try:
         out_dir = Q._flagship_out(sf)
         out.update(flagship_oracles(out_dir))
+        out.update(images_oracles(synth.ensure_images(sf)))
     except Exception:
         pass  # no Ray session / no testdata: serve the static oracles only
     return out

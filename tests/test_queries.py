@@ -119,7 +119,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2h: zonal stats per land-cover class over the J2 join
            "zonal_stats_landcover",
            # round 2h: equal-width histogram (A5 family, SQL-exact bins)
-           "events_value_histogram"]
+           "events_value_histogram",
+           # round 3: reference CLI positional set discovery
+           "micasense_sets"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

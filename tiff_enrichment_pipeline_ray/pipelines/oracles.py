@@ -1077,6 +1077,34 @@ GROUP BY e.event_type
 """
 
 
+def images_oracles(img_dir: str) -> dict:
+    """SQL oracles over the synthetic images parquet itself (queries that
+    consume the raw input table rather than the flagship output)."""
+    img = f"read_parquet('{img_dir}/*.parquet')"
+    o = {}
+    # micasense/__main__.py:15-46: prefix groups, >= 5 files, positional
+    # Blue/Green/Red/NIR/RedEdge over the first five in sorted order
+    o["micasense_sets"] = f"""
+WITH g AS (
+  SELECT image_id,
+         regexp_replace(image_id, '_[^_]*$', '') AS set_name,
+         row_number() OVER (
+             PARTITION BY regexp_replace(image_id, '_[^_]*$', '')
+             ORDER BY image_id) AS pos,
+         count(*) OVER (
+             PARTITION BY regexp_replace(image_id, '_[^_]*$', '')) AS n
+  FROM {img}
+  WHERE contains(image_id, '_')
+)
+SELECT set_name,
+       CASE pos WHEN 1 THEN 'Blue' WHEN 2 THEN 'Green' WHEN 3 THEN 'Red'
+                WHEN 4 THEN 'NIR' WHEN 5 THEN 'RedEdge' END AS band_name,
+       image_id
+FROM g WHERE n >= 5 AND pos <= 5
+"""
+    return o
+
+
 def flagship_oracles(out_dir: str) -> dict:
     """SQL oracles over the MATERIALIZED flagship output (the same
     partitioned parquet the Ray queries read): the aggregates are genuinely

@@ -1941,6 +1941,46 @@ def band_histograms(sf_dir: str):
     return ds.map_batches(slim, batch_format="pandas")
 
 
+def micasense_sets(sf_dir: str):
+    """The reference's timestamp-prefix set discovery with POSITIONAL band
+    assignment (micasense/__main__.py:15-46): group files by the filename
+    prefix, keep groups with ≥ 5 files, assign Blue/Green/Red/NIR/RedEdge
+    to the first five files of the group in sorted order.
+
+    Reference-parity notes: reference stems are ``<timestamp>_<band>``, so
+    its ``stem.split('_')[0]`` equals everything before the band suffix —
+    the synthetic ids carry a corpus prefix (``IMG_0320_2``), hence
+    ``rsplit('_', 1)[0]``. The reference assigns positions in ``glob``
+    order (filesystem-dependent); sorted order is the deterministic
+    stand-in. The robust regex classifier in stages/extract.py is the
+    shipped variant; this one exists for parity with the reference CLI.
+    Scale: one shuffle of a slim 2-column table; groups are capture-sized.
+    """
+    import ray.data as rd
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.image_id.str.contains("_")].copy()
+        df["set_name"] = df.image_id.str.replace(r"_[^_]*$", "", regex=True)
+        return df
+
+    BANDS = np.array(["Blue", "Green", "Red", "NIR", "RedEdge"])
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 5:
+            return pd.DataFrame({"set_name": pd.Series([], dtype=str),
+                                 "band_name": pd.Series([], dtype=str),
+                                 "image_id": pd.Series([], dtype=str)})
+        ids = np.sort(g.image_id.to_numpy(dtype=object))[:5]
+        return pd.DataFrame({"set_name": [g.set_name.iloc[0]] * 5,
+                             "band_name": BANDS, "image_id": ids})
+
+    return (ds.map_batches(key, batch_format="pandas")
+            .groupby("set_name").map_groups(grp, batch_format="pandas"))
+
+
 def image_exact_dedup(sf_dir: str):
     """Exact image dedup: hash-partition on phash, keep min image_id
     (A7; groupby + per-group first)."""
