@@ -2975,37 +2975,37 @@ def q16_supplier_part_counts(sf_dir: str, max_size: int = 15,
                              excl_type: str = "PROMO"):
     """TPC-H Q16-shaped distinct-supplier counts per (brand, size) using
     lineitem as the part↔supplier link (no partsupp in this schema).
-    Two-level distributed DISTINCT: (partkey, suppkey) pairs dedup in the
-    first hash aggregate, map to (brand, size, suppkey) via a broadcast part
-    map, dedup again, then count. Suppliers with negative balance (the
-    'complaints' analogue) are excluded by a broadcast set."""
+    Fully join-based (round-3 fix; round 2 gathered part into driver dicts
+    and suppliers into a driver set — both O(SF)): (partkey, suppkey) pairs
+    dedup in the first hash aggregate, ANTI-join against negative-balance
+    suppliers (the 'complaints' analogue), INNER join to the filtered part
+    dimension for (brand, size), dedup again, count. Only the final
+    (brand, size) counts (≤ brands × sizes) reach the driver."""
     part = read_testdata(sf_dir, "part",
                          columns=["p_partkey", "p_brand", "p_type",
-                                  "p_size"]).to_pandas()
-    ok = part[(part.p_type != excl_type) & (part.p_size <= max_size)]
-    brand = ok.set_index("p_partkey")["p_brand"].to_dict()
-    size = ok.set_index("p_partkey")["p_size"].to_dict()
+                                  "p_size"])
+    pok = part.map_batches(
+        lambda df: df.loc[(df.p_type != excl_type)
+                          & (df.p_size <= max_size),
+                          ["p_partkey", "p_brand", "p_size"]],
+        batch_format="pandas")
     supp = read_testdata(sf_dir, "supplier",
-                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = set(supp.loc[supp.s_acctbal < 0, "s_suppkey"])
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = supp.map_batches(
+        lambda df: df.loc[df.s_acctbal < 0, ["s_suppkey"]],
+        batch_format="pandas")
 
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_partkey", "l_suppkey"])
-
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.l_partkey.isin(brand) & ~df.l_suppkey.isin(bad)]
-        return df.drop_duplicates()
-
-    pairs = _preagg(li.map_batches(pre, batch_format="pandas"),
-                    ["l_partkey", "l_suppkey"], [("n", None, "count")])
-
-    def to_bs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "p_brand": df.l_partkey.map(brand),
-            "p_size": df.l_partkey.map(size).astype(np.int64),
-            "l_suppkey": df.l_suppkey}).drop_duplicates()
-
-    bss = _preagg(pairs.map_batches(to_bs, batch_format="pandas"),
+    pairs = _preagg(li.map_batches(lambda df: df.drop_duplicates(),
+                                   batch_format="pandas"),
+                    ["l_partkey", "l_suppkey"],
+                    [("n", None, "count")]) \
+        .select_columns(["l_partkey", "l_suppkey"])
+    pairs = _dsjoin(pairs, bad, on=("l_suppkey",), right_on=("s_suppkey",),
+                    join_type="left_anti")
+    bs = _dsjoin(pairs, pok, on=("l_partkey",), right_on=("p_partkey",))
+    bss = _preagg(bs.select_columns(["p_brand", "p_size", "l_suppkey"]),
                   ["p_brand", "p_size", "l_suppkey"], [("n", None, "count")])
     cnt = _preagg(bss.select_columns(["p_brand", "p_size"]),
                   ["p_brand", "p_size"], [("supplier_cnt", None, "count")])
@@ -3021,15 +3021,18 @@ def q17_small_quantity_revenue(sf_dir: str, pbrand: str = "Brand#3"):
     distributed aggregate JOINED back to the filtered lineitems (the
     correlated-subquery shape) — exact, because quantities are integral so
     sum/count are order-independent in fp64."""
-    part = read_testdata(sf_dir, "part",
-                         columns=["p_partkey", "p_brand"]).to_pandas()
-    bset = set(part.loc[part.p_brand == pbrand, "p_partkey"])
+    # brand partkeys stay a Dataset: the lineitem filter is a distributed
+    # LEFT SEMI join (round-3 fix; round 2 closed over a driver-side
+    # Python set of O(SF) partkeys)
+    bp = read_testdata(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda df: df.loc[df.p_brand == pbrand, ["p_partkey"]],
+                     batch_format="pandas")
 
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_partkey", "l_quantity",
                                 "l_extendedprice"])
-    li = li.map_batches(
-        lambda df: df[df.l_partkey.isin(bset)], batch_format="pandas")
+    li = _dsjoin(li, bp, on=("l_partkey",), right_on=("p_partkey",),
+                 join_type="left_semi")
     avg = _preagg(li.select_columns(["l_partkey", "l_quantity"]),
                   ["l_partkey"], [("sq", "l_quantity", "sum"),
                                   ("nq", None, "count")])
