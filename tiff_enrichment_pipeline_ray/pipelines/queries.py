@@ -260,18 +260,21 @@ def q3_shipping_priority(sf_dir: str):
 
 def q5_regional_revenue(sf_dir: str):
     """Revenue per nation for EUROPE where customer and supplier share the
-    nation. Only the true dimensions (region/nation/supplier) are broadcast;
-    orders ⋈ customer and lineitem ⋈ orders are distributed hash-partition
-    joins — no fact table is gathered to the driver (round-1 fix). The
-    lineitem side is block-level pre-aggregated by (orderkey, supp-nation)
-    before its shuffle."""
+    nation. Only the true constants (region/nation, 25 rows) stay
+    driver-side; supplier reaches lineitem by a distributed hash join
+    (round-3 fix; rounds 1-2 gathered the O(SF) supplier table into a
+    driver dict), orders ⋈ customer and lineitem ⋈ orders are distributed
+    hash-partition joins. The lineitem side is block-level pre-aggregated
+    by (orderkey, supp-nation) after the supplier join."""
     region = read_testdata(sf_dir, "region").to_pandas()
     nation = read_testdata(sf_dir, "nation").to_pandas()
     rk = region.loc[region.r_name == "EUROPE", "r_regionkey"].iloc[0]
     nat = nation[nation.n_regionkey == rk][["n_nationkey", "n_name"]]
     nmap = nat.set_index("n_nationkey")["n_name"].to_dict()
-    supp = read_testdata(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    smap = supp.set_index("s_suppkey")["s_nationkey"].to_dict()
+    supp2 = read_testdata(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda df: df[df.s_nationkey.isin(nmap)],
+                     batch_format="pandas")
 
     lo = np.datetime64("1996-01-01", "us")
     hi = np.datetime64("1997-01-01", "us")
@@ -300,13 +303,20 @@ def q5_regional_revenue(sf_dir: str):
                        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                                 "l_discount"])
 
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df.l_orderkey, "l_suppkey": df.l_suppkey,
+            "revenue": df.l_extendedprice * (1.0 - df.l_discount)})
+
+    li = li.map_batches(li_proj, batch_format="pandas")
+    # inner join doubles as the EUROPE-supplier filter (supp2 pre-filtered)
+    li = _dsjoin(li, supp2, on=("l_suppkey",), right_on=("s_suppkey",))
+
     def li_preagg(df: pd.DataFrame) -> pd.DataFrame:
-        sn = df.l_suppkey.map(smap).fillna(-2).astype(np.int64)
-        m = sn.isin(nmap)
         out = pd.DataFrame({
-            "o_orderkey": df.l_orderkey[m],
-            "supp_nation": sn[m],
-            "revenue": (df.l_extendedprice * (1.0 - df.l_discount))[m],
+            "o_orderkey": df.l_orderkey,
+            "supp_nation": df.s_nationkey.astype(np.int64),
+            "revenue": df.revenue,
         })
         return out.groupby(["o_orderkey", "supp_nation"],
                            as_index=False, sort=False).sum()
@@ -2676,23 +2686,22 @@ def _nation_names(sf_dir: str) -> dict[int, str]:
     return nat.set_index("n_nationkey")["n_name"].to_dict()
 
 
-def _supp_nation(sf_dir: str) -> dict[int, int]:
-    supp = read_testdata(sf_dir, "supplier",
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    return supp.set_index("s_suppkey")["s_nationkey"].to_dict()
-
-
 def q7_volume_shipping(sf_dir: str, n_a: str = "NATION_18",
                        n_b: str = "NATION_19"):
     """TPC-H Q7-shaped two-nation shipping volume: revenue between supplier
     nation and customer nation (both directions) per ship year, 1996–1997.
-    customer⋈orders and lineitem⋈(orders⋈customer) are distributed hash
-    joins; the lineitem side is pre-aggregated by (orderkey, supp-nation,
-    year) before its shuffle."""
+    customer⋈orders, lineitem⋈supplier and lineitem⋈(orders⋈customer) are
+    all distributed hash joins (round-3 fix; rounds 1-2 gathered the O(SF)
+    supplier table into a driver dict); the lineitem side is pre-aggregated
+    by (orderkey, supp-nation, year) after the supplier join. Only the
+    25-row nation map stays driver-side."""
     nmap = _nation_names(sf_dir)
     inv = {v: k for k, v in nmap.items()}
     keys = {inv[n_a], inv[n_b]}
-    smap = _supp_nation(sf_dir)
+    supp2 = read_testdata(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda df: df[df.s_nationkey.isin(keys)],
+                     batch_format="pandas")
 
     cust = read_testdata(sf_dir, "customer",
                          columns=["c_custkey", "c_nationkey"])
@@ -2714,15 +2723,23 @@ def q7_volume_shipping(sf_dir: str, n_a: str = "NATION_18",
                        columns=["l_orderkey", "l_suppkey", "l_shipdate",
                                 "l_extendedprice", "l_discount"])
 
-    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
+    def li_proj(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df.l_shipdate >= lo) & (df.l_shipdate < hi)]
-        sn = df.l_suppkey.map(smap)
-        m = sn.isin(keys)
+        return pd.DataFrame({
+            "l_orderkey": df.l_orderkey, "l_suppkey": df.l_suppkey,
+            "l_year": df.l_shipdate.dt.year.astype(np.int64),
+            "revenue": df.l_extendedprice * (1.0 - df.l_discount)})
+
+    li = li.map_batches(li_proj, batch_format="pandas")
+    # inner join doubles as the two-nation supplier filter
+    li = _dsjoin(li, supp2, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def li_pre(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
-            "o_orderkey": df.l_orderkey[m],
-            "supp_nk": sn[m].astype(np.int64),
-            "l_year": df.l_shipdate[m].dt.year.astype(np.int64),
-            "revenue": (df.l_extendedprice * (1.0 - df.l_discount))[m],
+            "o_orderkey": df.l_orderkey,
+            "supp_nk": df.s_nationkey.astype(np.int64),
+            "l_year": df.l_year,
+            "revenue": df.revenue,
         })
         return out.groupby(["o_orderkey", "supp_nk", "l_year"],
                            as_index=False, sort=False).sum()
