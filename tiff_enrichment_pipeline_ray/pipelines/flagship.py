@@ -134,6 +134,34 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None,
     return part_writer
 
 
+_LINEAGE_COLS = {"part_key": str, "kind": str, "rows": np.int64,
+                 "h3_lo": np.int64, "h3_hi": np.int64, "file": str}
+
+
+def _make_block_writer(out_dir: str, caps_dir: str | None = None,
+                       fail_dir: str | None = None):
+    """Block-wise form of the partition writer, used after a HASH exchange
+    (`repartition(keys=["part_key"], sort=False)`): the hash shuffle
+    co-locates every row of a key in one block, so grouping inside the
+    block replaces the global sort the groupby().map_groups shuffle would
+    perform — the sort's sample pass and serial-ish merge were the largest
+    non-scaling term of the pipeline tail (measured at sf0.4/16 CPUs: ~40 s
+    after the map chain drained). Output files are byte-identical to the
+    map_groups path: the per-group writer itself sorts by image_id."""
+    part_writer = _make_part_writer(out_dir, caps_dir=caps_dir,
+                                    fail_dir=fail_dir)
+
+    def block_writer(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [part_writer(g.reset_index(drop=True))
+                for _, g in df.groupby("part_key", sort=True)]
+        if not outs:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in _LINEAGE_COLS.items()})
+        return pd.concat(outs, ignore_index=True)
+
+    return block_writer
+
+
 def tune_data_context():
     """Raise the streaming executor's object-store budget to what the node
     actually has: the default conservative cap throttles read/map concurrency
@@ -481,6 +509,30 @@ def run_flagship(input_dir: str, out_dir: str,
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet in {input_dir}")
+    # the GRAFT_TAIL=hash variant's key-based repartition requires the
+    # hash shuffle strategy; Datasets capture the context at CREATION time,
+    # so flip it for the whole run and restore on exit. The default sort
+    # tail must NOT run under HASH_SHUFFLE: it silently switches groupby to
+    # CPU-reserving hash aggregators (observed: deadlocks a 4-CPU session).
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    _ctx = DataContext.get_current()
+    _prev_strategy = _ctx.shuffle_strategy
+    if os.environ.get("GRAFT_TAIL", "sort") == "hash":
+        _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _run_flagship_inner(
+            input_dir, out_dir, cfg, checkpoint_partitions, resume,
+            with_captures, layers_dir, limit_partitions, files)
+    finally:
+        _ctx.shuffle_strategy = _prev_strategy
+
+
+def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
+                        resume, with_captures, layers_dir, limit_partitions,
+                        files):
+    import glob
     manifest = Manifest(out_dir)
     if not resume:
         for sub in ("enriched", "captures", "failed", "ops"):
@@ -535,17 +587,21 @@ def run_flagship(input_dir: str, out_dir: str,
         enriched = enriched.map_batches(
             lambda t, _s=salts: add_part_key(t, _s, f"h3_r{cfg.cell_partition_res}"),
             batch_format="pyarrow")
-        # Coalesce the slim (bytes-free) rows before the groupby shuffle:
-        # the sort exchange pays O(map_blocks × reduce_partitions) object
-        # fetches, and decode-sized blocks (~4k rows) make that quadratic
-        # term dominate at scale (measured at sf0.4/16 CPUs: 512×512 refs
-        # → ~150 s of inter-stage dead time, 42% CPU utilization). ~50k-row
-        # blocks of slim rows are still only ~25 MB.
+        # ONE all-to-all exchange of the slim (bytes-free) rows. Two
+        # equivalent tails (byte-identical output, tested):
+        # - sort (default): coalesce + groupby(part_key).map_groups —
+        #   Ray's sort-based shuffle. Coalescing first kills the
+        #   O(map_blocks × reduce_partitions) fetch term.
+        # - hash (GRAFT_TAIL=hash): repartition(keys=[part_key],
+        #   sort=False) + in-block grouping. A/B at sf0.4/16 CPUs measured
+        #   it SLOWER here (240 s vs 191 s; the aggregator hop costs more
+        #   than the sort's sample+merge saves on this single node), kept
+        #   as the multi-node candidate — on a real cluster the hash
+        #   exchange streams into aggregators instead of barriering on the
+        #   global sort sample.
         coal = int(os.environ.get("GRAFT_SHUFFLE_BLOCKS", "0"))
         if coal == 0:
             coal = int(max(2 * cpus, min(est_rows // 50_000, 8 * cpus)))
-        if coal > 0:
-            enriched = enriched.repartition(coal)
         part_dir = os.path.join(out_dir, "enriched", f"part={pid:05d}")
         tmp_dir = part_dir + ".tmp"
         fail_part = os.path.join(out_dir, "failed", f"part={pid:05d}")
@@ -553,11 +609,23 @@ def run_flagship(input_dir: str, out_dir: str,
         for d in (tmp_dir, part_dir, fail_tmp, fail_part):
             shutil.rmtree(d, ignore_errors=True)
         os.makedirs(fail_tmp, exist_ok=True)
-        grouped = (enriched.groupby("part_key")
-                   .map_groups(_make_part_writer(
-                       tmp_dir, caps_dir=cap_tmp if with_captures else None,
-                       fail_dir=fail_tmp),
-                       batch_format="pandas"))
+        if os.environ.get("GRAFT_TAIL", "sort") == "hash":
+            shuffled = enriched.repartition(num_blocks=coal,
+                                            keys=["part_key"], sort=False)
+            grouped = shuffled.map_batches(
+                _make_block_writer(
+                    tmp_dir, caps_dir=cap_tmp if with_captures else None,
+                    fail_dir=fail_tmp),
+                batch_format="pandas", batch_size=None)
+        else:
+            if coal > 0:
+                enriched = enriched.repartition(coal)
+            grouped = (enriched.groupby("part_key")
+                       .map_groups(_make_part_writer(
+                           tmp_dir,
+                           caps_dir=cap_tmp if with_captures else None,
+                           fail_dir=fail_tmp),
+                           batch_format="pandas"))
         lineage = grouped.to_pandas()
         os.replace(tmp_dir, part_dir)
         os.replace(fail_tmp, fail_part)

@@ -3613,8 +3613,12 @@ def events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, dow): all four grouping sets from ONE
     distributed finest pass (type × day-of-week ≤ 35 rows); the three
     coarser marginals are derived from that tiny table — the standard cube
-    optimization (additive measures re-aggregate exactly). 'ALL' marks a
-    rolled-up dimension, same convention as events_rollup."""
+    optimization (additive measures re-aggregate exactly for counts;
+    float sums re-associate, so a marginal can in principle land on the
+    other side of a round(·,4) boundary vs the oracle's raw-value sum —
+    same risk class as every distributed fp sum here, empirically green at
+    both gate scales). 'ALL' marks a rolled-up dimension, same convention
+    as events_rollup."""
     ev = read_testdata(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
