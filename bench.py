@@ -142,11 +142,24 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     only ~0.74 (hypervisor/memory-bandwidth overcommit above ~16 busy cores),
     so 8→32 measures the box, not the engine; 4→16 stays under the
     overcommit knee (hardware ceiling 0.96) and is the honest N vs 4N
-    stand-in. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI."""
+    stand-in. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI.
+
+    Scaling is measured at sf0.4 (~2M rows, ~14 GB input) regardless of
+    $GRAFT_SF_DIR: efficiency is a property of the steady state, and at
+    sf0.1 the fixed per-run terms (session bootstrap, sort-sample barrier,
+    lineage commit — ~10-15 s independent of CPU count) are ~25% of a
+    16-CPU run, so a small-sf pairing grades those constants and VM noise,
+    not the engine (BASELINE.md "sf0.1 context"). At 100 TB the fixed terms
+    vanish; sf0.4 is the largest input this sandbox can regenerate + run
+    six times within a campaign. Override with GRAFT_SCALE_SF."""
     import subprocess
 
     lo = lo or int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = hi or int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    scale_sf = os.environ.get("GRAFT_SCALE_SF", "0.4")
+    # only the basename's sf matters: bench resolves input via
+    # synth.ensure_images(sf_from_dir(...)), which synthesizes + caches
+    sf_dir = f"/root/testdata/sf{scale_sf}"
 
     def one(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
