@@ -253,7 +253,8 @@ def _fused_read(files, rows_per_block: int, cpus: int, est_rows: int):
 
 def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
                      caps_dir: str | None = None,
-                     actor_pool: bool | None = None):
+                     actor_pool: bool | None = None,
+                     orph_dir: str | None = None):
     """Build the lazy enriched Dataset over the given input files (full
     schema: metadata + georef + cells + enrichment + pixel stats +
     validation). When ``caps_dir`` is given, complete-in-block captures are
@@ -311,7 +312,7 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
         )
     # the ONE pixel-decode stage (stats + in-block captures), then the
     # validators that depend on the decoded stats
-    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir),
+    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir, orph_dir),
                         batch_format="pyarrow", batch_size=None)
     if cfg.validate:
         ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=None)
@@ -340,7 +341,8 @@ def _percentiles_25_50_75(px: np.ndarray) -> tuple:
     return tuple(out)
 
 
-def _make_decode_stats_capture_stage(caps_dir: str | None):
+def _make_decode_stats_capture_stage(caps_dir: str | None,
+                                     orph_dir: str | None = None):
     """The ONE pixel-decode stage of the main pass. Per block:
 
     - decode every row's payload once → per-image stats columns
@@ -349,11 +351,17 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
     - complete-in-block captures: align/calibrate/index them HERE from the
       already-decoded pixels and write the capture rows as side-effect
       parquet (content-hash named → idempotent under task retry; no shuffle);
-    - orphan micasense rows (block-boundary / incomplete): re-emitted as
-      DUPLICATE rows carrying their payload in ``orph_bytes`` — they ride
-      the existing part_key shuffle under ``o:<bucket>`` keys and are
-      resolved by the partition writer (ONE shuffle for the whole pipeline);
-    - return the block without ``bytes`` (+ nullable ``orph_bytes``).
+    - orphan micasense rows (block-boundary / incomplete): SPILLED to
+      ``orph_dir`` as slim capture-column parquet (content-hash named,
+      idempotent) and resolved AFTER the main pass by a second tiny
+      exchange over ~2% of the data (_resolve_orphans). Earlier they rode
+      the main part_key shuffle as duplicate rows carrying ``orph_bytes``;
+      sort-range partitioning put every ``o:*`` key (2% of rows but ~25%
+      of shuffle BYTES) into ONE reduce partition — measured at sf0.4/16
+      CPUs as a 690 MB block, an 8.5 s reduce straggler and a 2.8 s
+      writer straggler. The spill keeps payload bytes out of the
+      all-to-all entirely (SURVEY §7.4-3);
+    - return the block without ``bytes``.
 
     With caps_dir=None the capture branch is skipped (stats only)."""
 
@@ -442,17 +450,85 @@ def _make_decode_stats_capture_stage(caps_dir: str | None):
                 if len(orphans):
                     orph_global = midx[orphans.index.to_numpy()]
 
-        main = out.drop_columns(ENRICHED_DROP)
-        main = main.append_column(
-            "orph_bytes", pa.nulls(n, t.schema.field("bytes").type))
-        if len(orph_global):
-            sel = out.take(pa.array(orph_global))
-            extra = sel.drop_columns(ENRICHED_DROP) \
-                .append_column("orph_bytes", sel.column("bytes"))
-            main = pa.concat_tables([main, extra])
-        return main
+        if len(orph_global) and orph_dir is not None:
+            sel = out.select(ORPHAN_SPILL_COLS).take(pa.array(orph_global))
+            # bytes → orph_bytes so the partition writer's orphan branch
+            # (rename + process_bucket) applies unchanged downstream
+            sel = sel.rename_columns(
+                ["orph_bytes" if c == "bytes" else c
+                 for c in sel.schema.names])
+            ids = sorted(sel.column("image_id").to_pylist())
+            tag = _h.blake2b("|".join(ids).encode(),
+                             digest_size=10).hexdigest()
+            os.makedirs(orph_dir, exist_ok=True)
+            final = os.path.join(orph_dir, f"orph-{tag}.parquet")
+            pq.write_table(sel, final + ".tmp", compression="zstd")
+            os.replace(final + ".tmp", final)
+        return out.drop_columns(ENRICHED_DROP)
 
     return decode_stage
+
+
+# slim columns spilled for orphan (block-boundary) captures: what the
+# capture kernel consumes + h3_r5 for the lineage record
+ORPHAN_SPILL_COLS = capture_stage.CAPTURE_SHUFFLE_COLS + ["h3_r5"]
+
+
+def _add_orphan_key(t: pa.Table, orphan_buckets: int = 16) -> pa.Table:
+    """'o:<bucket>' part_key for spilled orphan rows — the same stable
+    capture_id hash (and the same 16 buckets / filenames) the main-shuffle
+    orphan path used before the spill redesign, so output files stay
+    byte-identical."""
+    from ..state.skew import _salt_hash
+
+    cids = np.asarray(t.column("capture_id").to_pylist(), dtype=object)
+    buckets = _salt_hash(cids) % orphan_buckets
+    keys = np.array([f"o:{b}" for b in buckets], dtype=object)
+    return t.append_column("part_key", pa.array(keys.astype(str)))
+
+
+def _resolve_orphans(orph_tmp: str, tmp_dir: str, cap_tmp: str):
+    """Second (tiny) exchange: spilled orphan rows → capture parquet.
+
+    Reads the per-task spill files (~2% of input rows), co-locates each
+    capture's bands by the bucketed part_key and runs the same partition
+    writer the main shuffle used to run for 'o:*' groups. Returns the
+    lineage DataFrame (kind='captures'), empty if there were no orphans.
+    Scale: the exchange carries only orphan payloads — bounded by the
+    capture-set boundary-straddle rate, not the corpus."""
+    import glob as _g
+
+    import ray.data as rd
+
+    orph_files = sorted(_g.glob(os.path.join(orph_tmp, "*.parquet")))
+    if not orph_files:
+        return pd.DataFrame({k: pd.Series(dtype=v)
+                             for k, v in _LINEAGE_COLS.items()})
+    # bucket count scales with orphan volume (deterministic: derived from
+    # row counts): the capture kernel (align + calibrate + 8 indices) is
+    # the cost, so ~256 rows (~50 captures) per bucket keeps every core
+    # busy — 16 fixed buckets measured 11.1 s of 16-way-parallel tail at
+    # sf0.4/16 CPUs
+    total = sum(pq.read_metadata(f).num_rows for f in orph_files)
+    buckets = int(min(4096, max(16, total // 256)))
+    # coalesce the read: one spill file per decode task means hundreds of
+    # tiny blocks, and the groupby shuffle pays O(blocks × buckets) object
+    # fetches (measured 21 s vs 3 s at sf0.4/16 CPUs)
+    nblocks = int(min(len(orph_files), max(8, buckets // 4)))
+    ods = rd.read_parquet(orph_files, override_num_blocks=nblocks)
+    ods = ods.map_batches(
+        lambda t, _b=buckets: _add_orphan_key(t, orphan_buckets=_b),
+        batch_format="pyarrow", batch_size=None)
+    if os.environ.get("GRAFT_TAIL", "sort") == "hash":
+        grouped = ods.repartition(num_blocks=buckets, keys=["part_key"],
+                                  sort=False).map_batches(
+            _make_block_writer(tmp_dir, caps_dir=cap_tmp),
+            batch_format="pandas", batch_size=None)
+    else:
+        grouped = ods.groupby("part_key").map_groups(
+            _make_part_writer(tmp_dir, caps_dir=cap_tmp),
+            batch_format="pandas")
+    return grouped.to_pandas()
 
 
 def _cap_cells(t: pa.Table) -> pa.Table:
@@ -550,7 +626,8 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
     total_rows = 0
     total_caps = 0
     total_failed = 0
-    phases = {"census": 0.0, "enrich_write": 0.0, "captures": 0.0}
+    phases = {"census": 0.0, "enrich_write": 0.0, "orphans": 0.0,
+              "captures": 0.0}
     for pid, part_files in pending:
         t_start = time.time()
         # --- skew plan. Bin budget: bounded above by the configured row
@@ -577,13 +654,16 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
 
         cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
         cap_tmp = cap_part + ".tmp"
+        orph_tmp = cap_part + ".orph"
         if with_captures:
             shutil.rmtree(cap_tmp, ignore_errors=True)
             shutil.rmtree(cap_part, ignore_errors=True)
+            shutil.rmtree(orph_tmp, ignore_errors=True)
             os.makedirs(cap_tmp, exist_ok=True)
         enriched = enriched_dataset(
             part_files, cfg, layer_kwargs,
-            caps_dir=cap_tmp if with_captures else None)
+            caps_dir=cap_tmp if with_captures else None,
+            orph_dir=orph_tmp if with_captures else None)
         enriched = enriched.map_batches(
             lambda t, _s=salts: add_part_key(t, _s, f"h3_r{cfg.cell_partition_res}"),
             batch_format="pyarrow")
@@ -627,13 +707,25 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
                            fail_dir=fail_tmp),
                            batch_format="pandas"))
         lineage = grouped.to_pandas()
+        enrich_write_s = time.time() - t_ph
+        phases["enrich_write"] += enrich_write_s
+        t_ph = time.time()
+        orph_rows = 0
+        if with_captures:
+            orph_lineage = _resolve_orphans(orph_tmp, tmp_dir, cap_tmp)
+            if len(orph_lineage):
+                orph_rows = int(orph_lineage["rows"].sum())
+                lineage = pd.concat([lineage, orph_lineage],
+                                    ignore_index=True)
+            shutil.rmtree(orph_tmp, ignore_errors=True)
+        orph_s = time.time() - t_ph
+        phases["orphans"] += orph_s
+        t_ph = time.time()
         os.replace(tmp_dir, part_dir)
         os.replace(fail_tmp, fail_part)
         enr_lineage = lineage[lineage["kind"] == "enriched"]
         rows = int(enr_lineage["rows"].sum())
         failed_rows = int(lineage.loc[lineage["kind"] == "failed", "rows"].sum())
-        enrich_write_s = time.time() - t_ph
-        phases["enrich_write"] += enrich_write_s
         t_ph = time.time()
 
         caps = 0
@@ -662,6 +754,8 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
             {"partition": pid, "stage": "enrich_write",
              "wall_s": round(enrich_write_s, 3), "rows": rows,
              "detail": stats_text},
+            {"partition": pid, "stage": "orphan_resolve",
+             "wall_s": round(orph_s, 3), "rows": orph_rows, "detail": ""},
             {"partition": pid, "stage": "captures_commit",
              "wall_s": round(caps_s, 3), "rows": caps, "detail": ""},
             {"partition": pid, "stage": "quarantine", "wall_s": 0.0,

@@ -134,14 +134,15 @@ def _salt_hash(image_ids: np.ndarray) -> np.ndarray:
     return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
-def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5",
-                 orphan_buckets: int = 16) -> pa.Table:
+def add_part_key(batch: pa.Table, plan: dict,
+                 cell_col: str = "h3_r5") -> pa.Table:
     """Append `part_key` = '<bin>' (or '<bin>:<salt>' for hot cells, salt =
     stable blake2b(image_id) mod F — never row position).
 
-    Rows whose ``orph_bytes`` is non-null are duplicated capture-input rows
-    riding the same shuffle: they get 'o:<bucket>' keys (bucket = stable
-    hash of capture_id) so each orphan capture's bands co-locate."""
+    Orphan capture rows no longer ride this shuffle — they are spilled at
+    decode time and resolved by a second tiny exchange
+    (flagship._resolve_orphans), keeping payload bytes out of the main
+    all-to-all."""
     cells = batch.column(cell_col).to_numpy()
     n = len(cells)
     if not plan or len(plan.get("cells", ())) == 0:
@@ -162,13 +163,4 @@ def add_part_key(batch: pa.Table, plan: dict, cell_col: str = "h3_r5",
                         np.char.add(np.char.add(bs, ":"),
                                     salts.astype(np.int64).astype("U20"))
                         ).astype(object)
-    if "orph_bytes" in batch.schema.names:
-        is_orph = ~np.asarray(
-            batch.column("orph_bytes").is_null().to_numpy(zero_copy_only=False))
-        if is_orph.any():
-            cids = np.asarray(batch.column("capture_id").to_pylist(), dtype=object)
-            buckets = _salt_hash(cids[is_orph]) % orphan_buckets
-            oi = np.flatnonzero(is_orph)
-            for j, b in zip(oi, buckets):
-                keys[j] = f"o:{b}"
     return batch.append_column("part_key", pa.array(keys.astype(str)))
