@@ -42,6 +42,48 @@ def input_df(tiny_images_dir):
                      ignore_index=True)
 
 
+class TestShuffleSlimness:
+    def test_main_exchange_carries_no_payload_bytes(self, tiny_images_dir,
+                                                    layers_dir, tmp_path):
+        """Scale contract (SURVEY §7.4-3): the one all-to-all exchange moves
+        ONLY slim enriched rows. Payload bytes must never survive past the
+        decode stage — local captures are written in-task and orphan rows
+        are spilled to side parquet (flagship._resolve_orphans), so no
+        binary-typed column may reach the shuffle."""
+        import pyarrow as pa
+
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+        from tiff_enrichment_pipeline_ray.stages import enrich as enrich_stage
+
+        files = sorted(glob.glob(os.path.join(tiny_images_dir, "*.parquet")))
+        layer_kwargs = enrich_stage.put_layers(layers_dir)
+        caps = str(tmp_path / "caps")
+        orph = str(tmp_path / "orph")
+        os.makedirs(caps, exist_ok=True)
+        ds = flagship.enriched_dataset(files, PipelineConfig(), layer_kwargs,
+                                       caps_dir=caps, orph_dir=orph)
+        schema = ds.schema()
+        binary_cols = [n for n, t in zip(schema.names, schema.types)
+                       if pa.types.is_binary(t) or pa.types.is_large_binary(t)]
+        assert binary_cols == [], binary_cols
+        assert "orph_bytes" not in schema.names
+
+    def test_orphan_bucket_key_stability(self):
+        """o:<bucket> keys derive from the stable capture_id hash — never
+        from row position or batch boundaries: the same capture_id maps to
+        the same bucket regardless of how rows are batched."""
+        import pyarrow as pa
+
+        t = pa.table({"capture_id": ["c1", "c2", "c3", "c1"]})
+        keyed = flagship._add_orphan_key(t, orphan_buckets=16)
+        keys = keyed.column("part_key").to_pylist()
+        assert keys[0] == keys[3] and all(k.startswith("o:") for k in keys)
+        # batching-invariant: keying each slice alone gives the same keys
+        for i in range(4):
+            one = flagship._add_orphan_key(t.slice(i, 1), orphan_buckets=16)
+            assert one.column("part_key").to_pylist()[0] == keys[i]
+
+
 class TestAccounting:
     def test_row_conservation(self, flag_out, enriched_df, failed_df,
                               all_df, input_df):
