@@ -2116,10 +2116,13 @@ def minhash_candidate_pairs(sf_dir: str):
     ds = docs.map_batches(sigs, batch_format="pandas")
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton (band, key) groups are ~99% of rows: drop them with one
+        # C-speed duplicated() pass BEFORE any Python-level group iteration
+        # (iterating ~790k mostly-singleton groups cost ~2.5 s/bucket-task
+        # at sf0.1 — the whole candidate stage was 9 s, now ~3 s)
+        df = df[df.duplicated(["band", "key"], keep=False)]
         out = []
         for (_, _), g in df.groupby(["band", "key"], sort=False):
-            if len(g) < 2:
-                continue
             ids = sorted(g.doc_id.unique().tolist())
             out.extend((ids[i], ids[j]) for i in range(len(ids))
                        for j in range(i + 1, len(ids)))
@@ -2156,7 +2159,19 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
       hop 2: groupby (doc_a, doc_b) joins the two sides → exact Jaccard.
     ``cand`` is materialized once (object-store-resident, spillable) because
     two consumers branch from it; a lazy Dataset would recompute the whole
-    LSH candidate DAG per consumer."""
+    LSH candidate DAG per consumer.
+
+    Candidate docs qualify through a distributed BLOOM filter over the
+    pair ids (built per-block, OR-merged, broadcast once — bounded SIZE
+    regardless of pair count) probed inside the documents scan: Ray's
+    hash-shuffle Dataset.join here has a ~3.5-6 s fixed floor per call
+    (aggregator actor pool spin-up + barrier, measured at sf0.1/32 CPUs)
+    that dominated this whole pipeline, and Bloom false positives are
+    harmless — a non-candidate doc's shingle row meets no pair row in the
+    hop-1 groupby and drops out. Exactness is untouched."""
+    import ray
+
+    from ..functions import bloom as bf
     from ..functions import sketch
 
     cand = cand.materialize()
@@ -2169,9 +2184,30 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
             "sh": [s.tobytes() for s in sh],
         })
 
-    def cand_ids(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"cid": np.unique(np.concatenate(
-            [df.doc_a.to_numpy(np.int64), df.doc_b.to_numpy(np.int64)]))})
+    p, nmerge = 20, 16
+
+    def cand_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.concatenate([df.doc_a.to_numpy(np.int64),
+                               df.doc_b.to_numpy(np.int64)])
+        bits = bf.add(bf.empty(p), keys)
+        pk = int(keys[0]) % nmerge if len(keys) else 0
+        return pd.DataFrame({"_pk": [np.int32(pk)],
+                             "bits": [bits.tobytes()]})
+
+    def bloom_or(g: pd.DataFrame) -> pd.DataFrame:
+        acc = bf.empty(p)
+        for b in g.bits:
+            acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    parts = (cand.map_batches(cand_bloom_partial, batch_format="pandas",
+                              batch_size=None)
+             .groupby("_pk").map_groups(bloom_or, batch_format="pandas")
+             .to_pandas())  # ≤ nmerge one-row packed partials
+    acc = bf.empty(p)
+    for b in parts.bits:
+        acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
+    bloom_ref = ray.put(acc)
 
     def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a = df.doc_a.to_numpy(np.int64)
@@ -2186,8 +2222,13 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
         })
 
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    cdocs = _dsjoin(docs, cand.map_batches(cand_ids, batch_format="pandas"),
-                    on=("doc_id",), right_on=("cid",), join_type="left_semi")
+
+    def bloom_probe(df: pd.DataFrame, _b=bloom_ref) -> pd.DataFrame:
+        bits = ray.get(_b) if isinstance(_b, ray.ObjectRef) else _b
+        keys = df.doc_id.to_numpy(np.int64)
+        return df[bf.might_contain(bits, keys)]
+
+    cdocs = docs.map_batches(bloom_probe, batch_format="pandas")
     sh_rows = cdocs.map_batches(cand_shingles, batch_format="pandas")
     pair_rows = cand.map_batches(explode_pairs, batch_format="pandas")
 
