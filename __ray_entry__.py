@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_join_uniform": Q.sample_join_uniform,
         "sample_weighted": Q.sample_weighted,
         # ================= end of the ~50-entry sweep window =============
+        # round-3 additions (DuckDB value-exact; verified via
+        # tools/minidriver.py at sf0.01 — outside the driver window so the
+        # stable family representatives above keep their green rows)
+        "orders_monthly_growth": Q.orders_monthly_growth,
+        "events_user_retention": Q.events_user_retention,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,

@@ -121,7 +121,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 2h: equal-width histogram (A5 family, SQL-exact bins)
            "events_value_histogram",
            # round 3: reference CLI positional set discovery
-           "micasense_sets"]
+           "micasense_sets",
+           # round 3: LAG growth over a monthly aggregate; daily cohort
+           # retention (distinct-pair self-join on day+1)
+           "orders_monthly_growth", "events_user_retention"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1188,3 +1188,28 @@ SELECT file_class, band,
 FROM {enr} WHERE decode_ok GROUP BY file_class, band
 """
     return o
+
+ORACLES["orders_monthly_growth"] = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mkey,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT mkey, revenue,
+       round(revenue / lag(revenue) OVER (ORDER BY mkey) - 1.0, 6)
+         AS mom_growth
+FROM m
+QUALIFY mom_growth IS NOT NULL
+ORDER BY mkey
+"""
+
+ORACLES["events_user_retention"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', ts::DATE) AS dkey
+  FROM events
+)
+SELECT a.dkey AS dkey, count(*) AS retained
+FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.dkey = a.dkey + 1
+GROUP BY 1 ORDER BY dkey
+"""

@@ -3887,3 +3887,78 @@ def events_value_histogram(sf_dir: str, bins: int = 20):
     agg["n"] = agg.n.astype(np.int64)
     return (agg.sort_values("bin").reset_index(drop=True)
             [["bin", "bin_lo", "n"]])
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: LAG window over a monthly
+    aggregate — the Ray-Data form of
+    ``revenue / LAG(revenue) OVER (ORDER BY month) − 1``.
+
+    Scale contract: the heavy part (summing SF×1.5M orders into monthly
+    buckets) is the distributed ``_preagg``; the LAG itself runs on the
+    driver over ONE ROW PER CALENDAR MONTH (≤ ~84 for the 1992-1998 data
+    — bounded by the calendar, not the corpus). Integer month keys
+    (year·12 + month − 1) keep the ordering/rounding bit-exact vs SQL;
+    the first month (no predecessor) is omitted on both engines."""
+    orders = read_testdata(sf_dir, "orders",
+                           columns=["o_orderdate", "o_totalprice"])
+
+    def mkeyed(df: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(df.o_orderdate)
+        return pd.DataFrame({
+            "mkey": (dt.year.to_numpy() * 12
+                     + dt.month.to_numpy() - 1).astype(np.int64),
+            "rev": df.o_totalprice.to_numpy(np.float64)})
+
+    agg = _preagg(orders.map_batches(mkeyed, batch_format="pandas"),
+                  ["mkey"], [("revenue", "rev", "sum")]).to_pandas()
+    agg = agg.sort_values("mkey").reset_index(drop=True)
+    agg["revenue"] = agg.revenue.round(4)
+    rev = agg.revenue.to_numpy(np.float64)
+    growth = np.round(rev[1:] / rev[:-1] - 1.0, 6)
+    return pd.DataFrame({"mkey": agg.mkey.to_numpy()[1:],
+                         "revenue": rev[1:],
+                         "mom_growth": growth})
+
+
+def events_user_retention(sf_dir: str):
+    """Cohort retention: per day, how many users are active on BOTH that
+    day and the next — DISTINCT (user, day) pairs, a distributed
+    self-join on (user, day+1), then a count per base day. The
+    distinct-pair set is produced by the two-stage hash aggregate (never
+    gathered); the self-join is a hash-partition Dataset join keyed on
+    (user_id, dkey), so the pipeline is corpus-scale-safe end to end.
+    Integer epoch-day keys (µs // 86_400e6 == ts::DATE for the positive
+    timestamps here) keep both engines bit-exact."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def dkeyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "dkey": (_epoch_us(df.ts) // DAY_US).astype(np.int64)})
+
+    pairs = _preagg(ev.map_batches(dkeyed, batch_format="pandas"),
+                    ["user_id", "dkey"],
+                    [("_c", None, "count")]).select_columns(
+        ["user_id", "dkey"]).materialize()
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df.user_id.to_numpy(np.int64),
+            "dkey": df.dkey.to_numpy(np.int64),
+            "dkey_next": df.dkey.to_numpy(np.int64) + 1})
+
+    def renamed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"r_uid": df.user_id.to_numpy(np.int64),
+                             "r_dkey": df.dkey.to_numpy(np.int64)})
+
+    joined = _dsjoin(pairs.map_batches(shift, batch_format="pandas"),
+                     pairs.map_batches(renamed, batch_format="pandas"),
+                     on=("user_id", "dkey_next"),
+                     right_on=("r_uid", "r_dkey"))
+    out = _preagg(joined.select_columns(["dkey"]), ["dkey"],
+                  [("retained", None, "count")]).to_pandas()
+    out["retained"] = out.retained.astype(np.int64)
+    return out.sort_values("dkey").reset_index(drop=True)[
+        ["dkey", "retained"]]
