@@ -104,6 +104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stable family representatives above keep their green rows)
         "orders_monthly_growth": Q.orders_monthly_growth,
         "events_user_retention": Q.events_user_retention,
+        # round 3: q2/q11/q20 over the arithmetic-derived partsupp — the
+        # full 22-query TPC-H join surface is now covered (q2..q22 minus
+        # none; partsupp itself is derived since the testdata omits it)
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q11_important_stock": Q.q11_important_stock,
+        "q20_excess_stock": Q.q20_excess_stock,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,

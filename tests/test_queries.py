@@ -124,7 +124,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "micasense_sets",
            # round 3: LAG growth over a monthly aggregate; daily cohort
            # retention (distinct-pair self-join on day+1)
-           "orders_monthly_growth", "events_user_retention"]
+           "orders_monthly_growth", "events_user_retention",
+           # round 3: TPC-H q2/q11/q20 over the arithmetic-derived partsupp
+           "q2_min_cost_supplier", "q11_important_stock",
+           "q20_excess_stock"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1213,3 +1213,84 @@ SELECT a.dkey AS dkey, count(*) AS retained
 FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.dkey = a.dkey + 1
 GROUP BY 1 ORDER BY dkey
 """
+
+# Derived-partsupp CTE shared by q2/q11/q20 — the IDENTICAL integer
+# arithmetic as queries._partsupp_expand (testdata ships no partsupp
+# table; 4 deterministic supplier assignments per part, costs in cents).
+_PARTSUPP_CTE = """
+ns AS (SELECT count(*) AS n FROM supplier),
+ps AS (
+  SELECT p_partkey,
+         ((p_partkey + i.i * (ns.n // 4)) % ns.n) + 1 AS ps_suppkey,
+         ((p_partkey * 7 + i.i * 13) % 9999) + 1 AS ps_availqty,
+         ((p_partkey * 31 + i.i * 17) % 100000) + 100 AS ps_cost_cents
+  FROM part, ns, (VALUES (0), (1), (2), (3)) AS i(i)
+)
+"""
+
+ORACLES["q2_min_cost_supplier"] = f"""
+WITH {_PARTSUPP_CTE},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cost AS (
+  SELECT ps.p_partkey, ps.ps_cost_cents, eu.s_acctbal, eu.s_name, eu.n_name
+  FROM ps
+  JOIN part p ON ps.p_partkey = p.p_partkey
+  JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+  WHERE p.p_type = 'LARGE'
+),
+mn AS (SELECT p_partkey, min(ps_cost_cents) AS min_cents
+       FROM cost GROUP BY 1)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey,
+       CAST(c.ps_cost_cents AS DOUBLE) / 100.0 AS min_cost
+FROM cost c JOIN mn ON c.p_partkey = mn.p_partkey
+                   AND c.ps_cost_cents = mn.min_cents
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+"""
+
+ORACLES["q11_important_stock"] = f"""
+WITH {_PARTSUPP_CTE},
+held AS (
+  SELECT ps.p_partkey, ps.ps_cost_cents * ps.ps_availqty AS val_cents
+  FROM ps
+  JOIN supplier ON ps.ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+per_part AS (
+  SELECT p_partkey, sum(val_cents) AS value_cents FROM held GROUP BY 1
+)
+SELECT p_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+FROM per_part
+WHERE value_cents * 150 > (SELECT sum(value_cents) FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+ORACLES["q20_excess_stock"] = f"""
+WITH {_PARTSUPP_CTE},
+sh AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM ps JOIN sh ON ps.p_partkey = sh.l_partkey
+                 AND ps.ps_suppkey = sh.l_suppkey
+  WHERE 2 * ps.ps_availqty > sh.qty
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name
+"""

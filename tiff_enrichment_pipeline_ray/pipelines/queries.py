@@ -3962,3 +3962,175 @@ def events_user_retention(sf_dir: str):
     out["retained"] = out.retained.astype(np.int64)
     return out.sort_values("dkey").reset_index(drop=True)[
         ["dkey", "retained"]]
+
+
+# --------------------------------------------------------------- partsupp
+# The testdata has no partsupp table; q2/q11/q20 derive one with pure
+# integer arithmetic (4 deterministic supplier assignments per part),
+# spelled IDENTICALLY in the SQL oracles (oracles._PARTSUPP_CTE) so all
+# three have value-exact DuckDB oracles. Costs are integer CENTS so every
+# join/min/sum/compare is integer-exact; /100.0 happens only at output.
+
+
+def _partsupp_expand(part_ds, n_supp: int):
+    """part Dataset (needs p_partkey) → derived partsupp Dataset.
+    Distributed: a flat 4× row expansion inside map_batches."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        pk = np.repeat(df.p_partkey.to_numpy(np.int64), 4)
+        i = np.tile(np.arange(4, dtype=np.int64), len(df))
+        return pd.DataFrame({
+            "p_partkey": pk,
+            "ps_suppkey": (pk + i * (n_supp // 4)) % n_supp + 1,
+            "ps_availqty": (pk * 7 + i * 13) % 9999 + 1,
+            "ps_cost_cents": (pk * 31 + i * 17) % 100000 + 100,
+        })
+
+    return part_ds.map_batches(expand, batch_format="pandas")
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 adaptation over the derived partsupp: for LARGE
+    parts, the EUROPE supplier(s) achieving the part's minimum supply
+    cost; top-100 by (s_acctbal DESC, n_name, s_name, p_partkey) — a
+    complete tie-break, so the LIMIT cut is deterministic on both engines.
+
+    Scale shape: nation/region are FIXED-size tables (25/5 rows) →
+    broadcast dicts; supplier and partsupp are SF-proportional → filtered
+    scans + hash-partition joins (never gathered); the min-cost qualifier
+    is a distributed min + integer-key re-join; only ≤100×blocks partial
+    top-k rows reach the driver."""
+    nat = read_testdata(sf_dir, "nation").to_pandas()      # 25 rows, fixed
+    reg = read_testdata(sf_dir, "region").to_pandas()      # 5 rows, fixed
+    eu_keys = set(nat.merge(reg, left_on="n_regionkey",
+                            right_on="r_regionkey")
+                  .query("r_name == 'EUROPE'").n_nationkey)
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_name", "s_nationkey",
+                                  "s_acctbal"])
+
+    def eu_only(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.s_nationkey.isin(eu_keys)].copy()
+        df["n_name"] = df.s_nationkey.map(nname)
+        return df.drop(columns=["s_nationkey"])
+
+    eu_supp = supp.map_batches(eu_only, batch_format="pandas")
+
+    part = read_testdata(sf_dir, "part",
+                         columns=["p_partkey", "p_size", "p_type"])
+    part = part.map_batches(
+        lambda df: df[df.p_type == "LARGE"][["p_partkey"]],
+        batch_format="pandas")
+    n_supp = _pq_nrows(testdata_path(sf_dir, "supplier"))
+    ps = _partsupp_expand(part, n_supp)
+    cost = _dsjoin(ps, eu_supp, on=("ps_suppkey",), right_on=("s_suppkey",))
+    mn = _preagg(cost.select_columns(["p_partkey", "ps_cost_cents"]),
+                 ["p_partkey"], [("min_cents", "ps_cost_cents", "min")])
+    best = _dsjoin(cost, mn.map_batches(
+        lambda df: pd.DataFrame({"m_partkey": df.p_partkey.to_numpy(np.int64),
+                                 "ps_cost_cents":
+                                     df.min_cents.to_numpy(np.int64)}),
+        batch_format="pandas"),
+        on=("p_partkey", "ps_cost_cents"),
+        right_on=("m_partkey", "ps_cost_cents"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                              ascending=[False, True, True, True]).head(100)
+
+    parts = best.select_columns(
+        ["s_acctbal", "s_name", "n_name", "p_partkey", "ps_cost_cents"]) \
+        .map_batches(topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                            ascending=[False, True, True, True]) \
+        .head(100).reset_index(drop=True)
+    out["min_cost"] = out.ps_cost_cents.to_numpy(np.float64) / 100.0
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey", "min_cost"]]
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 adaptation: per-part stock value (cost × availqty) held
+    by EUROPE-region suppliers, keeping parts whose value exceeds 1/150 of
+    the region total (the fixed fraction bounds the output at ≤150 rows at
+    ANY sf). All arithmetic in integer cents: the HAVING compare is
+    value_cents × 150 > total_cents on both engines (no fp threshold).
+    The nation total reaches the driver as ONE scalar; everything else is
+    filtered scans + hash joins + the two-stage hash aggregate."""
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = read_testdata(sf_dir, "nation").to_pandas()      # 25 rows, fixed
+    reg = read_testdata(sf_dir, "region").to_pandas()      # 5 rows, fixed
+    nk = set(nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+             .query("r_name == 'EUROPE'").n_nationkey)
+    nsupp = supp.map_batches(
+        lambda df: df[df.s_nationkey.isin(nk)][["s_suppkey"]],
+        batch_format="pandas")
+    n_supp = _pq_nrows(testdata_path(sf_dir, "supplier"))
+    ps = _partsupp_expand(
+        read_testdata(sf_dir, "part", columns=["p_partkey"]), n_supp)
+    held = _dsjoin(ps, nsupp, on=("ps_suppkey",), right_on=("s_suppkey",))
+
+    def val(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df.p_partkey.to_numpy(np.int64),
+            "val_cents": df.ps_cost_cents.to_numpy(np.int64)
+            * df.ps_availqty.to_numpy(np.int64)})
+
+    held = held.map_batches(val, batch_format="pandas")
+    per_part = _preagg(held, ["p_partkey"],
+                       [("value_cents", "val_cents", "sum")])
+    total = int(per_part.map_batches(
+        lambda df: pd.DataFrame({"t": [df.value_cents.sum()]}),
+        batch_format="pandas").to_pandas().t.sum())  # one scalar
+
+    out = per_part.map_batches(
+        lambda df, _t=total: df[df.value_cents * 150 > _t],
+        batch_format="pandas").to_pandas()
+    out["value"] = out.value_cents.to_numpy(np.float64) / 100.0
+    return (out.sort_values(["value", "p_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True)[["p_partkey", "value"]])
+
+
+def q20_excess_stock(sf_dir: str):
+    """TPC-H Q20 adaptation: NATION_3 suppliers holding more than half a
+    year's shipped quantity of any part they stock (1996 shipments).
+    Shipped quantities are integer-valued doubles (sums exact, order-free);
+    the availqty compare is 2×availqty > qty in integers. Shapes: lineitem
+    preagg → hash join with derived partsupp → distinct suppliers →
+    hash join with the nation-filtered supplier scan."""
+    li = read_testdata(sf_dir, "lineitem",
+                       columns=["l_partkey", "l_suppkey", "l_quantity",
+                                "l_shipdate"])
+    li = li.map_batches(_ts_filter("l_shipdate", "greater_equal",
+                                   "1996-01-01"), batch_format="pyarrow")
+    li = li.map_batches(_ts_filter("l_shipdate", "less", "1997-01-01"),
+                        batch_format="pyarrow")
+    sh = _preagg(li.select_columns(["l_partkey", "l_suppkey", "l_quantity"]),
+                 ["l_partkey", "l_suppkey"], [("qty", "l_quantity", "sum")])
+    n_supp = _pq_nrows(testdata_path(sf_dir, "supplier"))
+    ps = _partsupp_expand(
+        read_testdata(sf_dir, "part", columns=["p_partkey"]), n_supp)
+    j = _dsjoin(ps, sh, on=("p_partkey", "ps_suppkey"),
+                right_on=("l_partkey", "l_suppkey"))
+    excess = j.map_batches(
+        lambda df: df[2 * df.ps_availqty.to_numpy(np.int64)
+                      > df.qty.to_numpy(np.float64)][["ps_suppkey"]],
+        batch_format="pandas")
+    dsupp = _preagg(excess, ["ps_suppkey"], [("_c", None, "count")]) \
+        .select_columns(["ps_suppkey"])
+
+    nat = read_testdata(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nat[nat.n_name == "NATION_3"].n_nationkey)
+    supp = read_testdata(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    nsupp = supp.map_batches(
+        lambda df: df[df.s_nationkey.isin(nk)][["s_suppkey", "s_name"]],
+        batch_format="pandas")
+    out = _dsjoin(nsupp, dsupp, on=("s_suppkey",),
+                  right_on=("ps_suppkey",)).to_pandas()
+    return (out.sort_values("s_name").reset_index(drop=True)
+            [["s_suppkey", "s_name"]])
