@@ -524,17 +524,14 @@ def q4_bloom_semijoin(sf_dir: str, p: int = 20):
 
 
 def q14_promo_revenue(sf_dir: str):
-    """TPC-H Q14-shaped promo revenue share for 1996-01: lineitem ⋈ part is
-    a BROADCAST join (part is the small dimension; partkeys are dense ints →
-    one numpy bool array shipped once via ray.put, O(1) lookup per row in
-    map_batches — no shuffle), then a 2-value global sum."""
+    """TPC-H Q14-shaped promo revenue share for 1996-01. part is
+    SF-proportional, so it is never gathered (round-3 fix of the last
+    O(SF) driver broadcast: a max(p_partkey)-sized bool array shipped via
+    ray.put — 20 GB at SF=100k): the month's lineitem gets its revenue
+    column in the scan, total_rev sums it directly, and promo_rev comes
+    from a DISTRIBUTED hash join against the PROMO-filtered part
+    projection (the q19 fact⋈dim shape)."""
     import pyarrow.compute as pc
-    import ray
-
-    part = read_testdata(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
-    promo = np.zeros(int(part.p_partkey.max()) + 1, dtype=bool)
-    promo[part.p_partkey.to_numpy()] = part.p_type.to_numpy() == "PROMO"
-    promo_ref = ray.put(promo)
 
     li = read_testdata(sf_dir, "lineitem",
                        columns=["l_partkey", "l_extendedprice", "l_discount",
@@ -545,18 +542,33 @@ def q14_promo_revenue(sf_dir: str):
         _ts_filter("l_shipdate", "less", "1996-02-01"),
         batch_format="pyarrow")
 
-    def partial(t: pa.Table, pref=promo_ref) -> pa.Table:
-        pm = ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+    def with_rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        rev = rev.to_numpy(zero_copy_only=False)
-        is_promo = pm[t.column("l_partkey").to_numpy()]
-        return pa.table({"promo_rev": [float(rev[is_promo].sum())],
-                         "total_rev": [float(rev.sum())],
+        return pa.table({"l_partkey": t.column("l_partkey"), "rev": rev})
+
+    # two consumers (global total + promo join) re-run this cheap pruned
+    # scan rather than materializing a month of lineitem to the store
+    li = li.map_batches(with_rev, batch_format="pyarrow")
+
+    def totals(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        return pa.table({"total_rev": [float(rev.sum())],
                          "n_rows": [np.int64(len(rev))]})
 
-    df = li.map_batches(partial, batch_format="pyarrow").to_pandas()
-    promo_rev, total_rev = df.promo_rev.sum(), df.total_rev.sum()
+    tot = li.map_batches(totals, batch_format="pyarrow").to_pandas()
+
+    promo_parts = read_testdata(sf_dir, "part",
+                                columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda df: df[df.p_type == "PROMO"][["p_partkey"]],
+                     batch_format="pandas")
+    pj = _dsjoin(li, promo_parts, on=("l_partkey",), right_on=("p_partkey",))
+    pdf = pj.map_batches(
+        lambda t: pa.table({"promo_rev": [float(
+            t.column("rev").to_numpy(zero_copy_only=False).sum())]}),
+        batch_format="pyarrow").to_pandas()
+    promo_rev, total_rev = pdf.promo_rev.sum(), tot.total_rev.sum()
+    df = tot
     return pd.DataFrame({
         "promo_pct": [round(100.0 * promo_rev / total_rev, 6)],
         "promo_rev": [round(promo_rev, 4)],
