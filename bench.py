@@ -38,8 +38,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: raylet/worker warnings otherwise land on
+        # STDOUT and the bench contract is ONE JSON line there
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     _quiet()
     from tiff_enrichment_pipeline_ray.pipelines import flagship
     from tiff_enrichment_pipeline_ray.pipelines import queries as Q
