@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q11_important_stock": Q.q11_important_stock,
         "q20_excess_stock": Q.q20_excess_stock,
+        # round 3: end-to-end curation composite (filter → exact dedup →
+        # split tag → token counts) — chained oracled kernels, still
+        # value-exact as ONE pipeline
+        "doc_curation_pipeline": Q.doc_curation_pipeline,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,

@@ -127,7 +127,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "orders_monthly_growth", "events_user_retention",
            # round 3: TPC-H q2/q11/q20 over the arithmetic-derived partsupp
            "q2_min_cost_supplier", "q11_important_stock",
-           "q20_excess_stock"]
+           "q20_excess_stock",
+           # round 3: end-to-end curation composite
+           "doc_curation_pipeline"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

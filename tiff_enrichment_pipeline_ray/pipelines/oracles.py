@@ -1294,3 +1294,23 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_3'
 ORDER BY s_name
 """
+
+ORACLES["doc_curation_pipeline"] = """
+WITH f AS (
+  SELECT doc_id, text, source
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000
+),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM f GROUP BY 1)
+SELECT f.doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       f.source,
+       len(string_split(f.text, ' ')) AS n_tokens
+FROM f
+JOIN keep ON f.doc_id = keep.doc_id AND md5(f.text) = keep.h,
+LATERAL (SELECT ('0x' || substring(
+            md5('split:' || CAST(f.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            % 100 AS b) l
+ORDER BY f.doc_id
+"""

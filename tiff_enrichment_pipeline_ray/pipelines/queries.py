@@ -4146,3 +4146,62 @@ def q20_excess_stock(sf_dir: str):
                   right_on=("ps_suppkey",)).to_pandas()
     return (out.sort_values("s_name").reset_index(drop=True)
             [["s_suppkey", "s_name"]])
+
+
+def doc_curation_pipeline(sf_dir: str):
+    """End-to-end curation composite — the chain a real training-data run
+    executes as ONE dataset pass + one dedup exchange + one survivor join:
+
+      language/length filter → exact dedup (min doc_id per md5(text)) →
+      deterministic train/val/test tag → per-doc whitespace token count.
+
+    Every step is the already-oracled kernel (doc_exact_dedup,
+    doc_train_split, doc_token_counts), so the COMPOSITE itself has a
+    value-exact SQL oracle — chaining does not break parity. Scale shape:
+    filter + md5 + token count fused into the scan; dedup is ONE
+    hash-bucketed exchange of the slim survivor rows (min doc_id per hash
+    picked by a C-speed sort + drop_duplicates inside each bucket — no
+    corpus materialization, no re-join); the split tag is shuffle-free."""
+    import hashlib
+
+    from ..functions.textkernels import md5_hex, token_count
+
+    docs = read_testdata(sf_dir, "documents",
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"])
+    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df.lang == "en") & (df.n_chars >= 100)
+                & (df.n_chars <= 20000)]
+        h = md5_hex(df.text)
+        return pd.DataFrame({
+            "doc_id": df.doc_id.to_numpy(np.int64),
+            "source": df.source.to_numpy(),
+            "text_md5": h,
+            "n_tokens": token_count(df.text),
+            "hbucket": (pd.util.hash_array(np.asarray(h, dtype=object))
+                        % np.uint64(nb)).astype(np.int64)})
+
+    rows = docs.map_batches(prep, batch_format="pandas")
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["text_md5", "doc_id"])
+                .drop_duplicates("text_md5", keep="first"))
+
+    surv = rows.groupby("hbucket").map_groups(dedup_bucket,
+                                              batch_format="pandas")
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.array(
+            [int(hashlib.md5(f"split:{int(d)}".encode()).hexdigest()[:8], 16)
+             % 100 for d in df.doc_id], dtype=np.int64)
+        out = df[["doc_id", "source", "n_tokens"]].copy()
+        out["split"] = np.where(b < 80, "train",
+                                np.where(b < 90, "val", "test"))
+        out["n_tokens"] = out.n_tokens.astype(np.int64)
+        return out
+
+    out = surv.map_batches(tag, batch_format="pandas").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "split", "source", "n_tokens"]])
