@@ -68,6 +68,29 @@ class TestShuffleSlimness:
         assert binary_cols == [], binary_cols
         assert "orph_bytes" not in schema.names
 
+    def test_capture_tree_deterministic_across_runs(self, tiny_images_dir,
+                                                    layers_dir, flag_out,
+                                                    tmp_path):
+        """The orphan spill + bucketed mini-exchange must not introduce
+        run-order nondeterminism: a second fresh run produces a
+        byte-identical captures tree (file names AND bytes) — the capture
+        analogue of the enriched-tree resume pin."""
+        out_a, _ = flag_out
+        out_b = str(tmp_path / "b")
+        flagship.run_flagship(tiny_images_dir, out_b, resume=False,
+                              layers_dir=layers_dir)
+
+        def tree(root):
+            files = sorted(glob.glob(os.path.join(root, "captures", "**",
+                                                  "*.parquet"),
+                                     recursive=True))
+            return {os.path.relpath(f, root):
+                    hashlib.sha256(open(f, "rb").read()).hexdigest()
+                    for f in files}
+
+        ta, tb = tree(out_a), tree(out_b)
+        assert ta and ta == tb
+
     def test_orphan_bucket_key_stability(self):
         """o:<bucket> keys derive from the stable capture_id hash — never
         from row position or batch boundaries: the same capture_id maps to
