@@ -1663,7 +1663,10 @@ def geo_point_in_rect(sf_dir: str):
 
 # ------------------------------------------------- flagship (rows-only)
 
-_FLAG_VERSION = "v4"  # bump on any semantics change: invalidates /tmp caches
+_FLAG_VERSION = "v5"  # bump on any semantics change: invalidates /tmp caches
+# v5: orphan-spill flagship (byte-identical enriched/captures vs v4, but
+# ops gains the orphan_resolve stage row) — regenerate so driver artifacts
+# exercise the shipped code path
 
 
 def _flagship_out(sf: float) -> str:
