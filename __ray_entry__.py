@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # split tag → token counts) — chained oracled kernels, still
         # value-exact as ONE pipeline
         "doc_curation_pipeline": Q.doc_curation_pipeline,
+        # round 3: k-means clustering as a first-class operator (rows-only;
+        # pinned by a brute-force numpy oracle in test_ann_multimodal)
+        "embedding_kmeans": Q.embedding_kmeans,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,

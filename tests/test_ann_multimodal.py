@@ -390,3 +390,39 @@ class TestPQ:
         ann.build_pq_index(self.SF, sample_rows=128,
                            out_dir=str(tmp_path / "pq2"))
         assert calls and max(calls) <= 128
+
+
+class TestKmeansQuery:
+    def test_embedding_kmeans_vs_brute(self, ray_session):
+        """Distributed k-means assignment == single-process numpy recompute
+        over the same deterministic sample-trained centroids."""
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            embedding_kmeans)
+        from tiff_enrichment_pipeline_ray.stages.ann import (_sq_dists,
+                                                             kmeans_fit)
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = embedding_kmeans(sf_dir, k=8)
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        C = kmeans_fit(np.stack(t.embedding.to_numpy()[:4096]), 8, seed=42)
+        X = np.stack(t.embedding.to_numpy()).astype(np.float32)
+        d = _sq_dists(X, C)
+        a = d.argmin(1)
+        sqd = d[np.arange(len(a)), a].astype(np.float64)
+        exp = (pd.DataFrame({"cluster": a.astype(np.int64), "sqd": sqd})
+               .groupby("cluster")
+               .agg(n=("sqd", "size"), mean_sqd=("sqd", "mean"))
+               .reset_index())
+        got = got.sort_values("cluster").reset_index(drop=True)
+        exp = exp.sort_values("cluster").reset_index(drop=True)
+        assert got.cluster.tolist() == exp.cluster.tolist()
+        assert got.n.tolist() == exp.n.tolist()
+        # distributed partial sums re-associate fp addition: ulp tolerance
+        np.testing.assert_allclose(got.mean_sqd.to_numpy(),
+                                   exp.mean_sqd.round(6).to_numpy(),
+                                   rtol=1e-9)
+        assert int(got.n.sum()) == len(t)

@@ -138,7 +138,10 @@ ROWS_ONLY = ["ann_pq_topk",
              "events_value_percentiles_tdigest", "image_phash_near_dup",
              # round 3: visualizer parity (PNG bytes, no SQL analogue;
              # pixel-level correctness pinned by tests/test_viz.py)
-             "index_visualizations", "band_histograms"]
+             "index_visualizations", "band_histograms",
+             # round 3: k-means cluster stats (heuristic float geometry;
+             # brute-force oracle in test_ann_multimodal::TestKmeansQuery)
+             "embedding_kmeans"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -4208,3 +4208,40 @@ def doc_curation_pipeline(sf_dir: str):
     out = surv.map_batches(tag, batch_format="pandas").to_pandas()
     return (out.sort_values("doc_id").reset_index(drop=True)
             [["doc_id", "split", "source", "n_tokens"]])
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8):
+    """First-class k-means clustering over the embedding table (the
+    training step the IVF ANN index uses internally, exposed as an
+    operator): deterministic Lloyd centroids fit on a bounded
+    file-order-prefix sample, then a DISTRIBUTED assignment pass (one
+    matmul-shaped distance per batch, argmin per row) and a per-cluster
+    aggregate — count, mean within-cluster squared distance. Rows-only:
+    pinned by a pytest brute-force oracle (single-process numpy recompute
+    over the same centroids); floats are heuristic cluster geometry, not
+    SQL-expressible."""
+    from ..stages.ann import _sq_dists, kmeans_fit
+
+    emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.limit(4096).to_pandas()  # bounded: never corpus-sized
+    C = kmeans_fit(np.stack(sample.embedding.to_numpy()), k, seed=42)
+    import ray
+
+    c_ref = ray.put(C)
+
+    def assign(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        cc = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
+        X = np.stack(df.embedding.to_numpy()).astype(np.float32)
+        d = _sq_dists(X, cc)
+        a = d.argmin(1)
+        return pd.DataFrame({
+            "cluster": a.astype(np.int64),
+            "sqd": d[np.arange(len(a)), a].astype(np.float64),
+            })
+
+    agg = _preagg(emb.map_batches(assign, batch_format="pandas"),
+                  ["cluster"], [("n", None, "count"), ("sum_sqd", "sqd", "sum")]).to_pandas()
+    agg["mean_sqd"] = (agg.sum_sqd / agg.n).round(6)
+    agg["n"] = agg.n.astype(np.int64)
+    return (agg.sort_values("cluster").reset_index(drop=True)
+            [["cluster", "n", "mean_sqd"]])
