@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3: k-means clustering as a first-class operator (rows-only;
         # pinned by a brute-force numpy oracle in test_ann_multimodal)
         "embedding_kmeans": Q.embedding_kmeans,
+        "events_first_last_value": Q.events_first_last_value,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,

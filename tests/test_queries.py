@@ -129,7 +129,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "q2_min_cost_supplier", "q11_important_stock",
            "q20_excess_stock",
            # round 3: end-to-end curation composite
-           "doc_curation_pipeline"]
+           "doc_curation_pipeline",
+           # round 3: FIRST_VALUE / LAST_VALUE window pair per user
+           "events_first_last_value"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1314,3 +1314,15 @@ LATERAL (SELECT ('0x' || substring(
             % 100 AS b) l
 ORDER BY f.doc_id
 """
+
+ORACLES["events_first_last_value"] = """
+SELECT DISTINCT user_id,
+       round(FIRST_VALUE(value) OVER w, 6) AS first_value,
+       round(LAST_VALUE(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             6) AS last_value,
+       count(*) OVER (PARTITION BY user_id) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

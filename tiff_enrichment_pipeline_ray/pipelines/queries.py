@@ -4245,3 +4245,26 @@ def embedding_kmeans(sf_dir: str, k: int = 8):
     agg["n"] = agg.n.astype(np.int64)
     return (agg.sort_values("cluster").reset_index(drop=True)
             [["cluster", "n", "mean_sqd"]])
+
+
+def events_first_last_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window pair per user: the value of the
+    user's first and last event under the total (ts, event_id) order, plus
+    the event count — one shuffle keyed on user_id, one lexsort per group
+    (the Ray-Data form of FIRST_VALUE(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)). round(·,6) on both engines; integer-µs
+    timestamps make the order bit-exact."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        order = np.lexsort((g.event_id.to_numpy(), us))
+        v = g.value.to_numpy(np.float64)[order]
+        return pd.DataFrame({
+            "user_id": [np.int64(g.user_id.iloc[0])],
+            "first_value": [round(float(v[0]), 6)],
+            "last_value": [round(float(v[-1]), 6)],
+            "n_events": [np.int64(len(v))]})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
