@@ -33,113 +33,27 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
-    FIRST ~50 entries, so the front window holds (a) the queries changed
-    this round and (b) every SQL-oracled query that had no driver row in
-    CORRECTNESS_r02 (interleaved so all nine families land inside). The
-    already-green r02 TPC-H/events bulk and the rows-only sketch queries
-    (pinned by pytest error-bound / brute-force oracles; by nature they
-    cannot hash-match a SQL oracle) sit behind the window."""
+    FIRST 50 entries. Round-4 window = (a) queries added/changed this round,
+    (b) the round-3 additions that registered behind the r03 window and so
+    have no driver row yet, (c) the fixed ``doc_source_token_budget`` (r03's
+    one red: oracle HUGEINT→float64 cast artifact), then (d) the oldest-green
+    backlog — the TPC-H/events bulk whose driver rows date from r02. Every
+    family swept green in CORRECTNESS_r03 (flagship, geo, near-dup, ANN,
+    doc block, events tail, samples) rotates BEHIND the window so its green
+    row stays the evidence while the stale rows refresh."""
     return {
-        # --- sweep window: changed this round --------------------------
-        "events_props_stats": Q.events_props_stats,
-        "q3_shipping_priority": Q.q3_shipping_priority,
-        "q8_market_share": Q.q8_market_share,
-        "q9_profit_by_nation": Q.q9_profit_by_nation,
-        # --- flagship geospatial enrichment (SQL-oracled derived views) -
-        "flagship_enriched": Q.flagship_enriched,
-        "flagship_captures": Q.flagship_captures,
-        "image_exact_dedup": Q.image_exact_dedup,
-        "caption_exact_dedup": Q.caption_exact_dedup,
-        "band_stats_by_class": Q.band_stats_by_class,
-        "zonal_stats_landcover": Q.zonal_stats_landcover,
-        "enriched_daily_stats": Q.enriched_daily_stats,
-        "file_class_counts": Q.file_class_counts,
-        "gps_export": Q.gps_export,
-        "validation_report": Q.validation_report,
-        "quarantine_report": Q.quarantine_report,
-        "ops_stats": Q.ops_stats,
-        "micasense_sets": Q.micasense_sets,  # new round 3 (in-window)
-        # --- geospatial joins with exact SQL parity ---------------------
-        "geo_tile_census": Q.geo_tile_census,
-        "geo_knn_station": Q.geo_knn_station,
-        "geo_point_in_rect": Q.geo_point_in_rect,
-        "geo_distance_join": Q.geo_distance_join,
-        # --- near-dup pipelines with exact SQL oracles ------------------
-        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
-        "doc_dup_clusters": Q.doc_dup_clusters,
-        # --- similarity search / embeddings ------------------------------
-        "ann_topk_cosine": Q.ann_topk_cosine,
-        "ann_knn_join": Q.ann_knn_join,
-        "embedding_label_stats": Q.embedding_label_stats,
-        "embedding_near_dup": Q.embedding_near_dup,
-        # --- documents: text analysis / curation -------------------------
-        "doc_train_split": Q.doc_train_split,
-        "doc_exact_dedup": Q.doc_exact_dedup,
-        "doc_token_counts": Q.doc_token_counts,
-        "doc_quality_counts": Q.doc_quality_counts,
-        "doc_lang_stats": Q.doc_lang_stats,
-        "doc_source_stats": Q.doc_source_stats,
-        "doc_quality_scores": Q.doc_quality_scores,
-        "doc_token_counts_regex": Q.doc_token_counts_regex,
-        "doc_repetition_stats": Q.doc_repetition_stats,
-        "doc_vocab_topk": Q.doc_vocab_topk,
-        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
-        "doc_pii_scrub": Q.doc_pii_scrub,
-        "doc_bm25_scores": Q.doc_bm25_scores,
-        "doc_unigram_xent": Q.doc_unigram_xent,
-        "doc_source_token_budget": Q.doc_source_token_budget,
-        # --- events tail that missed the r02 window ----------------------
-        "events_groupby_estimate": Q.events_groupby_estimate,
-        "events_cube": Q.events_cube,
-        "events_skewkurt": Q.events_skewkurt,
-        "events_value_mad": Q.events_value_mad,
-        "events_interval_join": Q.events_interval_join,
-        "events_ntile": Q.events_ntile,
-        "events_value_histogram": Q.events_value_histogram,
-        "sample_join_uniform": Q.sample_join_uniform,
-        "sample_weighted": Q.sample_weighted,
-        # ================= end of the ~50-entry sweep window =============
-        # round-3 additions (DuckDB value-exact; verified via
-        # tools/minidriver.py at sf0.01 — outside the driver window so the
-        # stable family representatives above keep their green rows)
+        # --- sweep window: added/changed round 4 -------------------------
+        "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
+        # --- round-3 additions, never driver-checked ----------------------
         "orders_monthly_growth": Q.orders_monthly_growth,
         "events_user_retention": Q.events_user_retention,
-        # round 3: q2/q11/q20 over the arithmetic-derived partsupp — the
-        # full 22-query TPC-H join surface is now covered (q2..q22 minus
-        # none; partsupp itself is derived since the testdata omits it)
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q11_important_stock": Q.q11_important_stock,
         "q20_excess_stock": Q.q20_excess_stock,
-        # round 3: end-to-end curation composite (filter → exact dedup →
-        # split tag → token counts) — chained oracled kernels, still
-        # value-exact as ONE pipeline
         "doc_curation_pipeline": Q.doc_curation_pipeline,
-        # round 3: k-means clustering as a first-class operator (rows-only;
-        # pinned by a brute-force numpy oracle in test_ann_multimodal)
-        "embedding_kmeans": Q.embedding_kmeans,
         "events_first_last_value": Q.events_first_last_value,
-        # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
-        # match is impossible by construction — see COVERAGE.md)
-        "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
-        "events_hll_users": Q.events_hll_users,
-        "doc_fingerprints": Q.doc_fingerprints,
-        "dedup_minhash_docs": Q.dedup_minhash_docs,
-        "dedup_simhash_docs": Q.dedup_simhash_docs,
-        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
-        "ann_ivf_topk": Q.ann_ivf_topk,
-        "ann_lsh_topk": Q.ann_lsh_topk,
-        "ann_pq_topk": Q.ann_pq_topk,
-        "image_features": Q.image_features,
-        "audio_stats": Q.audio_stats,
-        "video_frame_sample": Q.video_frame_sample,
-        "image_phash_near_dup": Q.image_phash_near_dup,
-        "px_histogram": Q.px_histogram,
-        "thumbnails": Q.thumbnails,
-        "index_visualizations": Q.index_visualizations,
-        "band_histograms": Q.band_histograms,
-        # TPC-H / events bulk — driver-green in CORRECTNESS_r02 at this
-        # same implementation (only q3/q8/q9/props_stats changed; those
-        # four are re-swept at the top of this dict)
+        "embedding_kmeans": Q.embedding_kmeans,  # rows-only (pytest brute-force oracle)
+        # --- oldest-green backlog: driver rows date from CORRECTNESS_r02 --
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q5_regional_revenue": Q.q5_regional_revenue,
@@ -181,9 +95,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
         "events_stratified_sample": Q.events_stratified_sample,
+        # ================= end of the 50-entry sweep window ===============
+        # r02-green backlog remainder — first in line for the round-5 window
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
+        # --- families swept green in CORRECTNESS_r03 (unchanged impls) ----
+        "events_props_stats": Q.events_props_stats,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "q8_market_share": Q.q8_market_share,
+        "q9_profit_by_nation": Q.q9_profit_by_nation,
+        # flagship geospatial enrichment (SQL-oracled derived views)
+        "flagship_enriched": Q.flagship_enriched,
+        "flagship_captures": Q.flagship_captures,
+        "image_exact_dedup": Q.image_exact_dedup,
+        "caption_exact_dedup": Q.caption_exact_dedup,
+        "band_stats_by_class": Q.band_stats_by_class,
+        "zonal_stats_landcover": Q.zonal_stats_landcover,
+        "enriched_daily_stats": Q.enriched_daily_stats,
+        "file_class_counts": Q.file_class_counts,
+        "gps_export": Q.gps_export,
+        "validation_report": Q.validation_report,
+        "quarantine_report": Q.quarantine_report,
+        "ops_stats": Q.ops_stats,
+        "micasense_sets": Q.micasense_sets,
+        # geospatial joins with exact SQL parity
+        "geo_tile_census": Q.geo_tile_census,
+        "geo_knn_station": Q.geo_knn_station,
+        "geo_point_in_rect": Q.geo_point_in_rect,
+        "geo_distance_join": Q.geo_distance_join,
+        # near-dup pipelines with exact SQL oracles
+        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
+        "doc_dup_clusters": Q.doc_dup_clusters,
+        # similarity search / embeddings
+        "ann_topk_cosine": Q.ann_topk_cosine,
+        "ann_knn_join": Q.ann_knn_join,
+        "embedding_label_stats": Q.embedding_label_stats,
+        "embedding_near_dup": Q.embedding_near_dup,
+        # documents: text analysis / curation
+        "doc_train_split": Q.doc_train_split,
+        "doc_exact_dedup": Q.doc_exact_dedup,
+        "doc_token_counts": Q.doc_token_counts,
+        "doc_quality_counts": Q.doc_quality_counts,
+        "doc_lang_stats": Q.doc_lang_stats,
+        "doc_source_stats": Q.doc_source_stats,
+        "doc_quality_scores": Q.doc_quality_scores,
+        "doc_token_counts_regex": Q.doc_token_counts_regex,
+        "doc_repetition_stats": Q.doc_repetition_stats,
+        "doc_vocab_topk": Q.doc_vocab_topk,
+        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
+        "doc_pii_scrub": Q.doc_pii_scrub,
+        "doc_bm25_scores": Q.doc_bm25_scores,
+        "doc_unigram_xent": Q.doc_unigram_xent,
+        # events tail swept green in r03
+        "events_groupby_estimate": Q.events_groupby_estimate,
+        "events_cube": Q.events_cube,
+        "events_skewkurt": Q.events_skewkurt,
+        "events_value_mad": Q.events_value_mad,
+        "events_interval_join": Q.events_interval_join,
+        "events_ntile": Q.events_ntile,
+        "events_value_histogram": Q.events_value_histogram,
+        "sample_join_uniform": Q.sample_join_uniform,
+        "sample_weighted": Q.sample_weighted,
+        # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
+        # match is impossible by construction — see COVERAGE.md)
+        "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
+        "events_hll_users": Q.events_hll_users,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "dedup_minhash_docs": Q.dedup_minhash_docs,
+        "dedup_simhash_docs": Q.dedup_simhash_docs,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
+        "ann_ivf_topk": Q.ann_ivf_topk,
+        "ann_lsh_topk": Q.ann_lsh_topk,
+        "ann_pq_topk": Q.ann_pq_topk,
+        "image_features": Q.image_features,
+        "audio_stats": Q.audio_stats,
+        "video_frame_sample": Q.video_frame_sample,
+        "image_phash_near_dup": Q.image_phash_near_dup,
+        "px_histogram": Q.px_histogram,
+        "thumbnails": Q.thumbnails,
+        "index_visualizations": Q.index_visualizations,
+        "band_histograms": Q.band_histograms,
     }
 
 

@@ -161,6 +161,10 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     scale_sf = os.environ.get("GRAFT_SCALE_SF", "0.4")
     # only the basename's sf matters: bench resolves input via
     # synth.ensure_images(sf_from_dir(...)), which synthesizes + caches
+    if os.environ.get("GRAFT_SF_DIR") and sf_dir != f"/root/testdata/sf{scale_sf}":
+        print(f"[bench --scaling] GRAFT_SF_DIR={os.environ['GRAFT_SF_DIR']} is "
+              f"ignored for the scaling campaign (pinned to sf{scale_sf}; "
+              f"override with GRAFT_SCALE_SF)", file=sys.stderr)
     sf_dir = f"/root/testdata/sf{scale_sf}"
 
     def one(ncpu):

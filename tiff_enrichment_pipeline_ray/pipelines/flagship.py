@@ -476,9 +476,12 @@ ORPHAN_SPILL_COLS = capture_stage.CAPTURE_SHUFFLE_COLS + ["h3_r5"]
 
 def _add_orphan_key(t: pa.Table, orphan_buckets: int = 16) -> pa.Table:
     """'o:<bucket>' part_key for spilled orphan rows — the same stable
-    capture_id hash (and the same 16 buckets / filenames) the main-shuffle
-    orphan path used before the spill redesign, so output files stay
-    byte-identical."""
+    capture_id hash the main-shuffle orphan path used before the spill
+    redesign. The capture ROW SET is identical to the pre-spill layout;
+    file bucketing is volume-scaled (the caller passes total//256 buckets,
+    16..4096), so o_*.parquet names/groupings differ from the fixed-16 era
+    once orphans exceed ~4k rows. Run-to-run determinism holds: the bucket
+    count derives only from the input row total."""
     from ..state.skew import _salt_hash
 
     cids = np.asarray(t.column("capture_id").to_pylist(), dtype=object)

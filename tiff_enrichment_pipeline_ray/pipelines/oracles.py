@@ -885,9 +885,9 @@ WITH f AS (
              + 0.3 * least(greatest(stop_hits / greatest(words * 0.05, 1.0), 0.0), 1.0), 6) AS quality
   FROM f
 ), ranked AS (
-  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
                                 ORDER BY quality DESC, doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM scored
 )
 SELECT doc_id, source, quality, n_tokens, cum_tokens

@@ -1664,9 +1664,10 @@ def geo_point_in_rect(sf_dir: str):
 # ------------------------------------------------- flagship (rows-only)
 
 _FLAG_VERSION = "v5"  # bump on any semantics change: invalidates /tmp caches
-# v5: orphan-spill flagship (byte-identical enriched/captures vs v4, but
-# ops gains the orphan_resolve stage row) — regenerate so driver artifacts
-# exercise the shipped code path
+# v5: orphan-spill flagship (capture/enriched ROW SETS identical to v4;
+# orphan file bucketing is volume-scaled so o_*.parquet groupings may
+# differ, and ops gains the orphan_resolve stage row) — regenerate so
+# driver artifacts exercise the shipped code path
 
 
 def _flagship_out(sf: float) -> str:
@@ -2199,7 +2200,14 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
             "sh": [s.tobytes() for s in sh],
         })
 
-    p, nmerge = 20, 16
+    # Size the filter from the candidate volume (2 keys per pair) so the
+    # false-positive rate stays low at scale: p = log2(n_keys) + 4 keeps
+    # bits/key ≥ 16 (FP ≈ 0.2% at k=4). Capped at 2^27 bits = 16 MiB — the
+    # broadcast stays cheap; past that FPs rise gracefully and exactness is
+    # unaffected (the hop-1 groupby drops strays).
+    n_keys = max(2 * cand.count(), 1)
+    p = int(min(27, max(20, int(np.ceil(np.log2(n_keys))) + 4)))
+    nmerge = 16
 
     def cand_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         keys = np.concatenate([df.doc_a.to_numpy(np.int64),
@@ -3930,10 +3938,15 @@ def orders_monthly_growth(sf_dir: str):
     agg = agg.sort_values("mkey").reset_index(drop=True)
     agg["revenue"] = agg.revenue.round(4)
     rev = agg.revenue.to_numpy(np.float64)
-    growth = np.round(rev[1:] / rev[:-1] - 1.0, 6)
-    return pd.DataFrame({"mkey": agg.mkey.to_numpy()[1:],
-                         "revenue": rev[1:],
-                         "mom_growth": growth})
+    with np.errstate(divide="ignore", invalid="ignore"):
+        growth = np.round(rev[1:] / rev[:-1] - 1.0, 6)
+    out = pd.DataFrame({"mkey": agg.mkey.to_numpy()[1:],
+                        "revenue": rev[1:],
+                        "mom_growth": growth})
+    # a zero-revenue predecessor yields NULL in SQL (QUALIFY drops it);
+    # mirror that instead of keeping numpy's inf — degenerate with
+    # TPC-H-shaped data but required for parity on arbitrary inputs
+    return out[np.isfinite(growth)].reset_index(drop=True)
 
 
 def events_user_retention(sf_dir: str):
@@ -4034,7 +4047,7 @@ def q2_min_cost_supplier(sf_dir: str):
     eu_supp = supp.map_batches(eu_only, batch_format="pandas")
 
     part = read_testdata(sf_dir, "part",
-                         columns=["p_partkey", "p_size", "p_type"])
+                         columns=["p_partkey", "p_type"])
     part = part.map_batches(
         lambda df: df[df.p_type == "LARGE"][["p_partkey"]],
         batch_format="pandas")
