@@ -116,6 +116,31 @@ def _nbuckets(n_rows: int, rows_per_bucket: int = 4096, lo: int = 64) -> int:
     return max(lo, int(np.ceil(n_rows / rows_per_bucket)))
 
 
+def _spread_read(sf_dir: str, table: str, columns,
+                 rows_per_block: int = 192):
+    """Read a small table split into ~CPU-count blocks so a CPU-heavy map
+    downstream (minhash/simhash sketching) runs across the cluster instead
+    of serially in one fused read+map task. Uses ``override_num_blocks`` —
+    the read stays ONE task (single fragment) but its output is split, so
+    no repartition exchange is paid (round 4: the repartition variant cost
+    ~0.9 s of barrier per pipeline). Bounded: only small inputs (< ~2M
+    rows) are touched — at real scale the read arrives already
+    multi-fragment and the hint is omitted. Returns (dataset, n_rows)."""
+    import ray
+
+    n_rows = _pq_nrows(testdata_path(sf_dir, table))
+    kw = {}
+    if n_rows <= 2_000_000:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        k = int(min(cpus * 2, max(1, n_rows // rows_per_block)))
+        if k > 1:
+            kw["override_num_blocks"] = k
+    from ..sources.tables import read_table
+
+    return (read_table(testdata_path(sf_dir, table), columns=columns, **kw),
+            n_rows)
+
+
 # ------------------------------------------------------- TPC-H-style
 
 
@@ -2113,18 +2138,28 @@ def minhash_candidate_pairs(sf_dir: str):
 
     n_perm, n_bands = 64, 16
     a, b = sketch.minhash_params(n_perm)
-    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * n_bands)
+    docs, nrows = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _nbuckets(nrows * n_bands)
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
         keys = sketch.lsh_band_keys_batch(
             sketch.minhash_signatures_batch(sh, a, b), n_bands)
         n = len(df)
+        # every row carries the doc's FULL band-key vector (n_bands×8 B
+        # blob) so the bucket task can dedup pairs locally: a pair is
+        # emitted only at its MINIMAL agreeing band, making emissions
+        # globally unique and removing the whole (doc_a, doc_b)-keyed
+        # dedup exchange (round-4: ~6× bytes on this exchange buys one
+        # fewer all-to-all over O(pairs×bands) rows — strictly fewer
+        # shuffled bytes whenever dup-pair volume ≳ corpus×16 keys, and
+        # one fewer fixed exchange floor always)
+        blob = [k.tobytes() for k in keys]
         out = pd.DataFrame({
             "doc_id": np.repeat(df.doc_id.to_numpy(), n_bands),
             "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
             "key": keys.ravel(),
+            "allkeys": np.repeat(np.array(blob, dtype=object), n_bands),
         })
         out["kbucket"] = (out["key"].to_numpy() % nb).astype(np.int64)
         return out
@@ -2138,19 +2173,25 @@ def minhash_candidate_pairs(sf_dir: str):
         # at sf0.1 — the whole candidate stage was 9 s, now ~3 s)
         df = df[df.duplicated(["band", "key"], keep=False)]
         out = []
-        for (_, _), g in df.groupby(["band", "key"], sort=False):
-            ids = sorted(g.doc_id.unique().tolist())
-            out.extend((ids[i], ids[j]) for i in range(len(ids))
-                       for j in range(i + 1, len(ids)))
+        for (band, _), g in df.groupby(["band", "key"], sort=False):
+            order = np.argsort(g.doc_id.to_numpy())
+            ids = g.doc_id.to_numpy()[order]
+            kb = np.frombuffer(b"".join(g.allkeys.to_numpy()[order]),
+                               dtype=np.int64).reshape(len(ids), n_bands)
+            band = int(band)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    # first-band rule: emit only if no earlier band agrees
+                    if band == 0 or not (kb[i, :band] == kb[j, :band]).any():
+                        out.append((ids[i], ids[j]))
         if not out:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    pairs = (ds.groupby("kbucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas"))
-    return _preagg(pairs, ["doc_a", "doc_b"],
-                   [("_c", None, "count")]).select_columns(["doc_a", "doc_b"])
+    # pairs are globally unique by the first-band rule — no dedup exchange
+    return (ds.groupby("kbucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas"))
 
 
 def dedup_minhash_docs(sf_dir: str, threshold: float = 0.5):
@@ -2205,31 +2246,31 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
     # bits/key ≥ 16 (FP ≈ 0.2% at k=4). Capped at 2^27 bits = 16 MiB — the
     # broadcast stays cheap; past that FPs rise gracefully and exactness is
     # unaffected (the hop-1 groupby drops strays).
-    n_keys = max(2 * cand.count(), 1)
+    npairs = max(cand.count(), 1)
+    n_keys = 2 * npairs
     p = int(min(27, max(20, int(np.ceil(np.log2(n_keys))) + 4)))
-    nmerge = 16
 
     def cand_bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
         keys = np.concatenate([df.doc_a.to_numpy(np.int64),
                                df.doc_b.to_numpy(np.int64)])
-        bits = bf.add(bf.empty(p), keys)
-        pk = int(keys[0]) % nmerge if len(keys) else 0
-        return pd.DataFrame({"_pk": [np.int32(pk)],
-                             "bits": [bits.tobytes()]})
+        return pd.DataFrame({"bits": [bf.add(bf.empty(p), keys).tobytes()]})
 
-    def bloom_or(g: pd.DataFrame) -> pd.DataFrame:
+    def bloom_or(df: pd.DataFrame) -> pd.DataFrame:
         acc = bf.empty(p)
-        for b in g.bits:
+        for b in df.bits:
             acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
         return pd.DataFrame({"bits": [acc.tobytes()]})
 
+    # one packed partial per block → coalesce into ONE task for the OR
+    # (repartition(1) is a narrow merge, far below a hash-shuffle's fixed
+    # floor; the OR tree never touches the driver, which receives 1 bitmap)
     parts = (cand.map_batches(cand_bloom_partial, batch_format="pandas",
                               batch_size=None)
-             .groupby("_pk").map_groups(bloom_or, batch_format="pandas")
-             .to_pandas())  # ≤ nmerge one-row packed partials
-    acc = bf.empty(p)
-    for b in parts.bits:
-        acc = bf.merge(acc, np.frombuffer(b, dtype=np.uint8))
+             .repartition(1)
+             .map_batches(bloom_or, batch_format="pandas", batch_size=None)
+             .to_pandas())  # exactly one packed row
+    acc = np.frombuffer(parts.bits.iloc[0], dtype=np.uint8).copy() \
+        if len(parts) else bf.empty(p)
     bloom_ref = ray.put(acc)
 
     def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -2244,7 +2285,11 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
             "sh": [b""] * (2 * len(df)),
         })
 
-    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    # light probe+shingle chain: a handful of blocks is enough (the 64-way
+    # auto split spawned 64 near-empty probe tasks whose launch overhead
+    # outweighed the work)
+    docs, _ = _spread_read(sf_dir, "documents", ["doc_id", "text"],
+                           rows_per_block=768)
 
     def bloom_probe(df: pd.DataFrame, _b=bloom_ref) -> pd.DataFrame:
         bits = ray.get(_b) if isinstance(_b, ray.ObjectRef) else _b
@@ -2255,34 +2300,68 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
     sh_rows = cdocs.map_batches(cand_shingles, batch_format="pandas")
     pair_rows = cand.map_batches(explode_pairs, batch_format="pandas")
 
-    def attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g.doc_a < 0]
-        pairs = g[g.doc_a >= 0]
+    # Both hops group by a BUCKET key, never per doc / per pair: map_groups
+    # pays per-group Python overhead, which at ~500k candidate pairs (the
+    # ngram prefix filter on template-heavy corpora) turned the verify into
+    # a 25 s stage (round 4). In-bucket work is one vectorized pandas merge
+    # (hop 1) and a merge + C-level per-pair intersect1d loop (hop 2).
+    ndocs = _pq_nrows(testdata_path(sf_dir, "documents"))
+    nb1 = _nbuckets(2 * npairs + ndocs)
+    nb2 = _nbuckets(npairs)
+
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                              "doc_b": pd.Series(dtype=np.int64),
+                              "doc_id": pd.Series(dtype=np.int64),
+                              "sh": pd.Series(dtype=object),
+                              "b2": pd.Series(dtype=np.int64)})
+        doc = g[g.doc_a < 0][["doc_id", "sh"]]
+        pairs = g[g.doc_a >= 0][["doc_a", "doc_b", "doc_id"]]
         if len(doc) == 0 or len(pairs) == 0:
-            return pairs.iloc[0:0][["doc_a", "doc_b", "doc_id", "sh"]]
-        blob = doc.sh.iloc[0]
-        out = pairs[["doc_a", "doc_b", "doc_id"]].copy()
-        out["sh"] = blob
-        return out
+            return empty
+        out = pairs.merge(doc, on="doc_id", how="inner")
+        out["b2"] = ((out.doc_a.to_numpy(np.int64) * 1_000_003
+                      + out.doc_b.to_numpy(np.int64)) % nb2).astype(np.int64)
+        return out if len(out) else empty
 
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        sides = {int(r.doc_id): r.sh for r in g.itertuples()}
-        a_sh = np.frombuffer(sides.get(int(g.doc_a.iloc[0]), b""), dtype=np.uint64)
-        b_sh = np.frombuffer(sides.get(int(g.doc_b.iloc[0]), b""), dtype=np.uint64)
-        j = round(sketch.jaccard(a_sh, b_sh), 6)
-        if j < threshold:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64),
-                                 "jaccard": pd.Series(dtype=float)})
-        return pd.DataFrame({"doc_a": [np.int64(g.doc_a.iloc[0])],
-                             "doc_b": [np.int64(g.doc_b.iloc[0])],
-                             "jaccard": [j]})
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a_side = g[g.doc_id == g.doc_a][["doc_a", "doc_b", "sh"]]
+        b_side = g[g.doc_id == g.doc_b][["doc_a", "doc_b", "sh"]]
+        m = a_side.merge(b_side, on=["doc_a", "doc_b"],
+                         suffixes=("_a", "_b"))
+        oa, ob, js = [], [], []
+        for da, db_, ba, bb in zip(m.doc_a.to_numpy(np.int64),
+                                   m.doc_b.to_numpy(np.int64),
+                                   m.sh_a.to_numpy(), m.sh_b.to_numpy()):
+            j = round(sketch.jaccard(np.frombuffer(ba, dtype=np.uint64),
+                                     np.frombuffer(bb, dtype=np.uint64)), 6)
+            if j >= threshold:
+                oa.append(da)
+                ob.append(db_)
+                js.append(j)
+        return pd.DataFrame({"doc_a": np.array(oa, dtype=np.int64),
+                             "doc_b": np.array(ob, dtype=np.int64),
+                             "jaccard": np.array(js, dtype=np.float64)})
 
-    return (sh_rows.union(pair_rows)
-            .groupby("doc_id")
-            .map_groups(attach_shingles, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .map_groups(verify_pair, batch_format="pandas"))
+    def add_b1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b1"] = (df.doc_id.to_numpy(np.int64) % nb1).astype(np.int64)
+        return df
+
+    # coalesce the union before the two sort exchanges: its inputs arrive
+    # as ~90 near-empty blocks (the probe chain inherits the 64-way read
+    # split; the pair side inherits the LSH reduce partitioning) and a sort
+    # over B tiny blocks pays O(B × partitions) object fetches — the two
+    # verify sorts were 2.9 s each at sf0.1 before this (round 4). Block
+    # count scales with the candidate-bounded row volume.
+    nblk = _nbuckets(ndocs + 2 * npairs, rows_per_bucket=2048, lo=8)
+    return (sh_rows.map_batches(add_b1, batch_format="pandas")
+            .union(pair_rows.map_batches(add_b1, batch_format="pandas"))
+            .repartition(nblk)
+            .groupby("b1")
+            .map_groups(attach_bucket, batch_format="pandas")
+            .groupby("b2")
+            .map_groups(verify_bucket, batch_format="pandas"))
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
@@ -2300,12 +2379,12 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
     (≈64 prefix shingles per doc at t=0.6 on the fixture texts)."""
     from ..functions import sketch
 
-    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * 64)
+    docs, nrows = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _nbuckets(nrows * 64)
 
     def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
-        ids, keys = [], []
+        ids, keys, ns, poss = [], [], [], []
         for d, s in zip(df.doc_id.to_numpy(), sh):
             n = len(s)
             if n == 0:
@@ -2314,27 +2393,50 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6):
             pre = np.sort(s)[:L]
             ids.append(np.full(len(pre), d, dtype=np.int64))
             keys.append(pre.astype(np.int64))
+            ns.append(np.full(len(pre), n, dtype=np.int64))
+            poss.append(np.arange(len(pre), dtype=np.int64))
         if not ids:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "key": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64),
                                  "kbucket": pd.Series(dtype=np.int64)})
         out = pd.DataFrame({"doc_id": np.concatenate(ids),
-                            "key": np.concatenate(keys)})
+                            "key": np.concatenate(keys),
+                            "n": np.concatenate(ns),
+                            "pos": np.concatenate(poss)})
         out["kbucket"] = (out["key"].to_numpy() % nb).astype(np.int64)
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby("key", sort=False):
-            if len(g) < 2:
-                continue
-            ids = sorted(g.doc_id.unique().tolist())
-            out.extend((ids[i], ids[j]) for i in range(len(ids))
-                       for j in range(i + 1, len(ids)))
-        if not out:
+        # drop singleton keys (~98% of prefix-shingle rows) with one
+        # C-speed duplicated() pass, then generate pair emissions with ONE
+        # vectorized self-merge (no Python group iteration) and prune with
+        # the classic ppjoin LENGTH and POSITIONAL filters — both lossless:
+        #   length:   J≥t ⇒ |A∩B|≤min, |A∪B|≥max ⇒ min ≥ t·max
+        #   position: shingles are globally sorted, so for a pair's FIRST
+        #             shared prefix key at (posA, posB) the overlap is at
+        #             most 1+min(nA−posA−1, nB−posB−1); J≥t needs overlap
+        #             ≥ ceil(t/(1+t)·(nA+nB)). A true pair always passes at
+        #             its first shared key, so keeping any-pass pairs is
+        #             exact. (Cuts candidates 451k → 127k on the sf0.1
+        #             template-heavy fixture corpus, round 4.)
+        df = df[df.duplicated("key", keep=False)]
+        if not len(df):
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+        m = df.merge(df, on="key", suffixes=("_x", "_y"))
+        m = m[m.doc_id_x < m.doc_id_y]
+        nx, ny = m.n_x.to_numpy(np.float64), m.n_y.to_numpy(np.float64)
+        keep = np.minimum(nx, ny) + 1e-9 >= threshold * np.maximum(nx, ny)
+        m, nx, ny = m[keep], nx[keep], ny[keep]
+        alpha = np.ceil(threshold / (1.0 + threshold) * (nx + ny) - 1e-9)
+        ub = 1 + np.minimum(m.n_x.to_numpy() - m.pos_x.to_numpy() - 1,
+                            m.n_y.to_numpy() - m.pos_y.to_numpy() - 1)
+        m = m[ub >= alpha]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        return pd.DataFrame({"doc_a": out.doc_id_x.to_numpy(np.int64),
+                             "doc_b": out.doc_id_y.to_numpy(np.int64)})
 
     cand = (docs.map_batches(prefix_rows, batch_format="pandas")
             .groupby("kbucket")
@@ -2412,7 +2514,7 @@ def dedup_simhash_docs(sf_dir: str):
     """64-bit SimHash per doc + hamming-bucket near-dup key (rows-only)."""
     from ..functions import sketch
 
-    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    docs, _ = _spread_read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
@@ -2434,8 +2536,8 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     no driver pair gather)."""
     from ..functions import sketch
 
-    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
-    nb = _nbuckets(_pq_nrows(testdata_path(sf_dir, "documents")) * 4)
+    docs, nrows = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nb = _nbuckets(nrows * 4)
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh = sketch.shingle_hashes_batch(df.text.fillna("").tolist(), k=3)
