@@ -116,6 +116,20 @@ def _nbuckets(n_rows: int, rows_per_bucket: int = 4096, lo: int = 64) -> int:
     return max(lo, int(np.ceil(n_rows / rows_per_bucket)))
 
 
+def _flat_words(texts: pd.Series) -> np.ndarray:
+    """Every whitespace-split token of the batch, concatenated, as one
+    object ndarray. ONE C-level join + split replaces the per-token Python
+    list comprehension that used to dominate the vocab partials (round-4
+    fix). Exactness: ``" ".join(ts).split(" ")`` ≡ the concatenation of
+    each ``t.split(" ")`` — the single joining space between consecutive
+    texts regenerates each text's own boundary, and an empty text yields
+    the same [''] token either way."""
+    if len(texts) == 0:
+        return np.empty(0, dtype=object)
+    return np.array(" ".join(texts.fillna("").tolist()).split(" "),
+                    dtype=object)
+
+
 def _spread_read(sf_dir: str, table: str, columns,
                  rows_per_block: int = 192):
     """Read a small table split into ~CPU-count blocks so a CPU-heavy map
@@ -2652,7 +2666,7 @@ def doc_bm25_scores(sf_dir: str, terms: tuple = ("spark", "query", "window")):
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
                            count=len(toks))
         rows = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
-        flat = np.asarray([w for t in toks for w in t], dtype=object)
+        flat = _flat_words(texts)
         codes, uniq = pd.factorize(flat)
         tf = np.zeros((len(toks), len(terms)), dtype=np.int64)
         uniq_list = list(uniq)
@@ -2723,8 +2737,7 @@ def doc_vocab_topk(sf_dir: str):
     docs = read_testdata(sf_dir, "documents", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        flat = [w for t in df["text"].fillna("").str.split(" ") for w in t]
-        vc = pd.Series(flat, dtype=object).value_counts()
+        vc = pd.Series(_flat_words(df["text"]), dtype=object).value_counts()
         return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
                              "cnt": vc.to_numpy(dtype=np.int64)})
 
@@ -2763,8 +2776,7 @@ def doc_vocab_topk_mg(sf_dir: str, k: int = 100, capacity: int = 400):
     docs = read_testdata(sf_dir, "documents", columns=["text"])
 
     def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        flat = [w for t in df["text"].fillna("").str.split(" ") for w in t]
-        vc = pd.Series(flat, dtype=object).value_counts()
+        vc = pd.Series(_flat_words(df["text"]), dtype=object).value_counts()
         sub = int(vc.iloc[capacity]) if len(vc) > capacity else 0
         kept = (vc.iloc[:capacity] - sub)
         kept = kept[kept > 0]
@@ -2787,9 +2799,8 @@ def doc_vocab_topk_mg(sf_dir: str, k: int = 100, capacity: int = 400):
 
     def exact_partial(df: pd.DataFrame, _c=cand_ref) -> pd.DataFrame:
         cs = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
-        flat = [w for t in df["text"].fillna("").str.split(" ")
-                for w in t if w in cs]
-        vc = pd.Series(flat, dtype=object).value_counts()
+        vc = pd.Series(_flat_words(df["text"]), dtype=object).value_counts()
+        vc = vc[vc.index.isin(cs)]
         return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
                              "cnt": vc.to_numpy(dtype=np.int64)})
 
