@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- sweep window: added/changed round 4 -------------------------
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
+        "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         # --- round-3 additions, never driver-checked ----------------------
         "orders_monthly_growth": Q.orders_monthly_growth,
         "events_user_retention": Q.events_user_retention,
@@ -94,9 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": Q.events_topk_per_type,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
-        "events_stratified_sample": Q.events_stratified_sample,
         # ================= end of the 50-entry sweep window ===============
         # r02-green backlog remainder — first in line for the round-5 window
+        "events_stratified_sample": Q.events_stratified_sample,
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,

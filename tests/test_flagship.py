@@ -139,6 +139,23 @@ class TestAccounting:
             for p in r["parts"]:
                 assert p["h3_lo"] <= p["h3_hi"]
 
+    def test_manifest_audit_stamp(self, flag_out):
+        """Round-4 audit/versioning stamp (create-tables.sql:226-243):
+        every partition row records the producing config hash + engine
+        version, and any toggle change changes the hash."""
+        out, _ = flag_out
+        from tiff_enrichment_pipeline_ray import __version__
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+        from tiff_enrichment_pipeline_ray.state.manifest import Manifest
+
+        cfg = PipelineConfig()
+        for r in Manifest(out).records():
+            assert r["config_hash"] == cfg.config_hash()
+            assert r["engine_version"] == __version__
+        other = PipelineConfig(enrich_weather=False)
+        assert other.config_hash() != cfg.config_hash()
+        assert PipelineConfig().config_hash() == cfg.config_hash()
+
     def test_caption_equality_per_row(self, all_df, input_df):
         """BASELINE.json per-row invariant: caption survives byte-equal."""
         m = all_df.merge(input_df[["image_id", "caption"]],

@@ -143,7 +143,10 @@ ROWS_ONLY = ["ann_pq_topk",
              "index_visualizations", "band_histograms",
              # round 3: k-means cluster stats (heuristic float geometry;
              # brute-force oracle in test_ann_multimodal::TestKmeansQuery)
-             "embedding_kmeans"]
+             "embedding_kmeans",
+             # round 4: corpus location-map PNG (pixel-level correctness
+             # pinned by tests/test_viz.py::TestLocationMap)
+             "location_map"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

@@ -133,3 +133,55 @@ class TestVizDatasets:
         assert len(df) > 0
         img = viz.decode_png(bytes(df.png.iloc[0]))
         assert img.shape == (200, 256, 3)
+
+
+class TestLocationMap:
+    def test_rasterize_bounds_brute_force(self):
+        """Each box's outline pixels (and only those) are set."""
+        rng = np.random.default_rng(7)
+        west = rng.uniform(3.1, 6.8, size=20)
+        south = rng.uniform(50.8, 53.2, size=20)
+        east = west + rng.uniform(0.001, 0.3, size=20)
+        north = south + rng.uniform(0.001, 0.3, size=20)
+        mask = viz.rasterize_bounds(west, south, east, north)
+        want = np.zeros((800, 800), dtype=np.uint8)
+        lon0, lat0, lon1, lat1 = 3.0, 50.7, 7.3, 53.6
+        for wst, sth, est, nth in zip(west, south, east, north):
+            x0 = int(np.clip(np.floor((wst - lon0) / (lon1 - lon0) * 799), 0, 799))
+            x1 = int(np.clip(np.floor((est - lon0) / (lon1 - lon0) * 799), 0, 799))
+            y0 = int(np.clip(np.floor((lat1 - nth) / (lat1 - lat0) * 799), 0, 799))
+            y1 = int(np.clip(np.floor((lat1 - sth) / (lat1 - lat0) * 799), 0, 799))
+            want[y0, x0:x1 + 1] = 1
+            want[y1, x0:x1 + 1] = 1
+            want[y0:y1 + 1, x0] = 1
+            want[y0:y1 + 1, x1] = 1
+        assert (mask == want).all()
+        # disjoint single box → exact perimeter pixel count
+        m1 = viz.rasterize_bounds(np.array([4.0]), np.array([51.0]),
+                                  np.array([4.5]), np.array([51.5]))
+        ys, xs = np.nonzero(m1)
+        hh, ww = ys.max() - ys.min() + 1, xs.max() - xs.min() + 1
+        assert m1.sum() == 2 * hh + 2 * ww - 4
+
+    def test_location_map_dataset(self, tmp_path):
+        """Distributed partial-OR render == driver-side brute force; box
+        count == georeferenced enriched rows."""
+        from tiff_enrichment_pipeline_ray.pipelines import export as E
+        from tiff_enrichment_pipeline_ray.pipelines import flagship as fl
+        from tiff_enrichment_pipeline_ray.sources import synth
+
+        img_dir = synth.ensure_images(0.0005)
+        out = str(tmp_path / "flag")
+        fl.run_flagship(img_dir, out, resume=False)
+        df = E.location_map_dataset(out).to_pandas()
+        assert len(df) == 1
+        enr = fl.read_enriched(out).to_pandas()
+        geo = enr[enr.west.notna() & enr.north.notna()]
+        assert int(df.n_boxes.iloc[0]) == len(geo)
+        img = viz.decode_png(bytes(df.png.iloc[0]))
+        assert img.shape == (800, 800, 3)
+        east = geo.west.to_numpy() + geo.w.to_numpy() * geo.px_deg.to_numpy()
+        south = geo.north.to_numpy() - geo.h.to_numpy() * geo.py_deg.to_numpy()
+        want = viz.bounds_map_rgb(viz.rasterize_bounds(
+            geo.west.to_numpy(), south, east, geo.north.to_numpy()))
+        assert (img == want).all()

@@ -97,6 +97,20 @@ class PipelineConfig:
         d["indices"] = list(d["indices"])
         return d
 
+    def config_hash(self) -> str:
+        """Deterministic 16-hex digest of the full toggle surface — the
+        audit/versioning stamp written into every manifest partition row
+        (reference create-tables.sql:226-243 keeps versioned
+        ``pipeline.configuration`` rows; :168-186 audit-logs changes). Any
+        toggle change changes the hash, so lineage records say exactly
+        which configuration produced each partition."""
+        import hashlib
+        import json
+
+        blob = json.dumps(self.to_dict(), sort_keys=True,
+                          separators=(",", ":"))
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
     @classmethod
     def from_dict(cls, user: dict) -> "PipelineConfig":
         """Defaults deep-merged with ``user`` (user wins); unknown keys are

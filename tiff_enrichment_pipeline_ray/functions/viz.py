@@ -193,3 +193,43 @@ def render_histogram_rgb(pixels: np.ndarray, height: int = 200,
     mask = rows >= (height - hpx)[None, :]      # fill from the bottom
     img[mask] = (70, 130, 180)                  # steelblue
     return img
+
+
+# -------------------------------------------------------- location map
+
+
+def rasterize_bounds(west: np.ndarray, south: np.ndarray,
+                     east: np.ndarray, north: np.ndarray,
+                     bbox: tuple = (3.0, 50.7, 7.3, 53.6),
+                     size: tuple = (800, 800)) -> np.ndarray:
+    """1-px bounds-box OUTLINES on a (H, W) uint8 canvas over ``bbox``
+    (lon_min, lat_min, lon_max, lat_max) — the data-bearing content of the
+    reference's corpus location map (scripts/visualize_tiff_locations.py:
+    22-57 draws each TIFF's bounds as an unfilled red rectangle over an NL
+    basemap; the network-tile basemap and text labels are out of scope).
+    Row 0 = north edge. Degenerate (sub-pixel) boxes draw as 1-px marks.
+    The canvas is a MERGEABLE partial: OR partials from distributed blocks
+    to get the corpus map."""
+    h, w = size
+    lon0, lat0, lon1, lat1 = bbox
+    sx = (w - 1) / (lon1 - lon0)
+    sy = (h - 1) / (lat1 - lat0)
+    x0 = np.clip(np.floor((np.asarray(west) - lon0) * sx), 0, w - 1).astype(np.intp)
+    x1 = np.clip(np.floor((np.asarray(east) - lon0) * sx), 0, w - 1).astype(np.intp)
+    y0 = np.clip(np.floor((lat1 - np.asarray(north)) * sy), 0, h - 1).astype(np.intp)
+    y1 = np.clip(np.floor((lat1 - np.asarray(south)) * sy), 0, h - 1).astype(np.intp)
+    canvas = np.zeros(size, dtype=np.uint8)
+    for a, b, c, d in zip(y0, y1, x0, x1):
+        canvas[a, c:d + 1] = 1          # north edge
+        canvas[b, c:d + 1] = 1          # south edge
+        canvas[a:b + 1, c] = 1          # west edge
+        canvas[a:b + 1, d] = 1          # east edge
+    return canvas
+
+
+def bounds_map_rgb(mask: np.ndarray) -> np.ndarray:
+    """White background, red outlines — the visualizer's edgecolor='red',
+    facecolor='none' styling."""
+    img = np.full(mask.shape + (3,), 255, dtype=np.uint8)
+    img[mask.astype(bool)] = (255, 0, 0)
+    return img

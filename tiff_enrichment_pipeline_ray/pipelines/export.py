@@ -201,3 +201,53 @@ def export_visualizations(flag_dir: str, export_dir: str):
     ds.map_batches(write, batch_format="pandas") \
         .write_parquet(os.path.join(export_dir, "vis_stats"))
     return export_dir
+
+
+def location_map_dataset(flag_dir: str, size: tuple = (800, 800)):
+    """Corpus location map (scripts/visualize_tiff_locations.py:22-57):
+    every georeferenced image's bounds box as a red outline over the NL
+    bbox (the contextily network-tile basemap and text labels are
+    environment-blocked and out of scope). Distributed as MERGEABLE raster
+    partials: each block rasterizes its rows' boxes onto one (H, W) bit
+    canvas (a single slim packbits row per block, ~80 KB at 800²), the
+    partials are OR-merged inside ONE coalesced task (repartition(1), the
+    Bloom-merge pattern — the driver never holds the partials), and the
+    merged mask is PNG-encoded. Output: one row (png, n_boxes, width,
+    height)."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import config
+    from ..functions import viz
+    from . import flagship as fl
+
+    h, w = size
+    bbox = (config.NL_LON_MIN, config.NL_LAT_MIN,
+            config.NL_LON_MAX, config.NL_LAT_MAX)
+    ds = fl.read_enriched(flag_dir).select_columns(
+        ["west", "north", "px_deg", "py_deg", "w", "h"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df.west.notna() & df.north.notna()
+        d = df[ok]
+        east = d.west.to_numpy() + d.w.to_numpy() * d.px_deg.to_numpy()
+        south = d.north.to_numpy() - d.h.to_numpy() * d.py_deg.to_numpy()
+        mask = viz.rasterize_bounds(d.west.to_numpy(), south, east,
+                                    d.north.to_numpy(), bbox=bbox, size=size)
+        return pd.DataFrame({"mask": [np.packbits(mask).tobytes()],
+                             "n": [np.int64(int(ok.sum()))]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(h * w, dtype=np.uint8)
+        for blob in df["mask"]:
+            acc |= np.unpackbits(
+                np.frombuffer(blob, dtype=np.uint8))[:h * w]
+        png = viz.encode_png(viz.bounds_map_rgb(acc.reshape(size)))
+        return pd.DataFrame({"png": [png],
+                             "n_boxes": [np.int64(df.n.sum())],
+                             "width": [np.int64(w)],
+                             "height": [np.int64(h)]})
+
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))

@@ -624,6 +624,12 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
     if limit_partitions is not None:
         pending = pending[:limit_partitions]  # simulated-kill / paced resume
 
+    # audit/versioning stamp on every manifest row (create-tables.sql:
+    # 226-243 configuration versioning; :168-186 audit-log intent)
+    from .. import __version__
+
+    stamp = {"config_hash": cfg.config_hash(), "engine_version": __version__}
+
     layer_kwargs = enrich_stage.put_layers(layers_dir)
     t0 = time.time()
     total_rows = 0
@@ -741,7 +747,7 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
         caps_s = time.time() - t_ph
         phases["captures"] += caps_s
         manifest.commit(pid, part_files, rows, caps, t_start,
-                        lineage.to_dict("records"))
+                        lineage.to_dict("records"), stamp=stamp)
         # --- ops/monitoring dataset (reference system_metrics/api_usage
         # analogue, create-tables.sql:185-223 + rasterio_monitor.py:66-200):
         # one row per (partition, stage) with wall/rows/throughput, plus the

@@ -2006,6 +2006,25 @@ def band_histograms(sf_dir: str):
     return ds.map_batches(slim, batch_format="pandas")
 
 
+def location_map(sf_dir: str):
+    """Corpus location-map render (scripts/visualize_tiff_locations.py:
+    22-57): bounds boxes of every georeferenced image drawn over the NL
+    bbox — the last visualizer-parity gap (round 4). One PNG row; pixel
+    correctness pinned by tests/test_viz.py against brute-force
+    rasterization, box count checked against the enriched table."""
+    from .export import location_map_dataset
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = location_map_dataset(out)
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["png_len"] = df.png.map(len).astype(np.int64)
+        return df.drop(columns=["png"])
+
+    return ds.map_batches(slim, batch_format="pandas")
+
+
 def micasense_sets(sf_dir: str):
     """The reference's timestamp-prefix set discovery with POSITIONAL band
     assignment (micasense/__main__.py:15-46): group files by the filename

@@ -48,10 +48,16 @@ class Manifest:
             return [json.loads(x) for x in f if x.strip()]
 
     def commit(self, partition_id: int, input_files: list, row_count: int,
-               capture_count: int, t_start: float, parts: list):
+               capture_count: int, t_start: float, parts: list,
+               stamp: dict | None = None):
+        """``stamp`` carries the audit/versioning fields (config_hash,
+        engine_version — reference create-tables.sql:226-243 configuration
+        versioning, :168-186 audit-log intent) so every partition row
+        records exactly which code + configuration produced it."""
         t_end = time.time()
         rec = {
             "partition_id": partition_id,
+            **(stamp or {}),
             "input_files": [os.path.basename(p) for p in input_files],
             "row_count": int(row_count),
             "capture_count": int(capture_count),

@@ -47,7 +47,14 @@ def compare(name, ray_df, sql_df, tol=0.0):
             av = np.asarray(av, dtype=np.float64)
             bv = np.asarray(bv, dtype=np.float64)
             both_nan = np.isnan(av) & np.isnan(bv)
-            eq = both_nan | (av == bv)
+            # ulp-level tolerance (4 spacings) for float columns: the
+            # engines round explicitly (round(x, 4/6)) but the values FED
+            # to round() come from differently-associated distributed sums,
+            # so a quantity sitting exactly on a rounding boundary can land
+            # one representable float apart at larger sf. Anything beyond a
+            # few ulps is still a real mismatch. (Round-4, VERDICT item 8.)
+            tol4 = 4 * np.spacing(np.maximum(np.abs(av), np.abs(bv)))
+            eq = both_nan | (av == bv) | (np.abs(av - bv) <= tol4)
             if not eq.all():
                 i = int(np.flatnonzero(~eq)[0])
                 return f"VALUE mismatch col={c} row={i}: ray={av[i]!r} sql={bv[i]!r}"
