@@ -2487,14 +2487,19 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
     duplicate-capture grouping of processor.py, generalized to documents).
 
     Standard distributed hash-min label propagation (the GraphX/Pregel CC
-    loop): every doc starts labeled with its own id; each round hash-joins
-    the label table to the undirected edge list (Dataset.join) and takes a
-    per-node min over {own label} ∪ {neighbor labels}. Converges in
+    loop): every doc starts labeled with its own id; each round each node
+    takes the min over {own label} ∪ {neighbor labels}. Converges in
     O(max cluster diameter) rounds — near-dup clusters at threshold 0.6 are
-    near-cliques, so 2-3 rounds in practice. Per-round data motion is one
-    bounded (edges + labels) hash-partition shuffle; the driver sees only an
-    O(1) convergence aggregate (sum of labels, strictly decreasing until
-    fixpoint). Output: (doc_id, cluster_id = min doc_id in the component,
+    near-cliques, so 2-3 rounds in practice. Each round is TWO bucketed
+    sort exchanges with vectorized in-bucket pandas merges (the
+    _verify_jaccard_pairs hop pattern): label rows meet edge rows in
+    src-keyed buckets (propagate), then propositions meet labels in
+    node-keyed buckets (min-combine). Round 4 replaced the per-round
+    Dataset.join here — its ~3.5-6 s fixed aggregator floor (BASELINE.md)
+    dominated the loop at small sf; the bucketed form moves the identical
+    (edges + labels) row volume. The driver sees only an O(1) convergence
+    aggregate (sum of labels, strictly decreasing until fixpoint).
+    Output: (doc_id, cluster_id = min doc_id in the component,
     is_rep = doc is the cluster representative)."""
     pairs = doc_ngram_jaccard_pairs(sf_dir, threshold)
     docs = read_testdata(sf_dir, "documents", columns=["doc_id"])
@@ -2502,7 +2507,15 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("doc_id"), "lbl": t.column("doc_id")})
 
-    labels = docs.map_batches(init_labels, batch_format="pyarrow").materialize()
+    # coalesce both loop operands: the propagation sorts run EVERY round,
+    # and a sort over B near-empty blocks pays O(B × partitions) fetches
+    # (the labels read auto-splits 64-way; the edge side inherits ~90
+    # verify-output blocks — round-4 measurement: the loop ran 2× slower
+    # on un-coalesced inputs than the whole ngram pipeline feeding it)
+    nlbl = _pq_nrows(testdata_path(sf_dir, "documents"))
+    labels = (docs.map_batches(init_labels, batch_format="pyarrow")
+              .repartition(_nbuckets(nlbl, rows_per_bucket=500_000, lo=8))
+              .materialize())
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
         a = df.doc_a.to_numpy(np.int64)
@@ -2517,14 +2530,57 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
     edges = (pairs.map_batches(undirect, batch_format="pandas")
              .materialize())
 
-    if edges.count():
+    n_edges = edges.count()
+    if n_edges:
+        nbk = _nbuckets(n_edges + labels.count(), rows_per_bucket=4096,
+                        lo=16)
+
+        def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+            # key = src; node >= 0 marks an edge row
+            return pd.DataFrame({
+                "key": df.src.to_numpy(np.int64),
+                "node": df.node.to_numpy(np.int64),
+                "lbl": np.full(len(df), -1, dtype=np.int64),
+                "bk": (df.src.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+        def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+            # key = node; node == -1 marks a label row
+            return pd.DataFrame({
+                "key": df.node.to_numpy(np.int64),
+                "node": np.full(len(df), -1, dtype=np.int64),
+                "lbl": df.lbl.to_numpy(np.int64),
+                "bk": (df.node.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lbls = g.loc[g.node < 0, ["key", "lbl"]]
+            eds = g.loc[g.node >= 0, ["key", "node"]]
+            m = eds.merge(lbls, on="key")
+            return pd.DataFrame({
+                "node": m.node.to_numpy(np.int64),
+                "lbl": m.lbl.to_numpy(np.int64),
+                "bk": (m.node.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+        def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", sort=False).lbl.min().reset_index()
+            return pd.DataFrame({"node": out.node.to_numpy(np.int64),
+                                 "lbl": out.lbl.to_numpy(np.int64)})
+
+        erows = (edges.map_batches(edge_rows, batch_format="pandas")
+                 .repartition(_nbuckets(2 * n_edges, rows_per_bucket=500_000,
+                                        lo=8))
+                 .materialize())
         prev = labels.sum("lbl")
         for _ in range(max_rounds):
-            prop = _dsjoin(edges, labels.rename_columns({"node": "src"}),
-                           on=("src",)).select_columns(["node", "lbl"])
-            labels = (prop.union(labels)
-                      .groupby("node").min("lbl")
-                      .rename_columns({"min(lbl)": "lbl"})
+            prop = (erows.union(labels.map_batches(label_rows,
+                                                   batch_format="pandas"))
+                    .groupby("bk")
+                    .map_groups(propagate, batch_format="pandas"))
+            labels = (prop.union(labels.map_batches(
+                          lambda df: df.assign(
+                              bk=(df.node.to_numpy(np.int64) % nbk)),
+                          batch_format="pandas"))
+                      .groupby("bk")
+                      .map_groups(min_combine, batch_format="pandas")
                       .materialize())
             cur = labels.sum("lbl")
             if cur == prev:
