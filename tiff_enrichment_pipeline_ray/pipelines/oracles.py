@@ -919,15 +919,18 @@ GROUP BY a.event_id
 """
 
 
+# ORDER BY must use the UNROUNDED priority (wkey_raw): the rounded output
+# alias would shadow it and re-break ties among the many rows that round
+# to the same 6-decimal value near 1.0 (bit the sf0.1 sweep, round 4)
 ORACLES["sample_weighted"] = """
-SELECT l_orderkey, l_linenumber, l_quantity, round(wkey, 6) AS wkey
+SELECT l_orderkey, l_linenumber, l_quantity, round(wkey_raw, 6) AS wkey
 FROM (SELECT l_orderkey, l_linenumber, l_quantity,
              pow(CAST(('0x' || substr(md5('ws:' || l_orderkey || ':'
                        || l_linenumber || ':' || l_quantity::BIGINT),
                        1, 8))::BIGINT AS DOUBLE) / 4294967296.0,
-                 1.0 / l_quantity) AS wkey
+                 1.0 / l_quantity) AS wkey_raw
       FROM lineitem)
-ORDER BY wkey DESC, l_orderkey, l_linenumber
+ORDER BY wkey_raw DESC, l_orderkey, l_linenumber
 LIMIT 20
 """
 

@@ -3638,11 +3638,15 @@ def sample_weighted(sf_dir: str, k: int = 20):
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        u = np.array([int(hashlib.md5(
-            f"ws:{int(o)}:{int(n)}:{int(q)}".encode()).hexdigest()[:8], 16)
+        # SCALAR pow inside the (already per-row) md5 loop: numpy's
+        # vectorized pow and libm's scalar pow disagree by 1 ulp on some
+        # inputs, and DuckDB uses libm — scalar keeps the priority keys
+        # BIT-EXACT across both engines (round-4 sf0.1 finding)
+        df["wkey"] = [
+            (int(hashlib.md5(f"ws:{int(o)}:{int(n)}:{int(q)}".encode())
+                 .hexdigest()[:8], 16) / 4294967296.0) ** (1.0 / float(q))
             for o, n, q in zip(df.l_orderkey, df.l_linenumber,
-                               df.l_quantity)], dtype=np.float64)
-        df["wkey"] = (u / 4294967296.0) ** (1.0 / df.l_quantity.to_numpy())
+                               df.l_quantity)]
         return df.sort_values(["wkey", "l_orderkey", "l_linenumber"],
                               ascending=[False, True, True]).head(k)
 
@@ -4297,13 +4301,22 @@ def q11_important_stock(sf_dir: str):
     held = held.map_batches(val, batch_format="pandas")
     per_part = _preagg(held, ["p_partkey"],
                        [("value_cents", "val_cents", "sum")])
+    # guard: Ray can deliver a schema-less EMPTY block (observed at sf0.1,
+    # AttributeError on the column) — treat it as a zero partial
     total = int(per_part.map_batches(
-        lambda df: pd.DataFrame({"t": [df.value_cents.sum()]}),
+        lambda df: pd.DataFrame(
+            {"t": [df["value_cents"].sum() if "value_cents" in df else 0]}),
         batch_format="pandas").to_pandas().t.sum())  # one scalar
 
     out = per_part.map_batches(
-        lambda df, _t=total: df[df.value_cents * 150 > _t],
+        lambda df, _t=total: (df[df["value_cents"] * 150 > _t]
+                              if "value_cents" in df else df),
         batch_format="pandas").to_pandas()
+    if "value_cents" not in out:
+        # every HAVING survivor block was empty (legitimate at scales where
+        # no part reaches 1/150 of the region total): schema-less concat
+        out = pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                            "value_cents": pd.Series(dtype=np.int64)})
     out["value"] = out.value_cents.to_numpy(np.float64) / 100.0
     return (out.sort_values(["value", "p_partkey"],
                             ascending=[False, True])
