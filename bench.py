@@ -106,6 +106,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_user_daily", Q.events_user_daily),
         ("doc_exact_dedup", Q.doc_exact_dedup),
         ("dedup_minhash_docs", Q.dedup_minhash_docs),
+        # round 4: the two other heavyweight near-dup pipelines, so the
+        # per-round artifact tracks their claw-back (ngram ~30 s → ~6 s,
+        # clusters ~28-47 s → ~7-10 s at sf0.1/32)
+        ("doc_ngram_jaccard_pairs", Q.doc_ngram_jaccard_pairs),
+        ("doc_dup_clusters", Q.doc_dup_clusters),
         ("ann_topk_cosine", Q.ann_topk_cosine),
         ("geo_knn_station", Q.geo_knn_station),
         ("geo_tile_census", Q.geo_tile_census),

@@ -2111,31 +2111,37 @@ def image_phash_near_dup(sf_dir: str, max_hamming: int = 3):
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton pre-filter + FIRST-BAND dedup (round 4, same rule as
+        # dedup_simhash_pairs: earlier bands derive from the phash already
+        # on the row, so emissions are globally unique at zero extra
+        # shuffle bytes and the pair dedup exchange disappears)
+        df = df[df.duplicated(["band", "key"], keep=False)]
         rows = []
-        for (_, _), g in df.groupby(["band", "key"], sort=False):
-            if len(g) < 2:
-                continue
-            u = g.drop_duplicates("image_id").sort_values("image_id")
+        for (band, _), g in df.groupby(["band", "key"], sort=False):
+            u = g.sort_values("image_id")
             ids = u.image_id.to_numpy()
             hs = u.phash.to_numpy().astype(np.uint64)
+            band = int(band)
             for i in range(len(ids)):
                 x = hs[i] ^ hs[i + 1:]
                 d = np.array([int(v).bit_count() for v in x])
                 for j in np.flatnonzero(d <= max_hamming):
-                    rows.append((str(ids[i]), str(ids[i + 1 + j]), int(d[j])))
+                    xj = int(x[j])
+                    first = next(b for b in range(4)
+                                 if (xj >> (16 * b)) & 0xFFFF == 0)
+                    if first == band:
+                        rows.append((str(ids[i]), str(ids[i + 1 + j]),
+                                     int(d[j])))
         if not rows:
             return pd.DataFrame({"img_a": pd.Series(dtype=object),
                                  "img_b": pd.Series(dtype=object),
                                  "hamming": pd.Series(dtype=np.int64)})
         return pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
 
-    pairs = (imgs.map_batches(band_rows, batch_format="pandas")
-             .groupby("kbucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas"))
-    # duplicate emissions across agreeing bands carry the same hamming →
-    # min() is a pure distributed dedup (round-3 fix: no driver gather)
-    return _preagg(pairs, ["img_a", "img_b"],
-                   [("hamming", "hamming", "min")])
+    # pairs are globally unique by the first-band rule — no dedup exchange
+    return (imgs.map_batches(band_rows, batch_format="pandas")
+            .groupby("kbucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas"))
 
 
 def caption_exact_dedup(sf_dir: str):
@@ -2646,32 +2652,39 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return out
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton pre-filter, then the FIRST-BAND rule: rows already
+        # carry the full simhash, so every earlier band's value is
+        # derivable in place — emit a pair only at its minimal agreeing
+        # band and the whole (doc_a, doc_b) dedup exchange disappears at
+        # zero extra shuffle bytes (round 4; the minhash path pays a
+        # key-vector blob for the same rule)
+        df = df[df.duplicated(["band", "key"], keep=False)]
         out = []
-        for (_, _), g in df.groupby(["band", "key"], sort=False):
-            if len(g) < 2:
-                continue
-            u = g.drop_duplicates("doc_id").sort_values("doc_id")
+        for (band, _), g in df.groupby(["band", "key"], sort=False):
+            u = g.sort_values("doc_id")
             ids = u.doc_id.to_numpy()
             hs = u.simhash.to_numpy().astype(np.uint64)
+            band = int(band)
             for i in range(len(ids)):
                 x = hs[i] ^ hs[i + 1:]
                 d = np.array([int(v).bit_count() for v in x])
                 for j in np.flatnonzero(d <= max_hamming):
-                    out.append((int(ids[i]), int(ids[i + 1 + j]),
-                                int(d[j])))
+                    xj = int(x[j])
+                    first = next(b for b in range(4)
+                                 if (xj >> (16 * b)) & 0xFFFF == 0)
+                    if first == band:
+                        out.append((int(ids[i]), int(ids[i + 1 + j]),
+                                    int(d[j])))
         if not out:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64),
                                  "hamming": pd.Series(dtype=np.int64)})
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
 
-    pairs = (docs.map_batches(band_rows, batch_format="pandas")
-             .groupby("kbucket")
-             .map_groups(pairs_in_bucket, batch_format="pandas"))
-    # same pair re-surfaces from every agreeing band with the SAME hamming
-    # distance, so min() is a pure distributed dedup
-    return _preagg(pairs, ["doc_a", "doc_b"],
-                   [("hamming", "hamming", "min")])
+    # pairs are globally unique by the first-band rule — no dedup exchange
+    return (docs.map_batches(band_rows, batch_format="pandas")
+            .groupby("kbucket")
+            .map_groups(pairs_in_bucket, batch_format="pandas"))
 
 
 def doc_token_counts_regex(sf_dir: str):
