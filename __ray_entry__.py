@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sweep window: added/changed round 4 -------------------------
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
+        "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
+        "doc_neardup_keep_best": Q.doc_neardup_keep_best,  # new r4
         # impls redesigned r4 (near-dup claw-back + vectorized token partials)
         # — re-expose to the driver even though their r03 rows were green
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
@@ -98,10 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,
-        "events_top_values": Q.events_top_values,
-        "events_type_minmax": Q.events_type_minmax,
         # ================= end of the 50-entry sweep window ===============
         # r02-green backlog remainder — first in line for the round-5 window
+        "events_top_values": Q.events_top_values,
+        "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
@@ -171,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": Q.events_hll_users,
         "doc_fingerprints": Q.doc_fingerprints,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
+        "embedding_semantic_dedup": Q.embedding_semantic_dedup,  # new r4
         "ann_ivf_topk": Q.ann_ivf_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_pq_topk": Q.ann_pq_topk,

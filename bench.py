@@ -111,6 +111,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # clusters ~28-47 s → ~7-10 s at sf0.1/32)
         ("doc_ngram_jaccard_pairs", Q.doc_ngram_jaccard_pairs),
         ("doc_dup_clusters", Q.doc_dup_clusters),
+        # round 4: span-level exact dedup — the highest-row-volume text op
+        # (O(total tokens) gram rows through one exchange)
+        ("doc_substring_dup_spans", Q.doc_substring_dup_spans),
         ("ann_topk_cosine", Q.ann_topk_cosine),
         ("geo_knn_station", Q.geo_knn_station),
         ("geo_tile_census", Q.geo_tile_census),

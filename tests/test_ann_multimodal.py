@@ -426,3 +426,40 @@ class TestKmeansQuery:
                                    exp.mean_sqd.round(6).to_numpy(),
                                    rtol=1e-9)
         assert int(got.n.sum()) == len(t)
+
+
+class TestSemanticDedup:
+    def test_semantic_dedup_vs_brute(self, ray_session):
+        """Distributed SemDeDup == single-process numpy recompute: same
+        sample-trained centroids, same greedy smaller-id-shadows rule."""
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            embedding_semantic_dedup)
+        from tiff_enrichment_pipeline_ray.stages.ann import (_sq_dists,
+                                                             kmeans_fit)
+
+        sf_dir = "/root/testdata/sf0.001"
+        thr = 0.2  # fixture embeddings are near-orthogonal; low threshold
+        got = (embedding_semantic_dedup(sf_dir, k=8, threshold=thr)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        C = kmeans_fit(np.stack(t.embedding.to_numpy()[:4096]), 8, seed=42)
+        X32 = np.stack(t.embedding.to_numpy()).astype(np.float32)
+        cl = _sq_dists(X32, C).argmin(1).astype(np.int64)
+        Xn = np.stack(t.embedding.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(Xn, axis=1)
+        Xn /= np.where(nrm == 0, 1.0, nrm)[:, None]
+        exp_keep = {}
+        order = np.argsort(t.vec_id.to_numpy(), kind="stable")
+        for c in np.unique(cl):
+            idx = order[cl[order] == c]
+            for pos, i in enumerate(idx):
+                dup = any(Xn[i] @ Xn[j] >= thr for j in idx[:pos])
+                exp_keep[int(t.vec_id[i])] = not dup
+        assert len(got) == len(t)
+        assert got.cluster.tolist() == cl[order].tolist()
+        assert got.keep.tolist() == [exp_keep[v] for v in got.vec_id]
+        assert bool(got.keep.any()) and not bool(got.keep.all())

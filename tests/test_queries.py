@@ -131,7 +131,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 3: end-to-end curation composite
            "doc_curation_pipeline",
            # round 3: FIRST_VALUE / LAST_VALUE window pair per user
-           "events_first_last_value"]
+           "events_first_last_value",
+           # round 4: span-level exact dedup (Lee et al. 2022 semantics) and
+           # keep-best-per-near-dup-cluster curation
+           "doc_substring_dup_spans", "doc_neardup_keep_best"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -146,7 +149,10 @@ ROWS_ONLY = ["ann_pq_topk",
              "embedding_kmeans",
              # round 4: corpus location-map PNG (pixel-level correctness
              # pinned by tests/test_viz.py::TestLocationMap)
-             "location_map"]
+             "location_map",
+             # round 4: SemDeDup semantic dedup (cluster geometry; brute-
+             # force oracle in test_ann_multimodal::TestSemanticDedup)
+             "embedding_semantic_dedup"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -404,3 +410,55 @@ def test_degenerate_distributions_guarded(gate, tmp_path):
     assert hist.bin.tolist() == [0] and hist_sql.bin.tolist() == [0]
     assert hist.n.iloc[0] == n == hist_sql.n.iloc[0]
     assert hist.bin_lo.iloc[0] == 7.5 == hist_sql.bin_lo.iloc[0]
+
+
+def test_substring_dup_spans_boundary_mask(tmp_path):
+    """Adversarial parity for doc_substring_dup_spans: windows must NEVER
+    cross doc boundaries (the flat token array concatenates docs), empty
+    texts and multi-space runs must tokenize exactly like the SQL
+    (split-on-single-space), and same-doc-only repeats must NOT count as
+    duplicated. Ground truth = the same DuckDB oracle on a crafted table."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    w8 = " ".join(f"t{i}" for i in range(8))        # one 8-token window
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "text": [
+            # doc 0 ends with the first 4 tokens, doc 1 begins with the last
+            # 4 — the window exists ONLY across the boundary; must not count
+            "x0 x1 x2 x3 t0 t1 t2 t3",
+            "t4 t5 t6 t7 y0 y1 y2 y3",
+            w8,                                      # dup pair (docs 2, 3)
+            "lead " + w8 + " tail",
+            w8 + " " + w8,       # same window repeated IN ONE DOC only...
+            "",                                      # empty text
+            "a  b c",                                # double space -> '' token
+        ],
+    })
+    # ...plus doc 4's window also in docs 2/3 -> its repeats DO count (cross
+    # -doc), and its count is 2 (both positions of the duplicated gram)
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_substring_dup_spans(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_substring_dup_spans"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the boundary window did not fire; the single-doc repeat alone did not
+    # either (docs 0/1 clean), but doc 4 counts BOTH its positions because
+    # docs 2/3 share the gram
+    assert got.n_dup_spans.tolist()[:2] == [0, 0]
+    assert got.loc[4, "n_dup_spans"] == 2
+    assert got.loc[2, "n_dup_spans"] == 1 and got.loc[3, "n_dup_spans"] == 1

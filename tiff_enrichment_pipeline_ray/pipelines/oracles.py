@@ -1329,3 +1329,111 @@ SELECT DISTINCT user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ----------------------------------------- LLM curation additions (round 4)
+
+# Span-level exact dedup (Lee et al. 2022 semantics at n = 8 tokens):
+# tokenization = split on single space (same convention as doc_token_counts);
+# a window is duplicated iff its 8-token gram occurs in >= 2 DISTINCT docs.
+# CAST(SUM(...) AS BIGINT): DuckDB SUM over integers returns HUGEINT, which
+# lands in pandas as float64 (the r02/r03 dtype trap).
+ORACLES["doc_substring_dup_spans"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS i
+        FROM s WHERE nt >= 8)
+),
+cd AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+dup AS (SELECT gram FROM cd GROUP BY gram HAVING count(*) >= 2),
+dc AS (SELECT cd.doc_id, CAST(SUM(cd.cnt) AS BIGINT) AS ndup
+       FROM cd JOIN dup USING (gram) GROUP BY cd.doc_id)
+SELECT s.doc_id,
+       CAST(greatest(nt - 7, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(dc.ndup, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN nt >= 8
+                  THEN CAST(COALESCE(dc.ndup, 0) AS DOUBLE) / (nt - 7)
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM s LEFT JOIN dc USING (doc_id)
+"""
+
+# Keep-best-per-near-dup-cluster curation: the doc_dup_clusters recursive
+# CTE (same trigram-Jaccard graph + transitive closure) joined with the
+# doc_quality_scores quality formula; keep = argmax quality per cluster,
+# ties -> min doc_id. Both sides round quality to 6 dp before comparing, so
+# the argmax is engine-independent.
+ORACLES["doc_neardup_keep_best"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tri AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tg
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS tg
+  FROM w WHERE len(ws) < 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM tri a JOIN tri b ON a.tg = b.tg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+f AS (
+  SELECT doc_id,
+         CAST(length(COALESCE(text,'')) AS DOUBLE) AS n,
+         CAST(len(string_split(COALESCE(text,''), ' ')) AS DOUBLE) AS words,
+         CAST(length(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         CAST(len(regexp_extract_all(lower(COALESCE(text,'')), '\bthe\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\band\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bof\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\ba\b'))
+            + len(regexp_extract_all(lower(COALESCE(text,'')), '\bto\b')) AS DOUBLE) AS stop_hits
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(greatest(n / 200.0, 0.0), 1.0)
+             + 0.3 * least(greatest(1.0 - 3.0 * digits / greatest(n, 1.0), 0.0), 1.0)
+             + 0.3 * least(greatest(stop_hits / greatest(words * 0.05, 1.0), 0.0), 1.0), 6) AS quality
+  FROM f
+),
+j AS (
+  SELECT c.doc_id, c.cluster_id, q.quality
+  FROM clusters c JOIN q USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, min(doc_id) AS keep_id
+  FROM (SELECT cluster_id, doc_id, quality,
+               max(quality) OVER (PARTITION BY cluster_id) AS qmax FROM j) z
+  WHERE quality = qmax GROUP BY cluster_id
+)
+SELECT j.doc_id, j.cluster_id, j.quality, j.doc_id = b.keep_id AS keep
+FROM j JOIN best b USING (cluster_id)
+"""

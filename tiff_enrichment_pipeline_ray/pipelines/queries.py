@@ -1389,7 +1389,9 @@ def doc_source_stats(sf_dir: str):
 
 
 def doc_quality_scores(sf_dir: str):
-    """Composite quality score (no SQL oracle — heuristic float; rows-only)."""
+    """Composite quality score + n-gram language guess per doc; value-exact
+    SQL oracle (the heuristic is closed-form: length/digit/stopword ratios,
+    round(·,6) on both engines)."""
     from ..functions.textkernels import lang_id, quality_score
 
     docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4495,3 +4497,221 @@ def events_first_last_value(sf_dir: str):
             "n_events": [np.int64(len(v))]})
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --------------------------------------- LLM curation additions (round 4)
+
+
+def doc_substring_dup_spans(sf_dir: str, n: int = 8):
+    """Exact duplicate-substring detection at n-token granularity — the
+    span-level dedup primitive of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): a verbatim n-token window shared by
+    >= 2 DISTINCT documents is memorization fuel that document-level dedup
+    misses. Per doc: n_spans = max(#tokens - n + 1, 0) window positions,
+    n_dup_spans = positions whose window also occurs in another document,
+    dup_frac = round(n_dup_spans / n_spans, 6) (0.0 when the doc has no
+    windows).
+
+    Scale shape: tokens are hashed ONCE per batch at C level
+    (pd.util.hash_array over the flat token array — deterministic across
+    processes); window hashes are a sliding polynomial combine in numpy (no
+    per-gram Python, windows never cross doc boundaries via a doc-index
+    mask); occurrences pre-aggregate to unique (doc, gram, count) rows per
+    batch; then ONE gram-hash-bucket exchange marks grams seen in >= 2 docs
+    and re-keys bounded per-(doc, bucket) partial counts, and a second tiny
+    doc-keyed exchange merges them with the per-doc window counts.
+    O(total tokens) rows cross the network exactly once — the volume the
+    suffix-array formulation would shuffle too — and nothing reaches the
+    driver. 64-bit window hashes: hash equality stands in for window
+    equality (birthday bound ~2^32 DISTINCT grams; widen to two uint64
+    lanes beyond ~10^9 grams)."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=4096, lo=16)
+    pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(n, dtype=np.uint64)
+
+    def gram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"gh": np.empty(0, np.int64),
+                              "doc_id": np.empty(0, np.int64),
+                              "cnt": np.empty(0, np.int64),
+                              "bk": np.empty(0, np.int64)})
+        if len(df) == 0:
+            return empty
+        texts = df.text.fillna("")
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        h = pd.util.hash_array(_flat_words(texts))
+        nw = len(h) - n + 1
+        if nw <= 0:
+            return empty
+        # window start and end must fall in the SAME doc
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), cnts)
+        valid = doc_of[:nw] == doc_of[n - 1:]
+        W = np.lib.stride_tricks.sliding_window_view(h, n)[valid]
+        gh = (W * pw).sum(axis=1, dtype=np.uint64).view(np.int64)
+        occ = (pd.DataFrame({
+                   "gh": gh,
+                   "doc_id": df.doc_id.to_numpy(np.int64)[doc_of[:nw][valid]]})
+               .groupby(["gh", "doc_id"], sort=False)
+               .size().reset_index(name="cnt"))
+        occ["cnt"] = occ.cnt.astype(np.int64)
+        occ["bk"] = occ.gh.to_numpy(np.int64) % nbk
+        return occ
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (gh, doc) -> group size == distinct doc count
+        ndocs = g.groupby("gh", sort=False)["doc_id"].transform("size")
+        d = g[ndocs.to_numpy() >= 2]
+        out = (d.groupby("doc_id", sort=False)["cnt"].sum()
+               .reset_index(name="ndup"))
+        return pd.DataFrame({"doc_id": out.doc_id.to_numpy(np.int64),
+                             "n_spans": np.int64(-1),
+                             "ndup": out.ndup.to_numpy(np.int64),
+                             "bk": out.doc_id.to_numpy(np.int64) % nbk})
+
+    def span_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cnts = (df.text.fillna("").str.count(" ") + 1).to_numpy(np.int64)
+        ids = df.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "n_spans": np.maximum(cnts - (n - 1), 0),
+                             "ndup": np.int64(0),
+                             "bk": ids % nbk})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("doc_id", sort=False)
+               .agg(n_spans=("n_spans", "max"), ndup=("ndup", "sum"))
+               .reset_index())
+        ns = agg.n_spans.to_numpy(np.int64)
+        ndup = agg.ndup.to_numpy(np.int64)
+        frac = np.where(ns > 0,
+                        np.round(ndup / np.maximum(ns, 1), 6), 0.0)
+        return pd.DataFrame({"doc_id": agg.doc_id.to_numpy(np.int64),
+                             "n_spans": ns, "n_dup_spans": ndup,
+                             "dup_frac": frac})
+
+    dup_parts = (docs.map_batches(gram_partials, batch_format="pandas")
+                 .groupby("bk")
+                 .map_groups(mark_dups, batch_format="pandas"))
+    return (docs.map_batches(span_counts, batch_format="pandas")
+            .union(dup_parts)
+            .groupby("bk")
+            .map_groups(combine, batch_format="pandas"))
+
+
+def doc_neardup_keep_best(sf_dir: str, threshold: float = 0.6):
+    """Near-dup curation composite: resolve the exact-trigram-Jaccard
+    near-dup clusters (doc_dup_clusters) and KEEP the best-quality document
+    per cluster (max quality_score, ties -> min doc_id) — the keep/drop
+    decision an LLM curation pipeline applies after near-dedup: cluster the
+    near-duplicates, keep one canonical representative, drop the rest.
+    Output: (doc_id, cluster_id, quality, keep).
+
+    Scale shape: inherits doc_dup_clusters' bucketed label propagation; the
+    quality side is a stateless scan; the cluster/quality merge and the
+    per-cluster argmax are TWO further bucketed union+groupby exchanges with
+    vectorized in-bucket pandas merges (no Dataset.join fixed floor, no
+    driver state). Quality is round(.,6) on both engines
+    (doc_quality_scores is value-exact at the gate), so the argmax and its
+    tie-break are engine-independent."""
+    from ..functions.textkernels import quality_score
+
+    clusters = doc_dup_clusters(sf_dir, threshold)
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=4096, lo=16)
+
+    def qual_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "cluster_id": np.int64(-1),
+                             "quality": quality_score(df.text).round(6),
+                             "bk": ids % nbk})
+
+    def cluster_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "cluster_id": df.cluster_id.to_numpy(np.int64),
+                             "quality": np.nan,
+                             "bk": ids % nbk})
+
+    def merge_by_doc(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g.cluster_id >= 0, ["doc_id", "cluster_id"]]
+        q = g.loc[g.cluster_id < 0, ["doc_id", "quality"]]
+        m = c.merge(q, on="doc_id")
+        m["bk"] = m.cluster_id.to_numpy(np.int64) % nbk
+        return m
+
+    def pick_best(g: pd.DataFrame) -> pd.DataFrame:
+        qmax = g.groupby("cluster_id", sort=False)["quality"].transform("max")
+        best = (g[g.quality.to_numpy() == qmax.to_numpy()]
+                .groupby("cluster_id", sort=False)["doc_id"].min())
+        keep_id = g.cluster_id.map(best).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": g.doc_id.to_numpy(np.int64),
+                             "cluster_id": g.cluster_id.to_numpy(np.int64),
+                             "quality": g.quality.to_numpy(np.float64),
+                             "keep": g.doc_id.to_numpy(np.int64) == keep_id})
+
+    return (clusters.map_batches(cluster_rows, batch_format="pandas")
+            .union(docs.map_batches(qual_rows, batch_format="pandas"))
+            .groupby("bk")
+            .map_groups(merge_by_doc, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(pick_best, batch_format="pandas"))
+
+
+def embedding_semantic_dedup(sf_dir: str, k: int = 8,
+                             threshold: float = 0.4):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then deduplicate
+    WITHIN clusters only — the clustering turns the corpus-quadratic
+    all-pairs cosine search into k independent bounded problems (at scale
+    pick k ~ N / target_cluster_size; the quadratic work is per-cluster by
+    construction and never crosses clusters). Keep rule (deterministic): a
+    vector is DROPPED iff some smaller-vec_id vector in the SAME cluster
+    has cosine >= threshold to it (greedy first-seen-wins under the vec_id
+    order — dropped vectors still shadow later ones, the conservative
+    variant that never under-drops). Output: (vec_id, cluster, keep).
+
+    Scale shape: centroids fit once on a bounded file-order-prefix sample
+    and broadcast via ray.put (read per task, never re-shipped per batch);
+    assignment is one matmul-shaped distance per batch (same metric as
+    embedding_kmeans / the IVF index); the per-cluster greedy is ONE
+    groupby(cluster) exchange + an in-group chunked triangular matmul —
+    O(cluster_size^2) is the algorithm's defining cost, bounded by k.
+    Rows-only: cluster geometry isn't SQL-expressible; pinned by a pytest
+    brute-force oracle (single-process numpy recompute, same centroids,
+    same rule)."""
+    import ray
+
+    from ..stages.ann import _sq_dists, kmeans_fit
+
+    emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = emb.limit(4096).to_pandas()  # bounded: never corpus-sized
+    C = kmeans_fit(np.stack(sample.embedding.to_numpy()), k, seed=42)
+    c_ref = ray.put(C)
+
+    def assign(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+        cc = ray.get(_c) if isinstance(_c, ray.ObjectRef) else _c
+        X = np.stack(df.embedding.to_numpy()).astype(np.float32)
+        return pd.DataFrame({
+            "vec_id": df.vec_id.to_numpy(np.int64),
+            "cluster": _sq_dists(X, cc).argmin(1).astype(np.int64),
+            "embedding": df.embedding})
+
+    def greedy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        X = np.stack(g.embedding.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        X /= np.where(nrm == 0, 1.0, nrm)[:, None]
+        keep = np.ones(len(g), dtype=bool)
+        B = 1024  # chunk rows so the triangular scan never materializes n^2
+        for s in range(1, len(g), B):
+            e = min(s + B, len(g))
+            S = X[s:e] @ X[:e].T
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~((S >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame({"vec_id": g.vec_id.to_numpy(np.int64),
+                             "cluster": g.cluster.to_numpy(np.int64),
+                             "keep": keep})
+
+    return (emb.map_batches(assign, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(greedy, batch_format="pandas"))
