@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
         "doc_neardup_keep_best": Q.doc_neardup_keep_best,  # new r4
+        "geo_range_join": Q.geo_range_join,  # new r4 (partitioned spatial)
+        "geo_near_pairs": Q.geo_near_pairs,  # new r4 (eps self-join)
+        "geo_bbox_overlap_pairs": Q.geo_bbox_overlap_pairs,  # new r4 (PBSM)
         # impls redesigned r4 (near-dup claw-back + vectorized token partials)
         # — re-expose to the driver even though their r03 rows were green
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
@@ -98,10 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
         "events_rollup": Q.events_rollup,
-        "events_pivot": Q.events_pivot,
-        "events_sliding_window": Q.events_sliding_window,
         # ================= end of the 50-entry sweep window ===============
         # r02-green backlog remainder — first in line for the round-5 window
+        "events_pivot": Q.events_pivot,
+        "events_sliding_window": Q.events_sliding_window,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,

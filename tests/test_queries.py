@@ -134,7 +134,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_first_last_value",
            # round 4: span-level exact dedup (Lee et al. 2022 semantics) and
            # keep-best-per-near-dup-cluster curation
-           "doc_substring_dup_spans", "doc_neardup_keep_best"]
+           "doc_substring_dup_spans", "doc_neardup_keep_best",
+           # round 4: partitioned (both-sides-large) spatial joins — PBSM
+           # grid exchanges vs DuckDB banded equi-joins, bit-exact
+           "geo_range_join", "geo_near_pairs", "geo_bbox_overlap_pairs"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1437,3 +1437,77 @@ best AS (
 SELECT j.doc_id, j.cluster_id, j.quality, j.doc_id = b.keep_id AS keep
 FROM j JOIN best b USING (cluster_id)
 """
+
+
+# ------------------------------------- partitioned spatial joins (round 4)
+# Rectangle layer derived from `orders` with integer-only arithmetic (the
+# derived-partsupp trick) — identical expressions in queries.py:_rect_layer.
+# All containment/overlap predicates are closed-interval and use products
+# (never pow: numpy-vec-pow vs libm diverges by 1 ulp), so accept/reject
+# decisions are bit-identical across engines.
+
+_RECTS_SQL = """
+  SELECT o_orderkey AS rect_id,
+         3.0 + (((o_orderkey * 2654435761) % 4294967296) % 4280) / 1000.0
+           AS lon0,
+         50.7 + (((o_orderkey * 2246822519) % 4294967296) % 2880) / 1000.0
+           AS lat0,
+         (18 + (o_orderkey % 7) * 3) / 1000.0 AS w,
+         (14 + (o_orderkey % 5) * 3) / 1000.0 AS h
+  FROM orders
+"""
+
+ORACLES["geo_range_join"] = f"""
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+rects AS ({_RECTS_SQL})
+SELECT p.event_id AS event_id, r.rect_id AS rect_id
+FROM pts p JOIN rects r
+  ON p.lon >= r.lon0 AND p.lon <= r.lon0 + r.w
+ AND p.lat >= r.lat0 AND p.lat <= r.lat0 + r.h
+"""
+
+# eps-distance self-join; the xb band (floor(lon/0.012), +-1) is pruning
+# only — cell edge 0.012 exceeds the predicate's lon reach 0.01 by 16%, so
+# a qualifying pair can never straddle two band boundaries (ulp-safe); the
+# exact predicate decides membership identically to the Ray kernel.
+ORACLES["geo_near_pairs"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+b AS (
+  SELECT event_id, lat, lon,
+         CAST(floor(lon / 0.012) AS BIGINT) AS xb
+  FROM pts
+)
+SELECT a.event_id AS id_a, p.event_id AS id_b
+FROM b a
+CROSS JOIN (VALUES (-1), (0), (1)) d(k)
+JOIN b p ON p.xb = a.xb + d.k AND a.event_id < p.event_id
+WHERE 1.8 * (a.lat - p.lat) * (a.lat - p.lat)
+      + (a.lon - p.lon) * (a.lon - p.lon) <= 0.01 * 0.01
+"""
+
+# bbox-overlap self-join; band on floor(lon0/0.05): overlapping rects have
+# |lon0_a - lon0_b| <= max rect width 0.036 << 0.05, band +-1 lossless.
+ORACLES["geo_bbox_overlap_pairs"] = f"""
+WITH r AS ({_RECTS_SQL}),
+b AS (
+  SELECT rect_id, lon0, lat0, lon0 + w AS lon1, lat0 + h AS lat1,
+         CAST(floor(lon0 / 0.05) AS BIGINT) AS xb
+  FROM r
+)
+SELECT a.rect_id AS id_a, p.rect_id AS id_b
+FROM b a
+CROSS JOIN (VALUES (-1), (0), (1)) d(k)
+JOIN b p ON p.xb = a.xb + d.k AND a.rect_id < p.rect_id
+WHERE a.lon0 <= p.lon1 AND p.lon0 <= a.lon1
+  AND a.lat0 <= p.lat1 AND p.lat0 <= a.lat1
+"""

@@ -4715,3 +4715,249 @@ def embedding_semantic_dedup(sf_dir: str, k: int = 8,
     return (emb.map_batches(assign, batch_format="pandas")
             .groupby("cluster")
             .map_groups(greedy, batch_format="pandas"))
+
+
+# ------------------------------------- partitioned spatial joins (round 4)
+# Both-sides-large spatial joins via grid partitioning (PBSM, Patel &
+# DeWitt 1996): replicate each geometry to every grid cell it overlaps, one
+# groupby(cell-bucket) exchange, vectorized candidate merge + exact
+# predicate inside the bucket. Complements the existing BROADCAST spatial
+# paths (geo_point_in_rect's 40-rect layer, the flagship's landcover
+# STRtree): at 100 TB the polygon/rect side can itself be huge, and these
+# are the shuffle-born variants — the reference's PostGIS spatial joins
+# (create-tables.sql geometry columns + GIST indexes) re-expressed as
+# partitioned Ray exchanges.
+#
+# Rectangles are derived from `orders` with integer-only arithmetic (the
+# q2/q11/q20 derived-partsupp trick) so the DuckDB oracles see the
+# identical layer. The two axes use DIFFERENT Knuth multiplicative hashes
+# mod 2^32 (max o_orderkey * 2654435761 ~ 1.6e16, well inside int64): a
+# plain linear map on both axes makes pair deltas lattice-correlated and
+# the self-join degenerates to zero overlaps.
+#   rect_id = o_orderkey
+#   lon0 = 3.0 + (((rect_id * 2654435761) % 4294967296) % 4280) / 1000.0
+#   lat0 = 50.7 + (((rect_id * 2246822519) % 4294967296) % 2880) / 1000.0
+#   w    = (18 + (rect_id % 7) * 3) / 1000.0        (0.018 .. 0.036)
+#   h    = (14 + (rect_id % 5) * 3) / 1000.0        (0.014 .. 0.026)
+#
+# fp-safety of the grid (why cell assignment can't disagree with the exact
+# predicate): IEEE subtraction/division are monotone, so p.lon in
+# [lon0, lon1] implies floor((p.lon-3.0)/CELL) lies in the rect's covered
+# cx range — a point's cell is always among its containing rect's cells.
+# For the banded/neighbor schemes the cell edge (0.012 / 0.05) exceeds the
+# predicate reach (0.01 / 0.036) by >= 16%, orders of magnitude above ulp
+# noise, so "within reach" can never straddle two cell boundaries.
+
+
+_GRID_LON0, _GRID_LAT0 = 3.0, 50.7
+
+
+def _rect_layer(df: pd.DataFrame) -> pd.DataFrame:
+    """orders batch -> derived rectangle layer (expression-identical to the
+    SQL in oracles.py; integer ops then one exact-order float combine)."""
+    rid = df.o_orderkey.to_numpy(np.int64)
+    lon0 = 3.0 + (((rid * 2654435761) % 4294967296) % 4280) / 1000.0
+    lat0 = 50.7 + (((rid * 2246822519) % 4294967296) % 2880) / 1000.0
+    w = (18 + (rid % 7) * 3) / 1000.0
+    h = (14 + (rid % 5) * 3) / 1000.0
+    return pd.DataFrame({"rect_id": rid, "lon0": lon0, "lat0": lat0,
+                         "lon1": lon0 + w, "lat1": lat0 + h})
+
+
+def _cells_of_rects(r: pd.DataFrame, cell: float, nx: int) -> pd.DataFrame:
+    """Replicate each rect row to every grid cell it overlaps (vectorized:
+    one np.repeat expansion, no per-rect Python). Adds `cell`, `cx`, `cy`."""
+    cx0 = np.floor((r.lon0.to_numpy() - _GRID_LON0) / cell).astype(np.int64)
+    cx1 = np.floor((r.lon1.to_numpy() - _GRID_LON0) / cell).astype(np.int64)
+    cy0 = np.floor((r.lat0.to_numpy() - _GRID_LAT0) / cell).astype(np.int64)
+    cy1 = np.floor((r.lat1.to_numpy() - _GRID_LAT0) / cell).astype(np.int64)
+    nxs = cx1 - cx0 + 1
+    nys = cy1 - cy0 + 1
+    reps = nxs * nys
+    idx = np.repeat(np.arange(len(r), dtype=np.int64), reps)
+    # within-rect copy ordinal -> (dx, dy) offset, fully vectorized
+    starts = np.zeros(len(r), dtype=np.int64)
+    starts[1:] = np.cumsum(reps)[:-1]
+    j = np.arange(int(reps.sum()), dtype=np.int64) - starts[idx]
+    dx = j % nxs[idx]
+    dy = j // nxs[idx]
+    out = r.iloc[idx].reset_index(drop=True)
+    out["cx"] = cx0[idx] + dx
+    out["cy"] = cy0[idx] + dy
+    out["cell"] = out.cy.to_numpy() * nx + out.cx.to_numpy()
+    return out
+
+
+def geo_range_join(sf_dir: str):
+    """Point-in-rectangle range join where BOTH sides scale with the input
+    (events-derived points x orders-derived rects) — the partitioned
+    spatial join the broadcast PIP path can't express once the polygon side
+    outgrows worker memory. Output: every (event_id, rect_id) containment
+    pair.
+
+    Scale shape: each rect is replicated to the <=4 grid cells it overlaps
+    (cell edge 0.05 > max rect extent 0.036 -> <=2 cells per axis, ~2
+    copies average); each point goes to exactly ONE cell, so every
+    containment pair is tested exactly once and no dedup pass exists. ONE
+    union + groupby(cell-bucket) exchange moves O(points + ~2 rects) slim
+    rows; inside a bucket the candidate pairs come from a C-level pandas
+    merge on cell id and the exact predicate is one vectorized mask. No
+    driver state, no O(n^2) anywhere."""
+    CELL = 0.05
+    NX = int(4.3 / CELL) + 2
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    od, no = _spread_read(sf_dir, "orders", ["o_orderkey"])
+    nbk = _nbuckets(ne + no, rows_per_bucket=8192, lo=32)
+
+    def point_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        cx = np.floor((p.lon.to_numpy() - _GRID_LON0) / CELL).astype(np.int64)
+        cy = np.floor((p.lat.to_numpy() - _GRID_LAT0) / CELL).astype(np.int64)
+        cell = cy * NX + cx
+        return pd.DataFrame({"cell": cell,
+                             "id": p.event_id.to_numpy(np.int64),
+                             "lon0": p.lon, "lat0": p.lat,
+                             "lon1": np.nan, "lat1": np.nan,
+                             "bk": cell % nbk})
+
+    def rect_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rc = _cells_of_rects(_rect_layer(df), CELL, NX)
+        return pd.DataFrame({"cell": rc.cell,
+                             "id": -1 - rc.rect_id.to_numpy(np.int64),
+                             "lon0": rc.lon0, "lat0": rc.lat0,
+                             "lon1": rc.lon1, "lat1": rc.lat1,
+                             "bk": rc.cell.to_numpy() % nbk})
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g.id >= 0]
+        rcs = g[g.id < 0]
+        m = (pts[["cell", "id", "lon0", "lat0"]]
+             .merge(rcs[["cell", "id", "lon0", "lat0", "lon1", "lat1"]],
+                    on="cell", suffixes=("_p", "_r")))
+        keep = ((m.lon0_p.to_numpy() >= m.lon0_r.to_numpy())
+                & (m.lon0_p.to_numpy() <= m.lon1.to_numpy())
+                & (m.lat0_p.to_numpy() >= m.lat0_r.to_numpy())
+                & (m.lat0_p.to_numpy() <= m.lat1.to_numpy()))
+        return pd.DataFrame({
+            "event_id": m.id_p.to_numpy(np.int64)[keep],
+            "rect_id": (-1 - m.id_r.to_numpy(np.int64))[keep]})
+
+    return (ev.map_batches(point_rows, batch_format="pandas")
+            .union(od.map_batches(rect_rows, batch_format="pandas"))
+            .groupby("bk")
+            .map_groups(join_bucket, batch_format="pandas"))
+
+
+def geo_near_pairs(sf_dir: str, eps: float = 0.01):
+    """Epsilon-distance SELF-join over the events-derived points: every
+    unordered pair (id_a < id_b) with scaled-euclidean distance^2
+    1.8*dlat^2 + dlon^2 <= eps^2 — the all-pairs proximity primitive
+    (duplicate-GPS detection, hotspot pairing) that is quadratic done
+    naively. Output: (id_a, id_b).
+
+    Scale shape: grid cells of edge 0.012 > eps (and >> eps/sqrt(1.8) on
+    the lat axis), so any qualifying pair lies in the same or 8-adjacent
+    cells. Each point is emitted HOME to its own cell plus GHOST copies to
+    its (at most) four lexicographically-smaller neighbor cells; a pair is
+    resolved exactly once — in the smaller of the two cells (home x home
+    with id_a < id_b when cells match, home x ghost otherwise; ghost x
+    ghost pairs are never formed). ONE union + groupby(cell-bucket)
+    exchange of ~5 slim copies per point; in-bucket candidates via two
+    C-level pandas merges; the exact predicate is expression-identical to
+    the SQL (products, no pow — numpy-vec-pow vs libm diverges by 1 ulp)."""
+    CELL = 0.012
+    NXY = 4096  # cells per axis bound; cx,cy < 400 here, no id aliasing
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    nbk = _nbuckets(5 * ne, rows_per_bucket=8192, lo=32)
+    e2 = np.float64(eps) * np.float64(eps)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        cx = np.floor((lon - _GRID_LON0) / CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * NXY + cy, "ghost": False,
+                                "id": ids, "lon": lon, "lat": lat})]
+        # the four lexicographically-SMALLER neighbors of (cx, cy)
+        for gx, gy in ((cx - 1, cy - 1), (cx - 1, cy), (cx - 1, cy + 1),
+                       (cx, cy - 1)):
+            ok = (gx >= 0) & (gy >= 0) & (gy < NXY)  # no wrap aliasing
+            frames.append(pd.DataFrame({
+                "cell": (gx * NXY + gy)[ok], "ghost": True,
+                "id": ids[ok], "lon": lon[ok], "lat": lat[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[~g.ghost]
+        gho = g[g.ghost]
+        cols = ["cell", "id", "lon", "lat"]
+        hh = home[cols].merge(home[cols], on="cell", suffixes=("_a", "_b"))
+        hh = hh[hh.id_a.to_numpy() < hh.id_b.to_numpy()]
+        hg = home[cols].merge(gho[cols], on="cell", suffixes=("_a", "_b"))
+        m = pd.concat([hh, hg], ignore_index=True)
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        keep = 1.8 * dlat * dlat + dlon * dlon <= e2
+        a = m.id_a.to_numpy(np.int64)[keep]
+        b = m.id_b.to_numpy(np.int64)[keep]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    return (ev.map_batches(copies, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(pair_bucket, batch_format="pandas"))
+
+
+def geo_bbox_overlap_pairs(sf_dir: str):
+    """Rectangle-rectangle intersection SELF-join over the orders-derived
+    layer: every unordered pair (rect_id_a < rect_id_b) whose bounding
+    boxes overlap (closed-interval test on both axes) — the footprint-
+    overlap join a tiling engine runs to find images covering the same
+    ground. Output: (id_a, id_b).
+
+    Scale shape: PBSM with the canonical-cell dedup rule. Each rect is
+    replicated to its <=4 overlapped grid cells; a candidate pair can meet
+    in up to 4 shared cells, so each copy re-derives the intersection's
+    min-corner cell — floor of (max(lon0s), max(lat0s)), a cell BOTH rects
+    cover by IEEE monotonicity — and only the copy living in that cell
+    emits the pair: exactly-once without any dedup exchange (the
+    Patel/DeWitt reference-point rule). ONE union-free groupby(cell-bucket)
+    exchange; in-bucket candidates via a C-level self-merge on cell id."""
+    CELL = 0.05
+    NX = int(4.3 / CELL) + 2
+    od, no = _spread_read(sf_dir, "orders", ["o_orderkey"])
+    nbk = _nbuckets(2 * no, rows_per_bucket=8192, lo=32)
+
+    def rect_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rc = _cells_of_rects(_rect_layer(df), CELL, NX)
+        rc["bk"] = rc.cell.to_numpy() % nbk
+        return rc[["cell", "cx", "cy", "rect_id",
+                   "lon0", "lat0", "lon1", "lat1", "bk"]]
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell", "cx", "cy", "rect_id", "lon0", "lat0", "lon1", "lat1"]
+        m = g[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.rect_id_a.to_numpy() < m.rect_id_b.to_numpy()]
+        lo0a, lo0b = m.lon0_a.to_numpy(), m.lon0_b.to_numpy()
+        la0a, la0b = m.lat0_a.to_numpy(), m.lat0_b.to_numpy()
+        overlap = ((lo0a <= m.lon1_b.to_numpy())
+                   & (lo0b <= m.lon1_a.to_numpy())
+                   & (la0a <= m.lat1_b.to_numpy())
+                   & (la0b <= m.lat1_a.to_numpy()))
+        # canonical-cell rule: emit only in the intersection min-corner cell
+        ilon = np.maximum(lo0a, lo0b)
+        ilat = np.maximum(la0a, la0b)
+        ccx = np.floor((ilon - _GRID_LON0) / CELL).astype(np.int64)
+        ccy = np.floor((ilat - _GRID_LAT0) / CELL).astype(np.int64)
+        keep = overlap & (ccx == m.cx_a.to_numpy()) & (ccy == m.cy_a.to_numpy())
+        return pd.DataFrame({
+            "id_a": m.rect_id_a.to_numpy(np.int64)[keep],
+            "id_b": m.rect_id_b.to_numpy(np.int64)[keep]})
+
+    return (od.map_batches(rect_rows, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(pair_bucket, batch_format="pandas"))
