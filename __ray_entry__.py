@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
         "doc_neardup_keep_best": Q.doc_neardup_keep_best,  # new r4
+        "doc_substring_dedup_tokens": Q.doc_substring_dedup_tokens,  # new r4
         "geo_range_join": Q.geo_range_join,  # new r4 (partitioned spatial)
         "geo_near_pairs": Q.geo_near_pairs,  # new r4 (eps self-join)
         "geo_bbox_overlap_pairs": Q.geo_bbox_overlap_pairs,  # new r4 (PBSM)
@@ -100,9 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
-        "events_rollup": Q.events_rollup,
         # ================= end of the 50-entry sweep window ===============
         # r02-green backlog remainder — first in line for the round-5 window
+        "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,
         "events_top_values": Q.events_top_values,

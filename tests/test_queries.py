@@ -137,7 +137,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "doc_substring_dup_spans", "doc_neardup_keep_best",
            # round 4: partitioned (both-sides-large) spatial joins — PBSM
            # grid exchanges vs DuckDB banded equi-joins, bit-exact
-           "geo_range_join", "geo_near_pairs", "geo_bbox_overlap_pairs"]
+           "geo_range_join", "geo_near_pairs", "geo_bbox_overlap_pairs",
+           # round 4: span-REMOVAL accounting (interval union per doc)
+           "doc_substring_dedup_tokens"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -465,3 +467,48 @@ def test_substring_dup_spans_boundary_mask(tmp_path):
     assert got.n_dup_spans.tolist()[:2] == [0, 0]
     assert got.loc[4, "n_dup_spans"] == 2
     assert got.loc[2, "n_dup_spans"] == 1 and got.loc[3, "n_dup_spans"] == 1
+
+
+def test_substring_dedup_tokens_interval_union(tmp_path):
+    """Adversarial coverage semantics for doc_substring_dedup_tokens:
+    OVERLAPPING dup windows must union (not double-count) their token
+    positions; adjacent same-gram repeats cover their concatenation; the
+    cross-doc-boundary window must not fire. Ground truth = the DuckDB
+    oracle on a crafted table plus hand-computed coverage."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    w8 = " ".join(f"t{i}" for i in range(8))
+    a9 = " ".join(f"a{i}" for i in range(9))  # 2 overlapping dup windows
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "text": [
+            "x0 x1 x2 x3 t0 t1 t2 t3",       # boundary halves: no dup
+            "t4 t5 t6 t7 y0 y1 y2 y3",
+            w8,                               # fully covered (8/8)
+            "lead " + w8 + " tail",           # covered 8 of 10
+            w8 + " " + w8,                    # two disjoint windows: 16/16
+            a9,                               # overlapping windows: 9, not 16
+            a9 + " tail0 tail1",              # same grams, 9 of 11 covered
+        ],
+    })
+    sf = tmp_path / "sfY"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_substring_dedup_tokens(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_substring_dedup_tokens"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got.n_dup_tokens.tolist() == [0, 0, 8, 8, 16, 9, 9]
+    assert got.keep_frac.tolist()[:3] == [1.0, 1.0, 0.0]

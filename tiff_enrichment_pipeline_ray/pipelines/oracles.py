@@ -1511,3 +1511,35 @@ JOIN b p ON p.xb = a.xb + d.k AND a.rect_id < p.rect_id
 WHERE a.lon0 <= p.lon1 AND p.lon0 <= a.lon1
   AND a.lat0 <= p.lat1 AND p.lat0 <= a.lat1
 """
+
+
+# Span-REMOVAL accounting (Lee et al. 2022 second half): n_dup_tokens =
+# |union of [i, i+8) over duplicated-window starts i| per doc. DuckDB uses
+# 1-based window starts; only the covered-set CARDINALITY is compared, which
+# is offset-invariant. CASTs: count(*)/len() land as HUGEINT/float otherwise.
+ORACLES["doc_substring_dedup_tokens"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+g AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, nt - 6)) AS i
+        FROM s WHERE nt >= 8)
+),
+dup AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT g.doc_id, unnest(range(g.i, g.i + 8)) AS pos
+        FROM g JOIN dup USING (gram))
+),
+cnt AS (SELECT doc_id, count(*) AS ndup FROM cov GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cnt.ndup, 0) AS BIGINT) AS n_dup_tokens,
+       round(CAST(nt - COALESCE(cnt.ndup, 0) AS DOUBLE) / nt, 6) AS keep_frac
+FROM s LEFT JOIN cnt USING (doc_id)
+"""

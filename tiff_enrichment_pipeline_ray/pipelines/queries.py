@@ -4961,3 +4961,100 @@ def geo_bbox_overlap_pairs(sf_dir: str):
     return (od.map_batches(rect_rows, batch_format="pandas")
             .groupby("bk")
             .map_groups(pair_bucket, batch_format="pandas"))
+
+
+def doc_substring_dedup_tokens(sf_dir: str, n: int = 8):
+    """Span-REMOVAL accounting for exact substring dedup (the second half
+    of Lee et al. 2022: after finding duplicate n-token windows, DELETE the
+    duplicated spans): per doc, how many token positions are covered by at
+    least one duplicated window (the union of [i, i+n) over duplicated
+    window starts i) and what fraction of the doc survives the cut.
+    Output: (doc_id, n_tokens, n_dup_tokens, keep_frac) with
+    keep_frac = round((n_tokens - n_dup_tokens) / n_tokens, 6).
+
+    Scale shape: same O(total tokens) volume as doc_substring_dup_spans —
+    one row per window position moves through ONE gram-hash-bucket
+    exchange (dup = gram seen in >= 2 distinct docs, marked via a C-level
+    map of per-gram distinct-doc counts), the surviving dup positions
+    re-key through a doc-bucket exchange, and the per-doc interval union
+    is fully vectorized across docs (sorted positions; each window
+    contributes min(gap, n) tokens — no per-doc Python loop). Window
+    hashing is identical to doc_substring_dup_spans (hash equality stands
+    in for window equality, birthday-bounded)."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=4096, lo=16)
+    pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(n, dtype=np.uint64)
+
+    def window_rows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"gh": np.empty(0, np.int64),
+                              "doc_id": np.empty(0, np.int64),
+                              "pos": np.empty(0, np.int64),
+                              "bk": np.empty(0, np.int64)})
+        if len(df) == 0:
+            return empty
+        texts = df.text.fillna("")
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        h = pd.util.hash_array(_flat_words(texts))
+        nw = len(h) - n + 1
+        if nw <= 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), cnts)
+        valid = doc_of[:nw] == doc_of[n - 1:]  # window start+end in same doc
+        W = np.lib.stride_tricks.sliding_window_view(h, n)[valid]
+        gh = (W * pw).sum(axis=1, dtype=np.uint64).view(np.int64)
+        starts = np.cumsum(cnts) - cnts
+        wdoc = doc_of[:nw][valid]
+        pos = np.flatnonzero(valid) - starts[wdoc]  # 0-based within doc
+        out = pd.DataFrame({"gh": gh,
+                            "doc_id": df.doc_id.to_numpy(np.int64)[wdoc],
+                            "pos": pos})
+        out["bk"] = out.gh.to_numpy(np.int64) % nbk
+        return out
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # (doc, pos) is unique by construction (one window per position),
+        # so distinct-doc count per gram = size of the (gh, doc) dedup
+        uniq = g.drop_duplicates(["gh", "doc_id"])
+        per_gh = uniq.groupby("gh", sort=False)["doc_id"].size()
+        d = g[g.gh.map(per_gh).to_numpy() >= 2]
+        ids = d.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "pos": d.pos.to_numpy(np.int64),
+                             "n_tokens": np.int64(0), "bk": ids % nbk})
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cnts = (df.text.fillna("").str.count(" ") + 1).to_numpy(np.int64)
+        ids = df.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "pos": np.int64(-1),
+                             "n_tokens": cnts, "bk": ids % nbk})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        meta = g[g.pos < 0]
+        nt = meta.set_index("doc_id").n_tokens
+        dp = g[g.pos >= 0].sort_values(["doc_id", "pos"])
+        if len(dp):
+            pos = dp.pos.to_numpy(np.int64)
+            doc = dp.doc_id.to_numpy(np.int64)
+            newdoc = np.ones(len(dp), dtype=bool)
+            newdoc[1:] = doc[1:] != doc[:-1]
+            gap = np.empty(len(dp), np.int64)
+            gap[0] = n
+            gap[1:] = pos[1:] - pos[:-1]
+            contrib = np.where(newdoc, n, np.minimum(gap, n))
+            cov = (pd.DataFrame({"doc_id": doc, "c": contrib})
+                   .groupby("doc_id", sort=False)["c"].sum())
+        else:
+            cov = pd.Series(dtype=np.int64)
+        ids = nt.index.to_numpy(np.int64)
+        ntv = nt.to_numpy(np.int64)
+        cv = cov.reindex(nt.index, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": ntv,
+                             "n_dup_tokens": cv,
+                             "keep_frac": np.round((ntv - cv) / ntv, 6)})
+
+    dup = (docs.map_batches(window_rows, batch_format="pandas")
+           .groupby("bk")
+           .map_groups(dup_positions, batch_format="pandas"))
+    return (docs.map_batches(doc_rows, batch_format="pandas")
+            .union(dup)
+            .groupby("bk")
+            .map_groups(combine, batch_format="pandas"))
