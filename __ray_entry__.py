@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_range_join": Q.geo_range_join,  # new r4 (partitioned spatial)
         "geo_near_pairs": Q.geo_near_pairs,  # new r4 (eps self-join)
         "geo_bbox_overlap_pairs": Q.geo_bbox_overlap_pairs,  # new r4 (PBSM)
+        "geo_knn_join": Q.geo_knn_join,  # new r4 (radius-bounded kNN join)
+        "doc_tfidf_topterms": Q.doc_tfidf_topterms,  # new r4
+        "doc_pack_chunks": Q.doc_pack_chunks,  # new r4 (global prefix-sum)
         # impls redesigned r4 (near-dup claw-back + vectorized token partials)
         # — re-expose to the driver even though their r03 rows were green
         "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
@@ -97,12 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": Q.q22_idle_customers,
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,
+        # ================= end of the 50-entry sweep window ===============
+        # r02-green backlog remainder — first in line for the round-5 window
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
-        # ================= end of the 50-entry sweep window ===============
-        # r02-green backlog remainder — first in line for the round-5 window
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,

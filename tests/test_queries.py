@@ -139,7 +139,11 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # grid exchanges vs DuckDB banded equi-joins, bit-exact
            "geo_range_join", "geo_near_pairs", "geo_bbox_overlap_pairs",
            # round 4: span-REMOVAL accounting (interval union per doc)
-           "doc_substring_dedup_tokens"]
+           "doc_substring_dedup_tokens",
+           # round 4: radius-bounded kNN join + per-doc TF-IDF top terms
+           "geo_knn_join", "doc_tfidf_topterms",
+           # round 4: sequence packing via distributed global prefix-sum
+           "doc_pack_chunks"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -512,3 +516,122 @@ def test_substring_dedup_tokens_interval_union(tmp_path):
     pd.testing.assert_frame_equal(got[want.columns], want)
     assert got.n_dup_tokens.tolist() == [0, 0, 8, 8, 16, 9, 9]
     assert got.keep_frac.tolist()[:3] == [1.0, 1.0, 0.0]
+
+
+def test_tfidf_topterms_exact_tie_and_empty(tmp_path):
+    """Adversarial TF-IDF parity: doc0 holds a MATHEMATICALLY exact score
+    tie (2*ln(N/2) vs 1*ln(N/1) with N=4) that must resolve by the term
+    tie-break identically in both engines; doc3 is the empty-text token;
+    doc2 has more distinct terms than k so the rnk<=5 cut is exercised."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [
+            "bb bb aa",                      # bb: cnt2/df2, aa: cnt1/df1 — tie
+            "bb",
+            "t1 t2 t3 t4 t5 t6 t7 t1",       # 7 distinct, cut at 5
+            "",                               # the [''] token, df=1
+        ],
+    })
+    sf = tmp_path / "sfT"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_tfidf_topterms(str(sf)).to_pandas()
+           .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_tfidf_topterms"]).df()
+            .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    d2 = got[got.doc_id == 2]
+    assert len(d2) == 5 and d2.rnk.tolist() == [1, 2, 3, 4, 5]
+    assert got[got.doc_id == 3].term.tolist() == [""]
+
+
+def test_geo_knn_join_crafted_ids(tmp_path):
+    """geo_knn_join vs its banded DuckDB oracle on a CRAFTED id
+    distribution (dense event ids 0..1499 x order keys 1..400) — different
+    lattice coverage than the driver testdata, exercising cell-boundary
+    sites, points with >k in-radius neighbors, and points with none."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    sf = tmp_path / "sfK"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"event_id": range(1500)}), preserve_index=False),
+        sf / "events.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"o_orderkey": range(1, 401)}), preserve_index=False),
+        sf / "orders.parquet")
+
+    got = (Q.geo_knn_join(str(sf)).to_pandas()
+           .sort_values(["event_id", "rnk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')")
+    want = (con.sql(ORACLES["geo_knn_join"]).df()
+            .sort_values(["event_id", "rnk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert len(got) > 0
+    per = got.groupby("event_id").size()
+    assert per.max() <= 3
+
+
+def test_pack_chunks_boundaries(tmp_path):
+    """Packing semantics at exact chunk boundaries: a doc ending exactly at
+    a capacity multiple, a doc spanning 3 chunks, a single-token doc, and
+    sparse non-contiguous doc_ids (range-bucket generality). Verified
+    against the DuckDB window-cumsum oracle plus hand-computed spans."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 7, 8, 100, 101, 9000],
+        "text": [words(512),     # fills chunk 0 exactly
+                 words(1),       # first token of chunk 1
+                 words(1023),    # spans chunks 1..2 (ends at 1536)
+                 words(510),     # chunk 3 exactly (1536..2045)
+                 "",             # the 1-token empty doc at 2046
+                 words(3)],      # tokens 2047..2049 straddle chunks 3|4
+    })
+    sf = tmp_path / "sfP"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_pack_chunks(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_pack_chunks"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got.first_chunk.tolist() == [0, 1, 1, 3, 3, 3]
+    assert got.last_chunk.tolist() == [0, 1, 2, 3, 3, 4]
+    assert got.n_chunks.tolist() == [1, 1, 2, 1, 1, 2]

@@ -1543,3 +1543,112 @@ SELECT s.doc_id,
        round(CAST(nt - COALESCE(cnt.ndup, 0) AS DOUBLE) / nt, 6) AS keep_frac
 FROM s LEFT JOIN cnt USING (doc_id)
 """
+
+
+# Radius-bounded kNN join. The (xb, yb) +-1 band is pruning only — cell
+# edge 0.024 exceeds the lon reach (0.02) and lat reach (0.02/sqrt(1.8))
+# with margin, so no qualifying (point, site) pair can straddle two band
+# boundaries; the exact d2 predicate and the (d2, site_id) window order
+# decide membership identically to the Ray kernel on bit-identical
+# doubles (shared 0.001-degree lattice, identical product expressions).
+# Output is integer-only so the driver hash sees no float column.
+ORACLES["geo_knn_join"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+sites AS (
+  SELECT o_orderkey AS site_id,
+         3.0 + (((o_orderkey * 2654435761) % 4294967296) % 4280) / 1000.0
+           AS slon,
+         50.7 + (((o_orderkey * 2246822519) % 4294967296) % 2880) / 1000.0
+           AS slat
+  FROM orders
+),
+pb AS (
+  SELECT *, CAST(floor((lon - 3.0) / 0.024) AS BIGINT) AS xb,
+            CAST(floor((lat - 50.7) / 0.024) AS BIGINT) AS yb
+  FROM pts
+),
+sb AS (
+  SELECT *, CAST(floor((slon - 3.0) / 0.024) AS BIGINT) AS xb,
+            CAST(floor((slat - 50.7) / 0.024) AS BIGINT) AS yb
+  FROM sites
+),
+cand AS (
+  SELECT p.event_id, s.site_id,
+         1.8 * (p.lat - s.slat) * (p.lat - s.slat)
+           + (p.lon - s.slon) * (p.lon - s.slon) AS d2
+  FROM pb p
+  CROSS JOIN (VALUES (-1), (0), (1)) dx(i)
+  CROSS JOIN (VALUES (-1), (0), (1)) dy(j)
+  JOIN sb s ON s.xb = p.xb + dx.i AND s.yb = p.yb + dy.j
+  WHERE 1.8 * (p.lat - s.slat) * (p.lat - s.slat)
+          + (p.lon - s.slon) * (p.lon - s.slon) <= 0.02 * 0.02
+)
+SELECT event_id,
+       CAST(row_number() OVER (PARTITION BY event_id
+                               ORDER BY d2, site_id) AS BIGINT) AS rnk,
+       site_id
+FROM cand
+QUALIFY rnk <= 3
+"""
+
+
+# Per-doc top-k TF-IDF terms. ln() is the same libm call the engine makes
+# scalar per distinct df; score = one IEEE multiply -> bit-identical
+# ordering keys on both engines; ties fall to the ASCII term (binary
+# collation on both sides). CASTs: count(*) is HUGEINT-prone otherwise.
+ORACLES["doc_tfidf_topterms"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM cnt GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT c.doc_id, c.term, c.cnt, d.df,
+         c.cnt * ln(CAST(n.n AS DOUBLE) / d.df) AS score
+  FROM cnt c JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS BIGINT) AS rnk,
+       term,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(df AS BIGINT) AS df,
+       round(score, 6) AS tfidf
+FROM sc
+QUALIFY rnk <= 5
+"""
+
+
+# Sequence packing (concat-and-chunk): global running token total in
+# doc_id order; chunk ids by integer division. CAST the windowed SUM —
+# DuckDB widens it to HUGEINT which lands as float64 in pandas (the
+# round-2/3 dtype trap); `//` on BIGINTs stays BIGINT.
+ORACLES["doc_pack_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev_cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       prev_cum // 512 AS first_chunk,
+       (prev_cum + n_tokens - 1) // 512 AS last_chunk,
+       (prev_cum + n_tokens - 1) // 512 - prev_cum // 512 + 1 AS n_chunks
+FROM c
+"""

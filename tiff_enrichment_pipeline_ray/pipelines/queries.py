@@ -5058,3 +5058,237 @@ def doc_substring_dedup_tokens(sf_dir: str, n: int = 8):
             .union(dup)
             .groupby("bk")
             .map_groups(combine, batch_format="pandas"))
+
+
+def geo_knn_join(sf_dir: str, k: int = 3, radius: float = 0.02):
+    """Radius-bounded k-nearest-neighbor JOIN where BOTH sides scale with
+    the input: for every events-derived point, the k nearest orders-derived
+    sites (the Knuth-hash-spread rect min-corners) within `radius` under
+    the scaled-euclidean metric d2 = 1.8*dlat^2 + dlon^2, ties broken by
+    site_id — the "attach the nearest k ground stations / calibration
+    targets to every image" join once the station side outgrows a
+    broadcast (the flagship's CellBucketKNN holds the whole station table
+    per worker; this operator holds nothing). Output: (event_id, rnk,
+    site_id) — integer-only, so the driver hash cannot be perturbed by
+    float formatting; the ordering itself is decided on bit-identical
+    doubles (both engines evaluate the same product expression over the
+    same 0.001-degree lattice; distinct lattice deltas differ by >= 1e-7,
+    far above accumulated ulps, and exact ties fall to the site_id key).
+
+    Scale shape: grid cells of edge 0.024 — 20% fp margin over the lon
+    reach (radius) and 2x over the lat reach (radius/sqrt(1.8)) — so every
+    qualifying site for a point lies in the point's 3x3 cell neighborhood.
+    Each SITE is replicated to its 9 neighbor cells (sites are the smaller
+    side: |orders| < |events|); each point goes HOME to exactly one cell,
+    so each (point, site) candidate meets exactly once and per-point top-k
+    needs no cross-cell merge. ONE union + groupby(cell-bucket) exchange of
+    slim rows; in-bucket candidates via a C-level merge on cell id; the
+    top-k cut is one vectorized sort + cumcount over the whole bucket. No
+    driver state, no all-pairs blowup."""
+    CELL = 0.024
+    NXY = 4096  # cells per axis bound; cx,cy < ~200 here, no id aliasing
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    od, no = _spread_read(sf_dir, "orders", ["o_orderkey"])
+    nbk = _nbuckets(ne + 9 * no, rows_per_bucket=8192, lo=32)
+    r2 = np.float64(radius) * np.float64(radius)
+
+    def point_rows(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        cx = np.floor((p.lon.to_numpy() - _GRID_LON0) / CELL).astype(np.int64)
+        cy = np.floor((p.lat.to_numpy() - _GRID_LAT0) / CELL).astype(np.int64)
+        cell = cx * NXY + cy
+        return pd.DataFrame({"cell": cell,
+                             "id": p.event_id.to_numpy(np.int64),
+                             "lon": p.lon, "lat": p.lat,
+                             "bk": cell % nbk})
+
+    def site_rows(df: pd.DataFrame) -> pd.DataFrame:
+        r = _rect_layer(df)
+        slon = r.lon0.to_numpy()
+        slat = r.lat0.to_numpy()
+        sid = r.rect_id.to_numpy(np.int64)
+        cx = np.floor((slon - _GRID_LON0) / CELL).astype(np.int64)
+        cy = np.floor((slat - _GRID_LAT0) / CELL).astype(np.int64)
+        frames = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < NXY)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * NXY + gy)[ok],
+                    "id": (-1 - sid)[ok],  # sites carry negative ids
+                    "lon": slon[ok], "lat": slat[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def knn_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g.id >= 0]
+        sit = g[g.id < 0]
+        cols = ["cell", "id", "lon", "lat"]
+        m = pts[cols].merge(sit[cols], on="cell", suffixes=("_p", "_s"))
+        dlat = m.lat_p.to_numpy() - m.lat_s.to_numpy()
+        dlon = m.lon_p.to_numpy() - m.lon_s.to_numpy()
+        d2 = 1.8 * dlat * dlat + dlon * dlon
+        keep = d2 <= r2
+        c = pd.DataFrame({"event_id": m.id_p.to_numpy(np.int64)[keep],
+                          "site_id": (-1 - m.id_s.to_numpy(np.int64))[keep],
+                          "d2": d2[keep]})
+        c = c.sort_values(["event_id", "d2", "site_id"], kind="mergesort")
+        c["rnk"] = c.groupby("event_id", sort=False).cumcount() + 1
+        c = c[c.rnk <= k]
+        return pd.DataFrame({"event_id": c.event_id.to_numpy(np.int64),
+                             "rnk": c.rnk.to_numpy(np.int64),
+                             "site_id": c.site_id.to_numpy(np.int64)})
+
+    return (ev.map_batches(point_rows, batch_format="pandas")
+            .union(od.map_batches(site_rows, batch_format="pandas"))
+            .groupby("bk")
+            .map_groups(knn_bucket, batch_format="pandas"))
+
+
+def doc_tfidf_topterms(sf_dir: str, k: int = 5):
+    """Per-document top-k TF-IDF terms — the classic salient-term /
+    keyword-extraction primitive of a text-curation stack. Score =
+    cnt(term, doc) * ln(N_docs / df(term)); output (doc_id, rnk, term,
+    cnt, df, tfidf) with rnk by (score DESC, term ASC) and tfidf =
+    round(score, 6).
+
+    Scale shape: per-block exact (doc, term) counts (each doc lives in one
+    row, so one C-level groupby per batch is globally exact), then TWO
+    bounded exchanges of slim rows: term-hash-bucketed to compute df
+    (rows per term-group are pre-aggregated distinct (doc, term) pairs)
+    and doc-bucketed for the per-doc top-k (vectorized sort + cumcount per
+    bucket, never per doc). N_docs comes from parquet metadata — no extra
+    scan, no driver gather anywhere.
+
+    Float parity: idf is computed SCALAR per distinct df via math.log —
+    the same libm call DuckDB's ln() makes (numpy's vectorized log can
+    diverge by 1 ulp; see graft perf notes) — and score is one IEEE
+    multiply, so both engines order bit-identical doubles; exact ties fall
+    to the ASCII term key."""
+    import math
+
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=2048, lo=16)
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.text.fillna("")
+        words = _flat_words(texts)
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        doc_of = np.repeat(df.doc_id.to_numpy(np.int64), cnts)
+        tc = (pd.DataFrame({"doc_id": doc_of, "term": words})
+              .groupby(["doc_id", "term"], sort=False)
+              .size().reset_index(name="cnt"))
+        tc["bk"] = (pd.util.hash_array(tc.term.to_numpy(object))
+                    % nbk).astype(np.int64)
+        return tc
+
+    def score_terms(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, term) pairs -> df(term) = group size
+        dfv = g.groupby("term", sort=False)["doc_id"].transform("size")
+        dfv = dfv.to_numpy(np.int64)
+        # scalar libm log only over the DISTINCT df values (bounded per
+        # bucket); the per-row expansion is a vectorized take
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        idf_u = np.array([math.log(nd / d) for d in uniq], dtype=np.float64)
+        score = g.cnt.to_numpy(np.int64) * idf_u[inv]
+        ids = g.doc_id.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "term": g.term.to_numpy(object),
+                             "cnt": g.cnt.to_numpy(np.int64), "df": dfv,
+                             "score": score, "bk": ids % nbk})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[rnk <= k]
+        rnk = rnk[rnk <= k]
+        return pd.DataFrame({"doc_id": g.doc_id.to_numpy(np.int64),
+                             "rnk": rnk.to_numpy(np.int64),
+                             "term": g.term.to_numpy(object),
+                             "cnt": g.cnt.to_numpy(np.int64),
+                             "df": g.df.to_numpy(np.int64),
+                             "tfidf": np.round(g.score.to_numpy(), 6)})
+
+    return (docs.map_batches(term_counts, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(score_terms, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(topk, batch_format="pandas"))
+
+
+def _pq_colminmax(path: str, col: str) -> tuple[int, int]:
+    """Metadata-only (min, max) of an integer column across a parquet file
+    or directory — row-group footer statistics, no Ray job, no data read.
+    Sizes ORDERED range-buckets for prefix-sum style operators."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(path) else [path])
+    lo, hi = None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return int(lo), int(hi)
+
+
+def doc_pack_chunks(sf_dir: str, capacity: int = 512):
+    """LLM-pretraining sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order and cut into fixed `capacity`-token
+    training chunks; per doc, which chunk its first token lands in, which
+    its last token lands in, and how many chunks it spans. The packing
+    plan every pretraining exporter needs, and the repo's distributed
+    GLOBAL PREFIX-SUM primitive: unlike the per-group cumsum of
+    doc_source_token_budget (bounded groups), the running total here is
+    over the WHOLE corpus in a total order.
+
+    Scale shape: the classic two-phase scan. Docs are range-bucketed by
+    doc_id (ORDERED buckets from parquet footer min/max — metadata only);
+    phase 1 sums tokens per bucket (one tiny aggregate, <= nbk rows to the
+    driver — bounded by the bucket count, not the corpus); the driver
+    prefix-sums that vector and broadcasts bucket offsets; phase 2 does an
+    exact in-bucket cumsum (vectorized sort + cumsum per bucket) on top of
+    its bucket's offset. Token counts are computed once into a slim
+    materialized (doc_id, n_tokens) projection (16 B/row) so the text is
+    parsed a single time. Output is integer-only."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=4096, lo=16)
+    lo_id, hi_id = _pq_colminmax(testdata_path(sf_dir, "documents"), "doc_id")
+    rng = max(1, (hi_id - lo_id + 1 + nbk - 1) // nbk)
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        nt = (df.text.fillna("").str.count(" ") + 1).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": nt,
+                             "bk": (ids - lo_id) // rng})
+
+    slim = docs.map_batches(tok_counts, batch_format="pandas").materialize()
+
+    # phase 1: per-bucket token sums -> driver prefix (<= nbk rows)
+    sums = _preagg(slim, ["bk"], [("tok", "n_tokens", "sum")]).to_pandas()
+    sums = sums.sort_values("bk").reset_index(drop=True)
+    csum = sums.tok.to_numpy(np.int64).cumsum()
+    offsets = dict(zip(sums.bk.to_numpy(np.int64).tolist(),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g.n_tokens.to_numpy(np.int64)
+        base = offsets.get(int(g.bk.iloc[0]), 0)
+        prev = base + nt.cumsum() - nt
+        first = prev // capacity
+        last = (prev + nt - 1) // capacity
+        return pd.DataFrame({"doc_id": g.doc_id.to_numpy(np.int64),
+                             "n_tokens": nt,
+                             "first_chunk": first, "last_chunk": last,
+                             "n_chunks": last - first + 1})
+
+    return slim.groupby("bk").map_groups(pack, batch_format="pandas")
