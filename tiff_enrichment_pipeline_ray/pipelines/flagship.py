@@ -598,14 +598,23 @@ def run_flagship(input_dir: str, out_dir: str,
 
     _ctx = DataContext.get_current()
     _prev_strategy = _ctx.shuffle_strategy
+    _prev_agg_cpus = _ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
     if os.environ.get("GRAFT_TAIL", "sort") == "hash":
         _ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # aggregator actors must reserve ZERO logical CPUs or they starve
+        # the map tasks on small sessions (observed: a 4-CPU run sat 97%
+        # idle for 30 min — the same livelock _dsjoin dodges with
+        # aggregator_ray_remote_args={"num_cpus": 0}); their combine work
+        # is bounded by the shuffle's memory backpressure, not CPU slots
+        _ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0
     try:
         return _run_flagship_inner(
             input_dir, out_dir, cfg, checkpoint_partitions, resume,
             with_captures, layers_dir, limit_partitions, files)
     finally:
         _ctx.shuffle_strategy = _prev_strategy
+        _ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            _prev_agg_cpus
 
 
 def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
