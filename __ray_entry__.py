@@ -101,7 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,
         # ================= end of the 50-entry sweep window ===============
-        # r02-green backlog remainder — first in line for the round-5 window
+        # new r4 late additions + r02-green backlog — first in line for the
+        # round-5 window
+        "image_tile_chips": Q.image_tile_chips,  # new r4 (chip enumeration)
+        "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
+        "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
+        "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
+        "events_ohlc_bars": Q.events_ohlc_bars,  # new r4 (OHLC combiner)
+        "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,

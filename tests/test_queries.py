@@ -143,7 +143,14 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: radius-bounded kNN join + per-doc TF-IDF top terms
            "geo_knn_join", "doc_tfidf_topterms",
            # round 4: sequence packing via distributed global prefix-sum
-           "doc_pack_chunks"]
+           "doc_pack_chunks",
+           # round 4: training-chip enumeration + PMI collocations
+           "image_tile_chips", "doc_bigram_pmi",
+           # round 4: conversion funnel + inverted-index build
+           "events_funnel", "doc_inverted_index",
+           # round 4: OHLC bars (argmin/argmax-carrying combiner) and
+           # market-basket pair mining
+           "events_ohlc_bars", "market_basket_pairs"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -635,3 +642,234 @@ def test_pack_chunks_boundaries(tmp_path):
     assert got.first_chunk.tolist() == [0, 1, 1, 3, 3, 3]
     assert got.last_chunk.tolist() == [0, 1, 2, 3, 3, 4]
     assert got.n_chunks.tolist() == [1, 1, 2, 1, 1, 2]
+
+
+def test_bigram_pmi_tie_and_mincnt(tmp_path):
+    """Crafted PMI parity: two bigrams with IDENTICAL (cxy, c1, c2) — an
+    exact ratio tie that must resolve by the (w1, w2) tie-break in both
+    engines; a cxy=2 pair that the min_cnt=3 filter drops; the empty-text
+    [''] token; and a doc-boundary adjacency that must NOT form a bigram."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "x y x y x y",      # (x,y) cxy=3  (and (y,x) cxy=2 — filtered)
+            "p q p q",          # (p,q) cxy=2 so far
+            "p q",              # -> cxy=3; c(p)=c(x)=3, c(q)=c(y)=3: tie
+            "a b a b",          # (a,b)=2, (b,a)=1 — both filtered
+            "",                 # the [''] token
+            "w",                # single-token doc: no bigram, and its
+                                # boundary with doc4 must not form one
+        ],
+    })
+    sf = tmp_path / "sfB"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_bigram_pmi(str(sf)).to_pandas()
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_bigram_pmi"]).df()
+            .sort_values(["w1", "w2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert set(zip(got.w1, got.w2)) == {("x", "y"), ("p", "q")}
+    assert got.cxy.tolist() == [3, 3]
+    # identical (cxy=3, c1=3, c2=3, N): same pmi to the last ulp
+    assert got.pmi.nunique() == 1
+
+
+def test_tile_chips_count_and_uniqueness():
+    """image_tile_chips invariants at sf0.001 (value parity itself is the
+    ORACLED harness): chip count equals the independent pandas arithmetic
+    sum((w//64)*(h//64)) over eligible images, every (image, tx, ty) is
+    unique, and pixel origins stay inside the raster."""
+    import duckdb
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+    got = Q.image_tile_chips("/root/testdata/sf0.001").to_pandas()
+    from tiff_enrichment_pipeline_ray.pipelines.queries import _flagship_out
+    out = _flagship_out(0.001)
+    con = duckdb.connect()
+    ref = con.sql(
+        f"SELECT image_id, w, h FROM read_parquet('{out}/enriched/*/*.parquet') "
+        f"WHERE decode_ok AND has_gps AND w >= 64 AND h >= 64").df()
+    expect = int(((ref.w // 64) * (ref.h // 64)).sum())
+    assert len(got) == expect > 0
+    assert not got.duplicated(["image_id", "tx", "ty"]).any()
+    dims = ref.set_index("image_id")
+    j = got.join(dims, on="image_id")
+    assert ((j.x0 + 64) <= j.w).all() and ((j.y0 + 64) <= j.h).all()
+
+
+def test_funnel_ordering_semantics(tmp_path):
+    """Crafted funnel: a full 3-depth user; a user whose click PRECEDES
+    signup (depth 1 — strict ordering); a user with purchase exactly AT
+    the click timestamp (depth 2 — strict <); a click-only user (depth 0);
+    a view-only user (out of scope entirely)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    T = pd.Timestamp("2025-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: signup < click < purchase -> 3
+        (1, "signup", T), (1, "click", T + s), (1, "purchase", T + 2 * s),
+        # user 2: click before signup -> 1
+        (2, "click", T), (2, "signup", T + s),
+        # user 3: purchase AT click ts -> 2 (strict <)
+        (3, "signup", T), (3, "click", T + s), (3, "purchase", T + s),
+        # user 4: click only, never signed up -> 0
+        (4, "click", T),
+        # user 5: view only -> out of scope
+        (5, "view", T),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    ev["event_id"] = range(len(ev))
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    sf = tmp_path / "sfF"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        ev[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+        preserve_index=False), sf / "events.parquet")
+
+    got = (Q.events_funnel(str(sf)).to_pandas()
+           .sort_values("depth").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    want = (con.sql(ORACLES["events_funnel"]).df()
+            .sort_values("depth").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert dict(zip(got.depth, got.n_users)) == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_inverted_index_posting_cap(tmp_path):
+    """Posting preview semantics: a term in 12 docs (df=12, posting capped
+    at the 10 smallest ids), a repeated-within-doc term (df counts the doc
+    once), and the empty-text '' term."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    texts = {i: "common rare%d" % i for i in range(12)}
+    texts[3] = "common common dupword dupword"
+    texts[12] = ""
+    docs = pd.DataFrame({"doc_id": sorted(texts),
+                         "text": [texts[i] for i in sorted(texts)]})
+    sf = tmp_path / "sfI"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_inverted_index(str(sf)).to_pandas()
+           .sort_values("term").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_inverted_index"]).df()
+            .sort_values("term").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    row = got.set_index("term").loc["common"]
+    assert row.df == 12 and row.posting == "0,1,2,3,4,5,6,7,8,9"
+    assert got.set_index("term").loc["dupword"].df == 1
+    assert got.set_index("term").loc[""].posting == "12"
+
+
+def test_ohlc_ties_and_block_splits(tmp_path):
+    """OHLC semantics under adversarial order: two events at the IDENTICAL
+    timestamp at a bar's start (open must pick the smaller event_id), the
+    same at the bar's end (close picks the LARGER id), and rows delivered
+    in shuffled file order so the per-block partial merge path is real."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    T = pd.Timestamp("2025-03-01 10:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        (7, T, "click", 5.0),    # tied open ts — id 3 must win open
+        (3, T, "click", 1.0),
+        (5, T + s, "click", 9.0),
+        (10, T + 59 * s, "click", 2.0),   # tied close ts — id 11 wins
+        (11, T + 59 * s, "click", 4.0),
+        (20, T, "view", 8.0),             # second bar, single row
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    ev["user_id"] = 0
+    ev["props"] = "{}"
+    # reversed row order: partials must merge, not ride input order
+    ev = ev.iloc[::-1].reset_index(drop=True)
+    sf = tmp_path / "sfO"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        ev[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+        preserve_index=False), sf / "events.parquet")
+
+    got = (Q.events_ohlc_bars(str(sf)).to_pandas()
+           .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    want = (con.sql(ORACLES["events_ohlc_bars"]).df()
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    c = got[got.event_type == "click"].iloc[0]
+    assert (c.open, c.close, c.low, c.high, c.n) == (1.0, 4.0, 1.0, 9.0, 5)
+
+
+def test_basket_pair_multiplicity(tmp_path):
+    """Pair multiplicity follows line-level self-join semantics: an order
+    with lines [A, A, B] contributes (A,B) TWICE; same-part pairs never
+    form; the min_cnt=2 floor drops one-off pairs."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    li = pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 2, 3, 3],
+        "l_partkey":  [4, 4, 9, 4, 9, 2, 5],
+    })
+    sf = tmp_path / "sfM"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   sf / "lineitem.parquet")
+
+    got = (Q.market_basket_pairs(str(sf)).to_pandas()
+           .sort_values(["p1", "p2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf}/lineitem.parquet')")
+    want = (con.sql(ORACLES["market_basket_pairs"]).df()
+            .sort_values(["p1", "p2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # (4,9): twice in order 1 (duplicated A-line) + once in order 2 = 3
+    assert got[["p1", "p2", "n"]].values.tolist() == [[4, 9, 3]]

@@ -1190,6 +1190,34 @@ SELECT file_class, band,
        round(quantile_cont(px_p50, 0.75), 6) AS p75_med
 FROM {enr} WHERE decode_ok GROUP BY file_class, band
 """
+    # Training-chip enumeration: one row per full 64x64 tile of each
+    # georeferenced decode-ok image. DuckDB's range/generate_series table
+    # functions reject lateral column args, so the grid is expanded with
+    # the SCALAR list range() under two unnest stages (tx, then ty). The
+    # world anchors are the engine's exact expression (int->double
+    # convert, one multiply, one add), reported raw (see queries.py).
+    o["image_tile_chips"] = f"""
+WITH g AS (
+  SELECT image_id, w, h, west, north, px_deg, py_deg
+  FROM {enr}
+  WHERE decode_ok AND has_gps AND w >= 64 AND h >= 64
+),
+ex AS (
+  SELECT image_id, h, west, north, px_deg, py_deg,
+         unnest(range(0, w // 64)) AS tx
+  FROM g
+),
+exy AS (
+  SELECT image_id, west, north, px_deg, py_deg, tx,
+         unnest(range(0, h // 64)) AS ty
+  FROM ex
+)
+SELECT image_id, tx, ty,
+       tx * 64 AS x0, ty * 64 AS y0,
+       west + CAST(tx * 64 AS DOUBLE) * px_deg AS chip_west,
+       north + CAST(ty * 64 AS DOUBLE) * py_deg AS chip_north
+FROM exy
+"""
     return o
 
 ORACLES["orders_monthly_growth"] = """
@@ -1651,4 +1679,131 @@ SELECT doc_id, n_tokens,
        (prev_cum + n_tokens - 1) // 512 AS last_chunk,
        (prev_cum + n_tokens - 1) // 512 - prev_cum // 512 + 1 AS n_chunks
 FROM c
+"""
+
+
+# Top-k bigram collocations by PMI. The ordering key r is ONE IEEE divide
+# of two exactly-int64->double-converted products — bit-identical to the
+# engine's numpy divide; exact ties fall to (w1, w2). ln() applied only in
+# the reported (rounded) column. lead() over the unnest position recovers
+# adjacency; partition ends yield NULL w2 (no token is NULL — string_split
+# never produces one), matching the engine's same-doc shift mask.
+ORACLES["doc_bigram_pmi"] = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p
+  FROM tok
+),
+ucnt AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+ntok AS (SELECT count(*) AS n FROM pos),
+big AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM pos
+),
+bcnt AS (
+  SELECT w1, w2, count(*) AS cxy FROM big WHERE w2 IS NOT NULL
+  GROUP BY w1, w2 HAVING count(*) >= 3
+),
+sc AS (
+  SELECT b.w1, b.w2, CAST(b.cxy AS BIGINT) AS cxy,
+         CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+         CAST(b.cxy * n.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS r
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.w = b.w1
+  JOIN ucnt u2 ON u2.w = b.w2
+  CROSS JOIN ntok n
+)
+SELECT w1, w2, cxy, c1, c2, round(ln(r), 6) AS pmi
+FROM sc
+QUALIFY row_number() OVER (ORDER BY r DESC, w1, w2) <= 100
+"""
+
+
+# Conversion funnel: first-occurrence stage times per user, strict-<
+# ordering. The IN filter matches the engine's partial (users with no
+# funnel-stage events are out of scope). NaN/NULL semantics align: the
+# engine's np.where(~(t2 > t1)) is exactly the CASE's NULL-or-<= branch.
+ORACLES["events_funnel"] = """
+WITH f AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+),
+m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM f GROUP BY user_id
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+FROM (
+  SELECT CAST(CASE WHEN t1 IS NULL THEN 0
+                   WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                   WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                   ELSE 3 END AS BIGINT) AS depth
+  FROM m
+)
+GROUP BY depth
+"""
+
+
+# Inverted-index build: df + first-10 ascending doc_ids per term. DuckDB
+# list slicing is 1-based inclusive and clamps; int->string formatting is
+# locale-free on both engines.
+ORACLES["doc_inverted_index"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS term
+  FROM documents
+),
+dt AS (SELECT DISTINCT term, doc_id FROM tok)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS posting
+FROM dt GROUP BY term
+"""
+
+
+# Hourly OHLC bars: open/close picked by row_number over the (ts,
+# event_id) total order — values are COPIED doubles, bit-exact; lo/hi/n
+# are order-free aggregates. max(CASE...) collapses the picked row.
+ORACLES["events_ohlc_bars"] = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, hour
+"""
+
+
+# Market-basket pair counts: the line-level self-join defines the pair
+# multiplicity (two A-lines + one B-line in an order -> (A,B) twice);
+# p1 < p2 canonicalizes. Integer-only output.
+ORACLES["market_basket_pairs"] = """
+WITH pc AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)
+SELECT p1, p2, n
+FROM pc
+QUALIFY row_number() OVER (ORDER BY n DESC, p1, p2) <= 100
 """

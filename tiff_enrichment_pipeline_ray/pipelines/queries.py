@@ -5292,3 +5292,411 @@ def doc_pack_chunks(sf_dir: str, capacity: int = 512):
                              "n_chunks": last - first + 1})
 
     return slim.groupby("bk").map_groups(pack, batch_format="pandas")
+
+
+def image_tile_chips(sf_dir: str, tile: int = 64):
+    """Training-chip enumeration over the enriched raster corpus — the
+    standard geospatial-ML export step (cut every georeferenced image into
+    fixed tile×tile model-input chips with per-chip world coordinates;
+    reference semantics: the per-image georef of processor.py applied at
+    sub-image granularity). For each decode-ok image with GPS georef and
+    both dims ≥ tile, emits one row per full chip of its (w//tile,
+    h//tile) grid: pixel origin (x0, y0) and the chip's world anchor
+    chip_west/chip_north = west/north + x0·px_deg / y0·py_deg (one exact
+    int→double convert, one multiply, one add — bit-identical in both
+    engines, reported RAW: rounding would re-split engines on half-even
+    vs half-away boundary doubles).
+
+    Scale shape: a pure vectorized flat-map — ZERO exchanges. The ~n×
+    row explosion happens inside map_batches via np.repeat over cumsum
+    offsets (no per-image Python loop), and the expansion factor is
+    bounded by (w·h)/tile² per image, so block memory scales with the
+    batch's pixel count, never the corpus. At 100 TB this is the
+    embarrassingly-parallel stage Ray schedules wherever the enriched
+    partitions already live."""
+    from . import flagship as fl
+
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["image_id", "w", "h", "west", "north", "px_deg", "py_deg",
+         "decode_ok", "has_gps"])
+
+    def chips(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.decode_ok & df.has_gps
+                & (df.w >= tile) & (df.h >= tile)]
+        if len(df) == 0:
+            return pd.DataFrame({"image_id": pd.Series([], dtype=object),
+                                 "tx": pd.Series([], dtype=np.int64),
+                                 "ty": pd.Series([], dtype=np.int64),
+                                 "x0": pd.Series([], dtype=np.int64),
+                                 "y0": pd.Series([], dtype=np.int64),
+                                 "chip_west": pd.Series([], dtype=np.float64),
+                                 "chip_north": pd.Series([], dtype=np.float64)})
+        ntx = (df.w.to_numpy(np.int64) // tile)
+        nty = (df.h.to_numpy(np.int64) // tile)
+        n = ntx * nty
+        rep = np.repeat(np.arange(len(df)), n)
+        # chip linear index 0..n-1 within each image, x-major
+        idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            n.cumsum() - n, n)
+        tx = idx // nty[rep]
+        ty = idx % nty[rep]
+        x0 = tx * tile
+        y0 = ty * tile
+        west = df.west.to_numpy(np.float64)[rep]
+        north = df.north.to_numpy(np.float64)[rep]
+        return pd.DataFrame({
+            "image_id": df.image_id.to_numpy(object)[rep],
+            "tx": tx, "ty": ty, "x0": x0, "y0": y0,
+            # RAW doubles, deliberately unrounded: the product+add is
+            # bit-identical in both engines, while np.round (half-even)
+            # vs DuckDB round() (half-away) disagree one quantum on
+            # boundary-adjacent values (seen at sf0.001 row 105)
+            "chip_west": west + x0.astype(np.float64)
+            * df.px_deg.to_numpy(np.float64)[rep],
+            "chip_north": north + y0.astype(np.float64)
+            * df.py_deg.to_numpy(np.float64)[rep]})
+
+    return ds.map_batches(chips, batch_format="pandas")
+
+
+def doc_bigram_pmi(sf_dir: str, k: int = 100, min_cnt: int = 3):
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase/tokenizer-merge-candidate extractor of a text-curation
+    stack (Church & Hanks 1990). pmi = ln(cxy·N / (c1·c2)) with cxy the
+    adjacent-pair count within a document, c1/c2 unigram token counts and
+    N the total token count; pairs with cxy < min_cnt are noise-filtered.
+    Output (w1, w2, cxy, c1, c2, pmi=round(·,6)), top-k by
+    (pmi DESC, w1, w2).
+
+    Scale shape: per-block C-level (w1,w2)/unigram partial counts from ONE
+    join+split token pass (doc boundaries via repeat+shift mask, no token
+    loop), materialized slim; N from a tiny kind-keyed preagg (≤2 rows to
+    the driver). Then exactly TWO hash-bucket exchanges: bucket by
+    hash(w1) (unigrams ride the same exchange keyed hash(w)) to total cxy,
+    attach c1, and min_cnt-filter; re-key survivors by hash(w2) (unigram
+    totals re-emitted to their own — identical — bucket) to attach c2.
+    Per-bucket top-k bounds the final sort to ≤ k·nbk rows.
+
+    Float parity: the ordering key r = (cxy·N)/(c1·c2) is ONE IEEE divide
+    of two exactly-converted int64 products (both < 2^53 at any sf this
+    sandbox reaches; at 100 TB switch the compare to int128
+    cross-multiplication) — bit-identical across engines, exact ties fall
+    to (w1, w2); ln is applied scalar-libm only to the ≤ k·nbk survivors."""
+    import math
+
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=2048, lo=16)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.text.fillna("")
+        words = _flat_words(texts)
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), cnts)
+        uc = pd.Series(words, dtype=object).value_counts()
+        uni = pd.DataFrame({"w1": uc.index.to_numpy(object),
+                            "w2": "", "cnt": uc.to_numpy(np.int64),
+                            "kind": np.int64(0)})
+        same = doc_of[:-1] == doc_of[1:]
+        bc = (pd.DataFrame({"w1": words[:-1][same], "w2": words[1:][same]})
+              .groupby(["w1", "w2"], sort=False).size()
+              .reset_index(name="cnt"))
+        bc["kind"] = np.int64(1)
+        out = pd.concat([uni, bc], ignore_index=True)
+        out["bk"] = (pd.util.hash_array(out.w1.to_numpy(object))
+                     % nbk).astype(np.int64)
+        return out
+
+    slim = docs.map_batches(partials, batch_format="pandas").materialize()
+    kinds = _preagg(slim, ["kind"], [("n", "cnt", "sum")]).to_pandas()
+    n_tok = int(kinds.set_index("kind").n.get(0, 0))
+
+    def attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g.kind == 0].groupby("w1", sort=False)["cnt"].sum()
+        big = (g[g.kind == 1].groupby(["w1", "w2"], sort=False)["cnt"]
+               .sum().reset_index(name="cxy"))
+        big = big[big.cxy >= min_cnt]
+        out = pd.DataFrame({"w1": big.w1.to_numpy(object),
+                            "w2": big.w2.to_numpy(object),
+                            "cxy": big.cxy.to_numpy(np.int64),
+                            "c1": uni.reindex(big.w1).to_numpy(np.int64),
+                            "kind": np.int64(1)})
+        utab = pd.DataFrame({"w1": uni.index.to_numpy(object), "w2": "",
+                             "cxy": uni.to_numpy(np.int64),
+                             "c1": np.int64(0), "kind": np.int64(0)})
+        out = pd.concat([out, utab], ignore_index=True)
+        key = np.where(out.kind.to_numpy() == 0,
+                       out.w1.to_numpy(object), out.w2.to_numpy(object))
+        out["bk"] = (pd.util.hash_array(key.astype(object))
+                     % nbk).astype(np.int64)
+        return out
+
+    def attach_c2_topk(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g.kind == 0].set_index("w1")["cxy"]
+        big = g[g.kind == 1]
+        if len(big) == 0:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "cxy": pd.Series([], dtype=np.int64),
+                                 "c1": pd.Series([], dtype=np.int64),
+                                 "c2": pd.Series([], dtype=np.int64),
+                                 "r": pd.Series([], dtype=np.float64),
+                                 "pmi": pd.Series([], dtype=np.float64)})
+        c2 = uni.reindex(big.w2).to_numpy(np.int64)
+        num = (big.cxy.to_numpy(np.int64) * n_tok).astype(np.float64)
+        den = (big.c1.to_numpy(np.int64) * c2).astype(np.float64)
+        out = pd.DataFrame({"w1": big.w1.to_numpy(object),
+                            "w2": big.w2.to_numpy(object),
+                            "cxy": big.cxy.to_numpy(np.int64),
+                            "c1": big.c1.to_numpy(np.int64), "c2": c2,
+                            "r": num / den})
+        out = out.sort_values(["r", "w1", "w2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+        out["pmi"] = np.array([round(math.log(v), 6) for v in out.r],
+                              dtype=np.float64)
+        return out[["w1", "w2", "cxy", "c1", "c2", "r", "pmi"]]
+
+    return (slim.groupby("bk").map_groups(attach_c1, batch_format="pandas")
+            .groupby("bk").map_groups(attach_c2_topk, batch_format="pandas")
+            .sort(["r", "w1", "w2"], descending=[True, False, False])
+            .limit(k)
+            .select_columns(["w1", "w2", "cxy", "c1", "c2", "pmi"]))
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion-funnel analysis (signup → click → purchase, the
+    product-analytics staple): per user, depth = number of consecutive
+    stages whose FIRST occurrence times are strictly increasing
+    (t_signup < t_click < t_purchase); output (depth, n_users) for depths
+    0-3 (0 = a user with funnel-stage activity but no signup; users with
+    no signup/click/purchase events at all are out of scope on both
+    engines).
+
+    Scale shape: per-block conditional-min partials ((user, stage) →
+    min ts, vectorized via one groupby per batch) → ONE user-hash
+    exchange combining mins → vectorized depth evaluation → a ≤4-row
+    final aggregate. The stream is reduced to ≤3 slim rows per user
+    BEFORE the only exchange; nothing per-event ever shuffles. Missing
+    stages ride as NaN µs (comparisons with NaN are False on both
+    engines' CASE/np.where paths); µs epochs ≈ 1.7e15 are float64-exact
+    (< 2^53), so the strict-< compares are bit-exact."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    STAGES = ("signup", "click", "purchase")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(STAGES)]
+        us = _epoch_us(df.ts)
+        m = (pd.DataFrame({"user_id": df.user_id.to_numpy(np.int64),
+                           "stage": df.event_type.to_numpy(object),
+                           "us": us})
+             .groupby(["user_id", "stage"], sort=False)["us"].min()
+             .reset_index())
+        return m
+
+    def depth_of(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["user_id", "stage"], sort=False)["us"].min()
+             .unstack("stage"))
+        t1 = m.get("signup", pd.Series(np.nan, index=m.index)).to_numpy(np.float64)
+        t2 = m.get("click", pd.Series(np.nan, index=m.index)).to_numpy(np.float64)
+        t3 = m.get("purchase", pd.Series(np.nan, index=m.index)).to_numpy(np.float64)
+        depth = np.where(np.isnan(t1), 0,
+                         np.where(~(t2 > t1), 1,
+                                  np.where(~(t3 > t2), 2, 3))).astype(np.int64)
+        vc = pd.Series(depth).value_counts()
+        return pd.DataFrame({"depth": vc.index.to_numpy(np.int64),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    import ray
+
+    nbk = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    parts = ev.map_batches(partial, batch_format="pandas")
+    parts = parts.map_batches(
+        lambda df: df.assign(bk=(df.user_id.to_numpy(np.int64) % nbk)),
+        batch_format="pandas")
+    per_bucket = parts.groupby("bk").map_groups(depth_of, batch_format="pandas")
+    return _preagg(per_bucket, ["depth"], [("n_users", "n_users", "sum")])
+
+
+def doc_inverted_index(sf_dir: str, k_postings: int = 10):
+    """Inverted-index build (search/retrieval export): per term its
+    document frequency and the first `k_postings` doc_ids ascending as a
+    comma-joined posting preview — the index layout a BM25/boolean
+    retrieval service consumes. Output (term, df, posting).
+
+    Scale shape: per-block DISTINCT (term, doc_id) pairs (docs are
+    row-atomic, so block-local distinct is globally correct after the
+    union) → ONE term-hash-bucket exchange → in-bucket vectorized sort +
+    cumcount head-k; the comma join runs once per TERM (vocab-bounded),
+    never per posting. The full posting lists for stopword-grade terms
+    ship through the exchange (O(Σ distinct pairs), same bound as the
+    TF-IDF df pass); the output previews are k-bounded. Parity: int→str
+    doc_id formatting is locale-free and identical on both engines."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "text"])
+    nbk = _nbuckets(nd, rows_per_bucket=2048, lo=16)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df.text.fillna("")
+        words = _flat_words(texts)
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        doc_of = np.repeat(df.doc_id.to_numpy(np.int64), cnts)
+        p = (pd.DataFrame({"term": words, "doc_id": doc_of})
+             .drop_duplicates())
+        p["bk"] = (pd.util.hash_array(p.term.to_numpy(object))
+                   % nbk).astype(np.int64)
+        return p
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        dfv = g.groupby("term", sort=False)["doc_id"].transform("size")
+        head = g[g.groupby("term", sort=False).cumcount() < k_postings]
+        posting = (head.assign(s=head.doc_id.astype(str))
+                   .groupby("term", sort=False)["s"]
+                   .agg(",".join))
+        per_term = (pd.DataFrame({"term": g.term.to_numpy(object),
+                                  "df": dfv.to_numpy(np.int64)})
+                    .drop_duplicates("term"))
+        return pd.DataFrame({
+            "term": per_term.term.to_numpy(object),
+            "df": per_term.df.to_numpy(np.int64),
+            "posting": posting.reindex(per_term.term).to_numpy(object)})
+
+    return (docs.map_batches(pairs, batch_format="pandas")
+            .groupby("bk").map_groups(build, batch_format="pandas"))
+
+
+def events_ohlc_bars(sf_dir: str):
+    """Hourly OHLC bars per event_type (the time-series compaction every
+    metrics store runs): open/close = value at the first/last (ts,
+    event_id) of the bar, low/high = min/max, n = row count. Values are
+    COPIED, never recomputed, so the doubles are bit-exact on both
+    engines; the (ts, event_id) total order breaks timestamp ties.
+
+    Scale shape: the order-statistics-carrying ALGEBRAIC combiner — each
+    block reduces to one partial row per (event_type, hour) carrying
+    (open_us, open_id, open, close_us, close_id, close, lo, hi, n); ONE
+    bar-hash exchange merges partials with the same sort-based vectorized
+    kernel (argmin/argmax merge = sort + first/last per group). Nothing
+    per-event ever shuffles, and bar cardinality (types × hours) bounds
+    every stage after the first."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "ts", "event_type", "value"])
+
+    def reduce_bars(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hour", "us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["event_type", "hour"], sort=False)
+        first = g.head(1).reset_index(drop=True)
+        last = g.tail(1).reset_index(drop=True)
+        agg = g.agg(lo=("lo", "min"), hi=("hi", "max"),
+                    n=("n", "sum")).reset_index()
+        return pd.DataFrame({
+            "event_type": agg.event_type.to_numpy(object),
+            "hour": agg.hour.to_numpy(),
+            "us": first.us.to_numpy(np.int64),
+            "event_id": first.event_id.to_numpy(np.int64),
+            "open": first.open.to_numpy(np.float64),
+            "close_us": last.close_us.to_numpy(np.int64),
+            "close_id": last.close_id.to_numpy(np.int64),
+            "close": last.close.to_numpy(np.float64),
+            "lo": agg.lo.to_numpy(np.float64),
+            "hi": agg.hi.to_numpy(np.float64),
+            "n": agg.n.to_numpy(np.int64)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(df.ts)
+        p = pd.DataFrame({
+            "event_type": df.event_type.to_numpy(object),
+            "hour": df.ts.to_numpy(dtype="datetime64[us]")
+                      .astype("datetime64[h]").astype("datetime64[us]"),
+            "us": us, "event_id": df.event_id.to_numpy(np.int64),
+            "open": df.value.to_numpy(np.float64),
+            "close_us": us,
+            "close_id": df.event_id.to_numpy(np.int64),
+            "close": df.value.to_numpy(np.float64),
+            "lo": df.value.to_numpy(np.float64),
+            "hi": df.value.to_numpy(np.float64),
+            "n": np.int64(1)})
+        return reduce_bars(p)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # merging partials re-runs the same kernel: first by (us,
+        # event_id) picks the global open among block opens; last by
+        # (close_us, close_id) needs the CLOSE order — sort ascending by
+        # close keys is NOT the open order, so re-sort for the tail pick
+        df = df.sort_values(["event_type", "hour", "us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby(["event_type", "hour"], sort=False)
+        first = g.head(1).reset_index(drop=True)
+        agg = g.agg(lo=("lo", "min"), hi=("hi", "max"),
+                    n=("n", "sum")).reset_index()
+        dfc = df.sort_values(["event_type", "hour", "close_us", "close_id"],
+                             kind="mergesort")
+        last = (dfc.groupby(["event_type", "hour"], sort=False)
+                .tail(1).reset_index(drop=True))
+        return pd.DataFrame({
+            "event_type": agg.event_type.to_numpy(object),
+            "hour": agg.hour.to_numpy(),
+            "open": first.open.to_numpy(np.float64),
+            "high": agg.hi.to_numpy(np.float64),
+            "low": agg.lo.to_numpy(np.float64),
+            "close": last.close.to_numpy(np.float64),
+            "n": agg.n.to_numpy(np.int64)})
+
+    parts = ev.map_batches(partial, batch_format="pandas")
+    parts = parts.map_batches(
+        lambda df: df.assign(
+            bk=(pd.util.hash_pandas_object(
+                df[["event_type"]], index=False).to_numpy(np.uint64)
+                % np.uint64(32)).astype(np.int64)),
+        batch_format="pandas")
+    return parts.groupby("bk").map_groups(
+        lambda g: combine(g.drop(columns=["bk"])), batch_format="pandas")
+
+
+def market_basket_pairs(sf_dir: str, min_cnt: int = 2, k: int = 100):
+    """Market-basket co-occurrence mining (the association-rules front
+    half): top-k part pairs by the number of orders whose lineitems
+    contain both, ties by (p1, p2); pair multiplicity follows the
+    line-level self-join semantics (two lines of part A and one of part B
+    in one order contribute 2 to (A, B)) — expression-identical to the
+    SQL self-join oracle. Output (p1, p2, n) with p1 < p2.
+
+    Scale shape: orderkey-hash bucket exchange co-locates each order's
+    lines (order size is bounded — TPC-H ≤ 7 — so the in-bucket self-merge
+    explosion is O(lines × order_size), never quadratic in the corpus);
+    pair partials pre-aggregate in the same pass, then one pair-hash
+    _preagg and a per-block top-k ahead of the tiny global sort."""
+    li, nl = _spread_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nbk = _nbuckets(nl, rows_per_bucket=8192, lo=32)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o": df.l_orderkey.to_numpy(np.int64),
+            "p": df.l_partkey.to_numpy(np.int64),
+            "bk": (df.l_orderkey.to_numpy(np.int64) % nbk)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
+                                suffixes=("1", "2"))
+        m = m[m.p1 < m.p2]
+        c = (m.groupby(["p1", "p2"], sort=False).size()
+             .reset_index(name="n"))
+        c["bk"] = ((c.p1.to_numpy(np.int64) * 1000003
+                    + c.p2.to_numpy(np.int64)) % nbk)
+        return c
+
+    agg = _preagg(
+        li.map_batches(keyed, batch_format="pandas")
+        .groupby("bk").map_groups(pairs, batch_format="pandas"),
+        ["p1", "p2"], [("n", "n", "sum")])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.n >= min_cnt]
+        return df.sort_values(["n", "p1", "p2"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(k)
+
+    return (agg.map_batches(topk, batch_format="pandas", batch_size=None)
+            .sort(["n", "p1", "p2"], descending=[True, False, False])
+            .limit(k))
