@@ -117,6 +117,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("ann_topk_cosine", Q.ann_topk_cosine),
         ("geo_knn_station", Q.geo_knn_station),
         ("geo_tile_census", Q.geo_tile_census),
+        # round 4 late: the highest-volume new ops — chip flat-map (~1.1M
+        # output rows), token-pass PMI (2 exchanges), both-sides-large kNN
+        ("image_tile_chips", Q.image_tile_chips),
+        ("doc_bigram_pmi", Q.doc_bigram_pmi),
+        ("geo_knn_join", Q.geo_knn_join),
     ]
     for name, fn in qlist:
         t0 = time.time()
