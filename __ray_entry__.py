@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
         "events_ohlc_bars": Q.events_ohlc_bars,  # new r4 (OHLC combiner)
         "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
+        "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,

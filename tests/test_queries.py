@@ -150,7 +150,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_funnel", "doc_inverted_index",
            # round 4: OHLC bars (argmin/argmax-carrying combiner) and
            # market-basket pair mining
-           "events_ohlc_bars", "market_basket_pairs"]
+           "events_ohlc_bars", "market_basket_pairs",
+           # round 4: distributed triangle counting (wedge-closure)
+           "graph_triangles"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -873,3 +875,43 @@ def test_basket_pair_multiplicity(tmp_path):
     pd.testing.assert_frame_equal(got[want.columns], want)
     # (4,9): twice in order 1 (duplicated A-line) + once in order 2 = 3
     assert got[["p1", "p2", "n"]].values.tolist() == [[4, 9, 3]]
+
+
+def test_triangles_k4_and_open_wedge(tmp_path):
+    """Crafted graph: K4 on parts 1-4 (two orders each holding all four →
+    every pair co-occurs twice) must yield 4 triangles with every node in
+    exactly 3; edge (5,6) co-occurs once (below min_orders — excluded);
+    the 7-8-9 path closes with (7,9) only ONCE, so its wedge must NOT
+    count a triangle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    orders = [
+        (1, [1, 2, 3, 4]), (2, [1, 2, 3, 4]),   # K4, every pair twice
+        (3, [5, 6]),                              # once-only edge
+        (4, [7, 8]), (5, [7, 8]),                 # edge (7,8) x2
+        (6, [8, 9]), (7, [8, 9]),                 # edge (8,9) x2
+        (8, [7, 9]),                              # closing edge only ONCE
+    ]
+    rows = [(o, p) for o, ps in orders for p in ps]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = tmp_path / "sfG"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   sf / "lineitem.parquet")
+
+    got = (Q.graph_triangles(str(sf)).to_pandas()
+           .sort_values("p").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf}/lineitem.parquet')")
+    want = (con.sql(ORACLES["graph_triangles"]).df()
+            .sort_values("p").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got.p.tolist() == [1, 2, 3, 4]
+    assert got.n_tri.tolist() == [3, 3, 3, 3]

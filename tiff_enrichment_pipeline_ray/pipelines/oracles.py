@@ -1807,3 +1807,30 @@ SELECT p1, p2, n
 FROM pc
 QUALIFY row_number() OVER (ORDER BY n DESC, p1, p2) <= 100
 """
+
+
+# Triangle counting over the co-purchase graph. The 3-way self-join is
+# orientation-free; the canonical a<b<c edge orientation means each
+# triangle appears exactly once in t. Top-k nodes by participation.
+ORACLES["graph_triangles"] = """
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2
+),
+t AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM e e1
+  JOIN e e2 ON e2.p1 = e1.p2
+  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+n AS (
+  SELECT a AS p FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+)
+SELECT p, CAST(count(*) AS BIGINT) AS n_tri
+FROM n GROUP BY p
+QUALIFY row_number() OVER (ORDER BY n_tri DESC, p) <= 100
+"""

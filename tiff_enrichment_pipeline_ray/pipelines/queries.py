@@ -5700,3 +5700,105 @@ def market_basket_pairs(sf_dir: str, min_cnt: int = 2, k: int = 100):
     return (agg.map_batches(topk, batch_format="pandas", batch_size=None)
             .sort(["n", "p1", "p2"], descending=[True, False, False])
             .limit(k))
+
+
+def graph_triangles(sf_dir: str, min_orders: int = 2, k: int = 100):
+    """Distributed triangle counting over the co-purchase graph — the
+    graph-analytics canary (clustering coefficients, community seeds,
+    fraud rings). Nodes are parts; an undirected edge joins parts bought
+    together in ≥ min_orders distinct orders. Output: top-k nodes by the
+    number of triangles they participate in, ties by part id.
+
+    Scale shape: the node-iterator wedge-closure algorithm with the
+    canonical a < b < c orientation, every stage an exchange of SLIM
+    integer rows:
+      1. distinct (order, part) pairs bucket by ORDER → in-bucket
+         self-merge emits co-purchase pair partials (order size bounded,
+         so the explosion is linear in lines) → pair-hash `_preagg` →
+         edges (p1 < p2, cnt ≥ min_orders), materialized once and reused.
+      2. edges bucket by LOW endpoint → each node's adjacency meets in one
+         group; the in-bucket self-merge emits wedges (a; b < c) — each
+         triangle is generated exactly once, at its smallest vertex.
+      3. wedges re-keyed by hash(b, c) ride ONE union exchange with the
+         edge set keyed hash(p1, p2); the in-bucket merge keeps wedges
+         whose closing edge exists → triangles (a, b, c), reduced to
+         per-node count partials before leaving the bucket.
+      4. node-hash `_preagg` + per-block top-k + tiny global sort.
+    The wedge count is Σ deg(v)² over low endpoints — the documented skew
+    term; hub nodes would need degree-ordered orientation, which changes
+    no output (the SQL oracle is orientation-free) and can be swapped in
+    behind the same exchanges if a corpus develops hubs."""
+    li, nl = _spread_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nbk = _nbuckets(nl, rows_per_bucket=8192, lo=32)
+    MIX = np.int64(1000003)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o": df.l_orderkey.to_numpy(np.int64),
+            "p": df.l_partkey.to_numpy(np.int64),
+            "bk": (df.l_orderkey.to_numpy(np.int64) % nbk)})
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["o", "p"]].drop_duplicates()
+        m = g.merge(g, on="o", suffixes=("1", "2"))
+        m = m[m.p1 < m.p2]
+        c = (m.groupby(["p1", "p2"], sort=False).size()
+             .reset_index(name="cnt"))
+        return c
+
+    pair_parts = (li.map_batches(keyed, batch_format="pandas")
+                  .groupby("bk").map_groups(order_pairs,
+                                            batch_format="pandas"))
+    edges = (_preagg(pair_parts, ["p1", "p2"], [("cnt", "cnt", "sum")])
+             .map_batches(lambda df: df[df.cnt >= min_orders]
+                          [["p1", "p2"]], batch_format="pandas")
+             .materialize())
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="p1", suffixes=("_x", "_y"))
+        m = m[m.p2_x < m.p2_y]
+        b = m.p2_x.to_numpy(np.int64)
+        c = m.p2_y.to_numpy(np.int64)
+        return pd.DataFrame({"a": m.p1.to_numpy(np.int64), "b": b, "c": c,
+                             "kind": np.int64(1),
+                             "bk2": (b * MIX + c) % nbk})
+
+    wedges = (edges.map_batches(
+        lambda df: df.assign(bk=df.p1.to_numpy(np.int64) % nbk),
+        batch_format="pandas")
+        .groupby("bk")
+        .map_groups(lambda g: wedge_rows(g.drop(columns=["bk"])),
+                    batch_format="pandas"))
+    ekeyed = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "a": np.int64(-1),
+            "b": df.p1.to_numpy(np.int64), "c": df.p2.to_numpy(np.int64),
+            "kind": np.int64(0),
+            "bk2": (df.p1.to_numpy(np.int64) * MIX
+                    + df.p2.to_numpy(np.int64)) % nbk}),
+        batch_format="pandas")
+
+    def close_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g.kind == 0][["b", "c"]]
+        w = g[g.kind == 1]
+        t = w.merge(e, on=["b", "c"])
+        nodes = np.concatenate([t.a.to_numpy(np.int64),
+                                t.b.to_numpy(np.int64),
+                                t.c.to_numpy(np.int64)])
+        vc = pd.Series(nodes).value_counts()
+        return pd.DataFrame({"p": vc.index.to_numpy(np.int64),
+                             "n_tri": vc.to_numpy(np.int64)})
+
+    counts = _preagg(
+        wedges.union(ekeyed).groupby("bk2")
+        .map_groups(close_and_count, batch_format="pandas"),
+        ["p"], [("n_tri", "n_tri", "sum")])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_tri", "p"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    return (counts.map_batches(topk, batch_format="pandas",
+                               batch_size=None)
+            .sort(["n_tri", "p"], descending=[True, False])
+            .limit(k))
