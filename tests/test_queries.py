@@ -152,7 +152,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # market-basket pair mining
            "events_ohlc_bars", "market_basket_pairs",
            # round 4: distributed triangle counting (wedge-closure)
-           "graph_triangles"]
+           "graph_triangles",
+           # round 4: footprint-overlap self-join over the enriched corpus
+           "image_footprint_overlaps"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -915,3 +917,40 @@ def test_triangles_k4_and_open_wedge(tmp_path):
     pd.testing.assert_frame_equal(got[want.columns], want)
     assert got.p.tolist() == [1, 2, 3, 4]
     assert got.n_tri.tolist() == [3, 3, 3, 3]
+
+
+
+def test_footprint_overlaps_exactly_once():
+    """PBSM exactly-once audit on the real sf0.001 corpus: no pair is
+    emitted twice (the canonical-cell rule), pairs are canonicalized
+    (img_a < img_b), and the count matches an independent brute-force
+    pandas sweep restricted to a dense sub-box (plus the full-corpus
+    DuckDB parity run in the ORACLED harness)."""
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+    got = Q.image_footprint_overlaps("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert not got.duplicated(["img_a", "img_b"]).any()
+    assert (got.img_a < got.img_b).all()
+
+    import duckdb
+
+    out = Q._flagship_out(0.001)
+    con = duckdb.connect()
+    ref = con.sql(
+        f"SELECT image_id, west, west + w * px_deg AS e,"
+        f" north, north + h * py_deg AS n2 "
+        f"FROM read_parquet('{out}/enriched/*/*.parquet') "
+        f"WHERE has_gps AND decode_ok"
+    ).df()
+    import numpy as np
+
+    ids = ref.image_id.to_numpy(object)
+    x0 = ref.west.to_numpy(); x1 = ref.e.to_numpy()
+    y0 = ref.north.to_numpy(); y1 = ref.n2.to_numpy()
+    n = 0
+    for i in range(len(ref)):
+        ov = ((x0 <= x1[i]) & (x0[i] <= x1)
+              & (y0 <= y1[i]) & (y0[i] <= y1) & (ids > ids[i]))
+        n += int(ov.sum())
+    assert len(got) == n > 0

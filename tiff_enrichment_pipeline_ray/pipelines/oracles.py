@@ -1218,6 +1218,31 @@ SELECT image_id, tx, ty,
        north + CAST(ty * 64 AS DOUBLE) * py_deg AS chip_north
 FROM exy
 """
+    # Footprint-overlap self-join: banded on min-corner 0.004-deg cells
+    # (cell edge > max footprint extent 0.0017 deg, so overlapping pairs
+    # sit within +-1 cells). The box bounds are the engine's exact
+    # one-multiply-one-add expression; closed-interval predicate; pairs
+    # canonicalized by binary string order on image_id.
+    o["image_footprint_overlaps"] = f"""
+WITH g AS (
+  SELECT image_id, west AS x0, west + w * px_deg AS x1,
+         north AS y0, north + h * py_deg AS y1
+  FROM {enr}
+  WHERE has_gps AND decode_ok
+),
+c AS (
+  SELECT *, CAST(floor((x0 - 3.0) / 0.004) AS BIGINT) AS cx,
+            CAST(floor((y0 - 50.7) / 0.004) AS BIGINT) AS cy
+  FROM g
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b
+FROM c a JOIN c b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+ AND a.image_id < b.image_id
+ AND a.x0 <= b.x1 AND b.x0 <= a.x1
+ AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
     return o
 
 ORACLES["orders_monthly_growth"] = """

@@ -5802,3 +5802,80 @@ def graph_triangles(sf_dir: str, min_orders: int = 2, k: int = 100):
                                batch_size=None)
             .sort(["n_tri", "p"], descending=[True, False])
             .limit(k))
+
+
+def image_footprint_overlaps(sf_dir: str):
+    """Footprint-overlap SELF-join over the REAL enriched corpus — which
+    georeferenced images cover the same ground (the mosaic/stitch
+    candidate set, stacking depth, revisit detection; reference intent:
+    the PostGIS footprint geometry of create-tables.sql applied pairwise).
+    A footprint is [west, west + w·px_deg] × [north, north + h·py_deg]
+    (py_deg > 0 in this corpus); output every unordered pair
+    (img_a < img_b, binary string order — identical in pandas and DuckDB
+    on these ASCII ids) whose closed boxes intersect.
+
+    Scale shape: the PBSM reference-point pattern of
+    geo_bbox_overlap_pairs, applied to corpus data: grid cells of edge
+    0.004 deg (> the 0.0017-deg max footprint extent, so each image
+    covers ≤ 4 cells and overlapping pairs sit within ±1 min-corner
+    cells); each copy re-derives the intersection's min-corner cell and
+    only that cell's copy emits — exactly-once with ONE
+    groupby(cell-bucket) exchange and zero dedup passes. The box bounds
+    are the same one-multiply-one-add expression in both engines
+    (bit-identical doubles), so the overlap predicate needs no epsilon."""
+    from . import flagship as fl
+
+    CELL = 0.004
+    NX = 2048  # cy < ~250, cx < ~1100 here: cell = cx*NX + cy is injective
+    out = _flagship_out(synth.sf_from_dir(sf_dir))
+    ds = fl.read_enriched(out).select_columns(
+        ["image_id", "w", "h", "west", "north", "px_deg", "py_deg",
+         "has_gps", "decode_ok"])
+    nbk = _nbuckets(2 * synth.n_images_for_sf(synth.sf_from_dir(sf_dir)),
+                    rows_per_bucket=8192, lo=32)
+
+    def rect_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.has_gps & df.decode_ok]
+        x0 = df.west.to_numpy(np.float64)
+        x1 = x0 + df.w.to_numpy(np.float64) * df.px_deg.to_numpy(np.float64)
+        y0 = df.north.to_numpy(np.float64)
+        y1 = y0 + df.h.to_numpy(np.float64) * df.py_deg.to_numpy(np.float64)
+        ids = df.image_id.to_numpy(object)
+        cx0 = np.floor((x0 - _GRID_LON0) / CELL).astype(np.int64)
+        cx1 = np.floor((x1 - _GRID_LON0) / CELL).astype(np.int64)
+        cy0 = np.floor((y0 - _GRID_LAT0) / CELL).astype(np.int64)
+        cy1 = np.floor((y1 - _GRID_LAT0) / CELL).astype(np.int64)
+        frames = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                ok = (cx0 + dx <= cx1) & (cy0 + dy <= cy1)
+                frames.append(pd.DataFrame({
+                    "cell": (cx0[ok] + dx) * NX + (cy0[ok] + dy),
+                    "cx": cx0[ok] + dx, "cy": cy0[ok] + dy,
+                    "img": ids[ok],
+                    "x0": x0[ok], "y0": y0[ok],
+                    "x1": x1[ok], "y1": y1[ok]}))
+        rc = pd.concat(frames, ignore_index=True)
+        rc["bk"] = rc.cell.to_numpy() % nbk
+        return rc
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell", "cx", "cy", "img", "x0", "y0", "x1", "y1"]
+        m = g[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.img_a.to_numpy(object) < m.img_b.to_numpy(object)]
+        x0a, x0b = m.x0_a.to_numpy(), m.x0_b.to_numpy()
+        y0a, y0b = m.y0_a.to_numpy(), m.y0_b.to_numpy()
+        overlap = ((x0a <= m.x1_b.to_numpy()) & (x0b <= m.x1_a.to_numpy())
+                   & (y0a <= m.y1_b.to_numpy()) & (y0b <= m.y1_a.to_numpy()))
+        ccx = np.floor((np.maximum(x0a, x0b) - _GRID_LON0)
+                       / CELL).astype(np.int64)
+        ccy = np.floor((np.maximum(y0a, y0b) - _GRID_LAT0)
+                       / CELL).astype(np.int64)
+        keep = (overlap & (ccx == m.cx_a.to_numpy())
+                & (ccy == m.cy_a.to_numpy()))
+        return pd.DataFrame({"img_a": m.img_a.to_numpy(object)[keep],
+                             "img_b": m.img_b.to_numpy(object)[keep]})
+
+    return (ds.map_batches(rect_rows, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(pair_bucket, batch_format="pandas"))
