@@ -1,0 +1,102 @@
+"""Property-based (hypothesis) tests over the pure numpy kernels — the
+invariants that must hold for ANY input, complementing the fixed-fixture
+parity tests. No Ray session needed: these kernels are the per-batch
+building blocks of the distributed operators."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tiff_enrichment_pipeline_ray.functions import bloom as bf
+from tiff_enrichment_pipeline_ray.functions import hll
+from tiff_enrichment_pipeline_ray.functions.cells import (
+    grid_cell_xy, hex7_cell, hex7_parent, s2_cell, s2_parent)
+from tiff_enrichment_pipeline_ray.functions.geo import haversine_m
+
+int64s = st.integers(min_value=-(2**62), max_value=2**62)
+lats = st.floats(min_value=-89.9, max_value=89.9, allow_nan=False)
+lons = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(int64s, min_size=1, max_size=200),
+       st.lists(int64s, min_size=0, max_size=200))
+def test_bloom_no_false_negatives_and_merge(added, probed):
+    """Every added key must report possibly-present — through add() AND
+    through a merge of single-key partials (the exchange path); absent
+    keys may false-positive but never crash the predicate."""
+    keys = np.array(added, dtype=np.int64)
+    bits = bf.add(bf.empty(12), keys)
+    assert bf.might_contain(bits, keys).all()
+    merged = bf.empty(12)
+    for v in added:
+        merged = bf.merge(merged, bf.add(bf.empty(12),
+                                         np.array([v], dtype=np.int64)))
+    assert (merged == bits).all()  # add is order-free / merge-equivalent
+    out = bf.might_contain(bits, np.array(probed, dtype=np.int64))
+    assert out.shape == (len(probed),) and out.dtype == bool
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, lats, lons)
+def test_haversine_metric_properties(la1, lo1, la2, lo2):
+    """Symmetry, identity, and the half-circumference bound — the
+    invariants the kNN-weather join relies on for correctness."""
+    d12 = float(haversine_m(la1, lo1, la2, lo2))
+    d21 = float(haversine_m(la2, lo2, la1, lo1))
+    assert d12 == d21
+    assert float(haversine_m(la1, lo1, la1, lo1)) == 0.0
+    assert 0.0 <= d12 <= 6_371_000.0 * np.pi * 1.0000001
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons)
+def test_cell_hierarchies_contain(lat, lon):
+    """A point's fine cell must roll up to the SAME parent cell the point
+    maps to directly — the property that makes multi-resolution group-bys
+    (h3_r9 → h3_r5, s2 parents) consistent with each other. The kernels
+    are batch-vectorized: scalar points ride as 1-element arrays."""
+    la = np.array([lat]); lo = np.array([lon])
+    c9 = hex7_cell(la, lo, res=9)
+    c5 = hex7_cell(la, lo, res=5)
+    p = c9
+    for _ in range(4):
+        p = hex7_parent(p)
+    assert int(p[0]) == int(c5[0])
+    s16 = s2_cell(la, lo, level=16)
+    s10 = s2_cell(la, lo, level=10)
+    assert int(s2_parent(s16, 10)[0]) == int(s10[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(lats, lons, st.floats(min_value=1e-3, max_value=10.0,
+                             allow_nan=False))
+def test_grid_cell_point_in_cell(lat, lon, cell):
+    """grid_cell_xy must place the point inside the half-open cell box it
+    names (up to one float quantum at the floor boundary) — the invariant
+    every PBSM/grid-exchange operator builds on. Coordinates snap to 1e-6
+    deg (the corpus lattice); raw denormals are not meaningful inputs."""
+    lat, lon = round(lat, 6), round(lon, 6)
+    cx, cy = grid_cell_xy(np.array([lat]), np.array([lon]), cell)
+    cx, cy = int(cx[0]), int(cy[0])
+    eps = cell * 1e-9
+    assert cx * cell - eps <= lon < (cx + 1) * cell + eps
+    assert cy * cell - eps <= lat < (cy + 1) * cell + eps
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(int64s, min_size=1, max_size=500))
+def test_hll_merge_equals_bulk(keys):
+    """HLL partial-merge associativity: registers built per-element and
+    max-merged must equal the bulk build — the exchange-safety property —
+    and the estimate must be exact-ish (>= 50%) for tiny cardinalities."""
+    ks = np.array(keys, dtype=np.int64)
+    bulk = hll.registers(ks, 12)
+    merged = np.zeros_like(bulk)
+    for v in keys:
+        merged = hll.merge(merged,
+                           hll.registers(np.array([v], dtype=np.int64), 12))
+    assert (merged == bulk).all()
+    est = hll.estimate(bulk)
+    n = len(set(keys))
+    assert est >= 0.5 * n
