@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
         "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
         "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
+        "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,

@@ -154,7 +154,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: distributed triangle counting (wedge-closure)
            "graph_triangles",
            # round 4: footprint-overlap self-join over the enriched corpus
-           "image_footprint_overlaps"]
+           "image_footprint_overlaps",
+           # round 4: distributed rank/percentile transform (bucket prefix)
+           "events_global_rank"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",

@@ -1859,3 +1859,16 @@ SELECT p, CAST(count(*) AS BIGINT) AS n_tri
 FROM n GROUP BY p
 QUALIFY row_number() OVER (ORDER BY n_tri DESC, p) <= 100
 """
+
+
+# Global rank/percentile transform: row_number over the (value, event_id)
+# total order; pct is one IEEE divide of exactly-converted int64s. value
+# is a copied double.
+ORACLES["events_global_rank"] = """
+WITH n AS (SELECT count(*) AS n FROM events)
+SELECT event_id, value,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rnk,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS DOUBLE)
+         / CAST(n.n AS DOUBLE) AS pct
+FROM events CROSS JOIN n
+"""

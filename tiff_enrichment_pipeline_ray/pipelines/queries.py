@@ -5879,3 +5879,70 @@ def image_footprint_overlaps(sf_dir: str):
     return (ds.map_batches(rect_rows, batch_format="pandas")
             .groupby("bk")
             .map_groups(pair_bucket, batch_format="pandas"))
+
+
+def events_global_rank(sf_dir: str):
+    """Global rank / percentile transform of every event by value — the
+    rank-normalization step of feature pipelines (quantile scaling, ECDF
+    scoring), as a DISTRIBUTED ORDER STATISTIC with no global sort
+    barrier. Output (event_id, value, rnk, pct): rnk = row_number under
+    the (value, event_id) total order, pct = rnk / N (one IEEE divide of
+    exactly-converted int64s — bit-identical across engines; value is a
+    copied double).
+
+    Scale shape: the two-phase prefix-sum of doc_pack_chunks applied to
+    VALUE-range buckets instead of id ranges. Bucket bounds come from the
+    parquet footer min/max (metadata only, no scan); every row maps to one
+    ORDERED bucket; phase 1 counts rows per bucket (≤ nbk rows to the
+    driver), the driver prefix-sums and broadcasts offsets; phase 2 sorts
+    WITHIN each bucket (vectorized mergesort on (value, event_id)) and
+    adds the offset. Equal-width value buckets can skew on pathological
+    distributions — the fix at 100 TB is sampled quantile bounds feeding
+    the same two phases; the exchange count does not change."""
+    import pyarrow.parquet as pq_
+    import glob as _glob
+
+    path = testdata_path(sf_dir, "events")
+    files = (sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(path) else [path])
+    lo = hi = None
+    for f in files:
+        md = pq_.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}["value"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    lo, hi = float(lo), float(hi)
+
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "value"])
+    nbk = _nbuckets(ne, rows_per_bucket=8192, lo=32)
+    width = max((hi - lo) / nbk, 1e-300)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.value.to_numpy(np.float64)
+        bk = np.clip(np.floor((v - lo) / width), 0, nbk - 1).astype(np.int64)
+        return pd.DataFrame({"event_id": df.event_id.to_numpy(np.int64),
+                             "value": v, "bk": bk})
+
+    slim = ev.map_batches(keyed, batch_format="pandas").materialize()
+    cnts = _preagg(slim, ["bk"], [("n", None, "count")]).to_pandas()
+    cnts = cnts.sort_values("bk").reset_index(drop=True)
+    csum = cnts.n.to_numpy(np.int64).cumsum()
+    offsets = dict(zip(cnts.bk.to_numpy(np.int64).tolist(),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+    n_total = int(csum[-1]) if len(csum) else 0
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], kind="mergesort")
+        base = offsets.get(int(g.bk.iloc[0]), 0)
+        rnk = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return pd.DataFrame({"event_id": g.event_id.to_numpy(np.int64),
+                             "value": g.value.to_numpy(np.float64),
+                             "rnk": rnk,
+                             "pct": rnk.astype(np.float64)
+                             / np.float64(n_total)})
+
+    return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
