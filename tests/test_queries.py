@@ -156,7 +156,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: footprint-overlap self-join over the enriched corpus
            "image_footprint_overlaps",
            # round 4: distributed rank/percentile transform (bucket prefix)
-           "events_global_rank"]
+           "events_global_rank",
+           # round 4: nearest-event temporal join (1-D PBSM band join)
+           "events_nearest_error"]
 
 ROWS_ONLY = ["ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
@@ -956,3 +958,51 @@ def test_footprint_overlaps_exactly_once():
               & (y0 <= y1[i]) & (y0[i] <= y1) & (ids > ids[i]))
         n += int(ov.sum())
     assert len(got) == n > 0
+
+
+
+def test_nearest_error_ties_and_tolerance(tmp_path):
+    """Nearest-error semantics at the edges: a purchase with errors
+    equidistant before/after (the earlier error ts wins), an error at
+    EXACTLY the ±10-min tolerance (included, closed interval), one just
+    past it (excluded), and a purchase with no error in range (absent)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    T = pd.Timestamp("2025-06-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, "purchase", T),
+        (2, "error", T - 3 * m),       # |dt| = 3 min (earlier — wins tie)
+        (3, "error", T + 3 * m),       # |dt| = 3 min
+        (4, "purchase", T + 100 * m),
+        (5, "error", T + 110 * m),     # exactly +10 min -> included
+        (6, "purchase", T + 300 * m),
+        (7, "error", T + 310 * m + pd.Timedelta(microseconds=1)),  # out
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+    ev["user_id"] = 0
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    sf = tmp_path / "sfN"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        ev[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+        preserve_index=False), sf / "events.parquet")
+
+    got = (Q.events_nearest_error(str(sf)).to_pandas()
+           .sort_values("purchase_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    want = (con.sql(ORACLES["events_nearest_error"]).df()
+            .sort_values("purchase_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got.purchase_id.tolist() == [1, 4]
+    assert got.error_id.tolist() == [2, 5]
+    assert got.dt_us.tolist() == [-180_000_000, 600_000_000]

@@ -1872,3 +1872,29 @@ SELECT event_id, value,
          / CAST(n.n AS DOUBLE) AS pct
 FROM events CROSS JOIN n
 """
+
+
+# Nearest-error temporal join: banded on tol-width time buckets (an
+# in-tolerance pair sits within +-1 buckets); nearest by the integer-only
+# (|dt|, error ts, error id) order — bit-exact.
+ORACLES["events_nearest_error"] = """
+WITH p AS (
+  SELECT event_id AS pid, epoch_us(ts) AS pus,
+         epoch_us(ts) // 600000000 AS b
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT event_id AS eid, epoch_us(ts) AS eus,
+         epoch_us(ts) // 600000000 AS b
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT p.pid, e.eid, e.eus - p.pus AS dt_us, e.eus
+  FROM p JOIN e ON e.b BETWEEN p.b - 1 AND p.b + 1
+  WHERE abs(e.eus - p.pus) <= 600000000
+)
+SELECT pid AS purchase_id, eid AS error_id, CAST(dt_us AS BIGINT) AS dt_us
+FROM c
+QUALIFY row_number() OVER (PARTITION BY pid
+                           ORDER BY abs(dt_us), eus, eid) = 1
+"""

@@ -5946,3 +5946,62 @@ def events_global_rank(sf_dir: str):
                              / np.float64(n_total)})
 
     return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
+
+
+def events_nearest_error(sf_dir: str, tol_min: int = 10):
+    """Nearest-event temporal join, both sides large: for every purchase,
+    the globally nearest error event within ±tol_min minutes — the
+    incident-correlation / nearest-sensor-reading join (the 1-D temporal
+    analog of geo_knn_join with k=1). Output (purchase_id, error_id,
+    dt_us) with dt_us = error − purchase in signed integer µs; nearest by
+    (|dt|, error ts, error id) — integer-only ordering, bit-exact.
+
+    Scale shape: 1-D PBSM on time buckets of width exactly tol: each
+    error is replicated to its ±1 neighbor buckets, each purchase goes
+    HOME to one bucket, so every in-tolerance pair meets exactly once in
+    the purchase's bucket and per-purchase top-1 needs no cross-bucket
+    merge. ONE union exchange of slim integer rows; in-bucket candidates
+    via a C-level merge on bucket id; the argmin is one vectorized sort +
+    cumcount over the whole bucket (never per purchase)."""
+    tol_us = np.int64(tol_min) * 60_000_000
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    nbk = _nbuckets(ne, rows_per_bucket=8192, lo=32)
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(("purchase", "error"))]
+        us = _epoch_us(df.ts)
+        b = us // tol_us
+        ids = df.event_id.to_numpy(np.int64)
+        isp = df.event_type.to_numpy(object) == "purchase"
+        frames = [pd.DataFrame({"b": b[isp], "id": ids[isp],
+                                "us": us[isp], "kind": np.int64(0)})]
+        for d in (-1, 0, 1):
+            frames.append(pd.DataFrame({"b": b[~isp] + d, "id": ids[~isp],
+                                        "us": us[~isp],
+                                        "kind": np.int64(1)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.b.to_numpy() % nbk
+        return out
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g.kind == 0]
+        e = g[g.kind == 1]
+        cols = ["b", "id", "us"]
+        m = p[cols].merge(e[cols], on="b", suffixes=("_p", "_e"))
+        dt = m.us_e.to_numpy(np.int64) - m.us_p.to_numpy(np.int64)
+        keep = np.abs(dt) <= tol_us
+        c = pd.DataFrame({"purchase_id": m.id_p.to_numpy(np.int64)[keep],
+                          "error_id": m.id_e.to_numpy(np.int64)[keep],
+                          "dt_us": dt[keep],
+                          "adt": np.abs(dt)[keep],
+                          "ets": m.us_e.to_numpy(np.int64)[keep]})
+        c = c.sort_values(["purchase_id", "adt", "ets", "error_id"],
+                          kind="mergesort")
+        c = c[c.groupby("purchase_id", sort=False).cumcount() == 0]
+        return pd.DataFrame({
+            "purchase_id": c.purchase_id.to_numpy(np.int64),
+            "error_id": c.error_id.to_numpy(np.int64),
+            "dt_us": c.dt_us.to_numpy(np.int64)})
+
+    return (ev.map_batches(rows, batch_format="pandas")
+            .groupby("bk").map_groups(nearest, batch_format="pandas"))
