@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
+        "image_chip_stats": Q.image_chip_stats,  # new r4 (rows-only; pytest)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,

@@ -160,7 +160,8 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: nearest-event temporal join (1-D PBSM band join)
            "events_nearest_error"]
 
-ROWS_ONLY = ["ann_pq_topk",
+ROWS_ONLY = ["image_chip_stats",
+             "ann_pq_topk",
              "doc_fingerprints", "dedup_minhash_docs", "dedup_simhash_docs",
              "dedup_simhash_pairs", "thumbnails", "events_hll_users",
              "audio_stats", "video_frame_sample", "ann_lsh_topk",
@@ -1006,3 +1007,40 @@ def test_nearest_error_ties_and_tolerance(tmp_path):
     assert got.purchase_id.tolist() == [1, 4]
     assert got.error_id.tolist() == [2, 5]
     assert got.dt_us.tolist() == [-180_000_000, 600_000_000]
+
+
+
+def test_chip_stats_brute_force():
+    """image_chip_stats vs a direct per-chip double loop over the decoded
+    sf0.001 corpus: exact equality (px_mean divides a < 2^53 integer sum
+    by 4096, a power of two — no tolerance needed), plus full (image, tx,
+    ty) key alignment with image_tile_chips' grid for decode-ok GPS rows."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.functions import codec as C
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.sources import synth
+
+    got = (Q.image_chip_stats("/root/testdata/sf0.001").to_pandas()
+           .sort_values(["image_id", "tx", "ty"]).reset_index(drop=True))
+    img_dir = synth.ensure_images(0.001)
+    t = pq.read_table(img_dir, columns=["image_id", "bytes"])
+    rows = []
+    for img_id, blob in zip(t.column("image_id").to_pylist(),
+                            t.column("bytes").to_pylist()):
+        px, _m, ok = C.decode_image(blob)
+        if not ok or px.shape[0] < 64 or px.shape[1] < 64:
+            continue
+        for tx in range(px.shape[1] // 64):
+            for ty in range(px.shape[0] // 64):
+                c = px[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+                rows.append((img_id, tx, ty, int(c.min()), int(c.max()),
+                             float(c.astype(np.int64).sum()) / 4096.0,
+                             int((c == 0).sum())))
+    want = (pd.DataFrame(rows, columns=["image_id", "tx", "ty", "px_min",
+                                        "px_max", "px_mean", "n_zero"])
+            .sort_values(["image_id", "tx", "ty"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert len(got) > 1000

@@ -6005,3 +6005,68 @@ def events_nearest_error(sf_dir: str, tol_min: int = 10):
 
     return (ev.map_batches(rows, batch_format="pandas")
             .groupby("bk").map_groups(nearest, batch_format="pandas"))
+
+
+def image_chip_stats(sf_dir: str, tile: int = 64):
+    """Per-chip PIXEL statistics — image_tile_chips' compute sibling: the
+    actual decode feeding per-64×64-chip min/max/mean/zero-count, the
+    quality screen a chip exporter runs before materializing training
+    tiles (all-black / saturated / low-variance chips are dropped
+    downstream). Output (image_id, tx, ty, px_min, px_max, px_mean,
+    n_zero); px_mean is EXACT float64 (a < 2^53 integer sum divided by
+    the power-of-two 4096), so the pytest brute-force oracle compares
+    with == and no tolerance.
+
+    Scale shape: zero exchanges — decode happens per blob inside
+    map_batches (the per-blob loop is inherent to a codec; the chip
+    reduction is one vectorized reshape to (ny, t, nx, t) + axis
+    reductions per image, never per chip). Bytes stream block-by-block
+    from the parquet read straight into decode; nothing is retained
+    across batches, so worker memory is bounded by batch_size × image
+    size. Rows-only vs the driver (bytes are not SQL-decodable); pinned
+    by tests/test_queries.py::test_chip_stats_brute_force."""
+    import ray.data as rd
+
+    from ..functions import codec as C
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+
+    def chip_stats(t: pa.Table) -> pd.DataFrame:
+        ids_out, txs, tys = [], [], []
+        mins, maxs, means, zeros = [], [], [], []
+        ids = t.column("image_id").to_pylist()
+        for img_id, blob in zip(ids, t.column("bytes").to_pylist()):
+            px, _meta, ok = C.decode_image(blob)
+            if not ok or px.shape[0] < tile or px.shape[1] < tile:
+                continue
+            ny, nx = px.shape[0] // tile, px.shape[1] // tile
+            q = px[:ny * tile, :nx * tile].reshape(ny, tile, nx, tile)
+            ids_out.append(np.repeat(np.array([img_id], dtype=object),
+                                     nx * ny))
+            # x-major chip order to match image_tile_chips
+            txs.append(np.repeat(np.arange(nx, dtype=np.int64), ny))
+            tys.append(np.tile(np.arange(ny, dtype=np.int64), nx))
+            mins.append(q.min(axis=(1, 3)).T.ravel().astype(np.int64))
+            maxs.append(q.max(axis=(1, 3)).T.ravel().astype(np.int64))
+            s = q.astype(np.int64).sum(axis=(1, 3)).T.ravel()
+            means.append(s.astype(np.float64) / np.float64(tile * tile))
+            zeros.append((q == 0).sum(axis=(1, 3)).T.ravel()
+                         .astype(np.int64))
+        if not ids_out:
+            return pd.DataFrame({
+                "image_id": pd.Series([], dtype=object),
+                "tx": pd.Series([], dtype=np.int64),
+                "ty": pd.Series([], dtype=np.int64),
+                "px_min": pd.Series([], dtype=np.int64),
+                "px_max": pd.Series([], dtype=np.int64),
+                "px_mean": pd.Series([], dtype=np.float64),
+                "n_zero": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "image_id": np.concatenate(ids_out),
+            "tx": np.concatenate(txs), "ty": np.concatenate(tys),
+            "px_min": np.concatenate(mins), "px_max": np.concatenate(maxs),
+            "px_mean": np.concatenate(means),
+            "n_zero": np.concatenate(zeros)})
+
+    return ds.map_batches(chip_stats, batch_format="pyarrow")
