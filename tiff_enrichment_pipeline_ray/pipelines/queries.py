@@ -5851,7 +5851,6 @@ def image_footprint_overlaps(sf_dir: str):
                 ok = (cx0 + dx <= cx1) & (cy0 + dy <= cy1)
                 frames.append(pd.DataFrame({
                     "cell": (cx0[ok] + dx) * NX + (cy0[ok] + dy),
-                    "cx": cx0[ok] + dx, "cy": cy0[ok] + dy,
                     "img": ids[ok],
                     "x0": x0[ok], "y0": y0[ok],
                     "x1": x1[ok], "y1": y1[ok]}))
@@ -5860,21 +5859,39 @@ def image_footprint_overlaps(sf_dir: str):
         return rc
 
     def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cols = ["cell", "cx", "cy", "img", "x0", "y0", "x1", "y1"]
-        m = g[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
-        m = m[m.img_a.to_numpy(object) < m.img_b.to_numpy(object)]
-        x0a, x0b = m.x0_a.to_numpy(), m.x0_b.to_numpy()
-        y0a, y0b = m.y0_a.to_numpy(), m.y0_b.to_numpy()
-        overlap = ((x0a <= m.x1_b.to_numpy()) & (x0b <= m.x1_a.to_numpy())
-                   & (y0a <= m.y1_b.to_numpy()) & (y0b <= m.y1_a.to_numpy()))
+        # candidate pairs as INT index pairs (ia < ib dedups the unordered
+        # pair once): the self-merge carries two int columns instead of
+        # every payload column; strings are touched only for KEPT pairs
+        g = g.reset_index(drop=True)
+        idx = pd.DataFrame({"cell": g.cell.to_numpy(np.int64),
+                            "i": np.arange(len(g), dtype=np.int64)})
+        m = idx.merge(idx, on="cell", suffixes=("_a", "_b"))
+        ia = m.i_a.to_numpy(np.int64)
+        ib = m.i_b.to_numpy(np.int64)
+        sel = ia < ib
+        ia, ib = ia[sel], ib[sel]
+        cell = m.cell.to_numpy(np.int64)[sel]
+        x0v = g.x0.to_numpy(np.float64)
+        y0v = g.y0.to_numpy(np.float64)
+        x1v = g.x1.to_numpy(np.float64)
+        y1v = g.y1.to_numpy(np.float64)
+        x0a, x0b = x0v[ia], x0v[ib]
+        y0a, y0b = y0v[ia], y0v[ib]
+        overlap = ((x0a <= x1v[ib]) & (x0b <= x1v[ia])
+                   & (y0a <= y1v[ib]) & (y0b <= y1v[ia]))
+        # canonical-cell rule: the min-corner cell of the intersection,
+        # compared against THIS copy's cell (cx = cell // NX, cy = cell % NX)
         ccx = np.floor((np.maximum(x0a, x0b) - _GRID_LON0)
                        / CELL).astype(np.int64)
         ccy = np.floor((np.maximum(y0a, y0b) - _GRID_LAT0)
                        / CELL).astype(np.int64)
-        keep = (overlap & (ccx == m.cx_a.to_numpy())
-                & (ccy == m.cy_a.to_numpy()))
-        return pd.DataFrame({"img_a": m.img_a.to_numpy(object)[keep],
-                             "img_b": m.img_b.to_numpy(object)[keep]})
+        keep = overlap & (ccx == cell // NX) & (ccy == cell % NX)
+        imgs = g.img.to_numpy(object)
+        sa = imgs[ia[keep]]
+        sb = imgs[ib[keep]]
+        swap = sa > sb  # output canonicalized by image_id string order
+        return pd.DataFrame({"img_a": np.where(swap, sb, sa),
+                             "img_b": np.where(swap, sa, sb)})
 
     return (ds.map_batches(rect_rows, batch_format="pandas")
             .groupby("bk")
