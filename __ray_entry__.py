@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
         "image_chip_stats": Q.image_chip_stats,  # new r4 (rows-only; pytest)
+        "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,

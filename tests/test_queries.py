@@ -158,7 +158,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: distributed rank/percentile transform (bucket prefix)
            "events_global_rank",
            # round 4: nearest-event temporal join (1-D PBSM band join)
-           "events_nearest_error"]
+           "events_nearest_error",
+           # round 4: benchmark decontamination (gram semi-join)
+           "doc_decontaminate"]
 
 ROWS_ONLY = ["image_chip_stats",
              "ann_pq_topk",
@@ -1044,3 +1046,52 @@ def test_chip_stats_brute_force():
             .sort_values(["image_id", "tx", "ty"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns], want)
     assert len(got) > 1000
+
+
+
+def test_decontaminate_crafted(tmp_path):
+    """Decontamination semantics: a train doc embedding a verbatim 8-gram
+    from an eval doc (counted at every occurrence POSITION), a train doc
+    sharing only a 7-gram (clean), an eval-eval overlap (never reported),
+    and a short eval doc (< 8 tokens, contributes no grams)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    g8 = "a b c d e f g h"          # the leaked 8-gram
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [g8 + " tail words here",          # eval: source of truth
+                 "x " + g8 + " y " + g8,            # train: leak at 2 spots
+                 "a b c d e f g",                   # train: 7 tokens only
+                 g8 + " other eval continuation",   # eval-eval: not output
+                 "short eval"],                     # eval, < 8 tokens
+        "source": ["src0", "src5", "src5", "src0", "src0"],
+    })
+    docs["lang"] = "en"
+    docs["n_chars"] = docs.text.str.len()
+    sf = tmp_path / "sfD"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   sf / "documents.parquet")
+
+    got = (Q.doc_decontaminate(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = (con.sql(ORACLES["doc_decontaminate"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # doc1's windows hitting eval grams: both g8 copies, plus any window
+    # of doc1 matching an eval window — hand-check via the oracle instead
+    # of re-deriving; the hard asserts: doc1 contaminated, doc2 clean,
+    # eval docs never reported
+    assert 1 in got.doc_id.tolist()
+    assert 2 not in got.doc_id.tolist()
+    assert not set(got.doc_id) & {0, 3, 4}
+    assert int(got.set_index("doc_id").loc[1, "n_contam"]) >= 2

@@ -1898,3 +1898,26 @@ FROM c
 QUALIFY row_number() OVER (PARTITION BY pid
                            ORDER BY abs(dt_us), eus, eid) = 1
 """
+
+
+# Decontamination: training docs (source <> 'src0') sharing a verbatim
+# 8-gram with the eval set (source = 'src0'); n_contam counts the train
+# doc's window POSITIONS whose gram occurs anywhere in eval. Same gram
+# construction as the dup-spans oracle.
+ORACLES["doc_decontaminate"] = r"""
+WITH t AS (
+  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, source, toks, len(toks) AS nt FROM t),
+g AS (
+  SELECT doc_id, source, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, source, toks, unnest(range(1, nt - 6)) AS i
+        FROM s WHERE nt >= 8)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam
+FROM g JOIN ev USING (gram)
+WHERE source <> 'src0'
+GROUP BY doc_id
+"""

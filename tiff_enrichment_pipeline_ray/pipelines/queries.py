@@ -6087,3 +6087,78 @@ def image_chip_stats(sf_dir: str, tile: int = 64):
             "n_zero": np.concatenate(zeros)})
 
     return ds.map_batches(chip_stats, batch_format="pyarrow")
+
+
+def doc_decontaminate(sf_dir: str, n: int = 8, eval_source: str = "src0"):
+    """Benchmark decontamination — the named pre-training step (GPT-3
+    appendix C; Dodge et al. 2021): find every TRAINING document that
+    shares a verbatim n-token window with the held-out evaluation set
+    (here: source == eval_source plays the benchmark), so it can be
+    dropped before the eval is compromised. Output one row per
+    contaminated training doc: (doc_id, n_contam) with n_contam = the
+    count of its window POSITIONS whose 8-gram occurs anywhere in the
+    eval set.
+
+    Scale shape: doc_substring_dup_spans' machinery as a gram SEMI-JOIN
+    between two sub-corpora sharing one pass: tokens hashed once per
+    batch at C level, sliding polynomial window hashes, per-batch unique
+    (gram, doc, cnt, is_eval) rows; ONE gram-hash-bucket exchange marks
+    grams with >= 1 eval occurrence and keeps only matching TRAIN rows
+    (bounded by true contamination volume); one tiny doc-keyed exchange
+    sums per-doc counts. The eval side rides the same exchange — no
+    broadcast needed even when the benchmark set is itself large."""
+    docs, nd = _spread_read(sf_dir, "documents",
+                            ["doc_id", "text", "source"])
+    nbk = _nbuckets(nd, rows_per_bucket=4096, lo=16)
+    pw = np.uint64(0x9E3779B97F4A7C15) ** np.arange(n, dtype=np.uint64)
+
+    def gram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"gh": np.empty(0, np.int64),
+                              "doc_id": np.empty(0, np.int64),
+                              "cnt": np.empty(0, np.int64),
+                              "ev": np.empty(0, np.int64),
+                              "bk": np.empty(0, np.int64)})
+        if len(df) == 0:
+            return empty
+        texts = df.text.fillna("")
+        cnts = (texts.str.count(" ") + 1).to_numpy(np.int64)
+        h = pd.util.hash_array(_flat_words(texts))
+        nw = len(h) - n + 1
+        if nw <= 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(df), dtype=np.int64), cnts)
+        valid = doc_of[:nw] == doc_of[n - 1:]
+        W = np.lib.stride_tricks.sliding_window_view(h, n)[valid]
+        gh = (W * pw).sum(axis=1, dtype=np.uint64).view(np.int64)
+        rows_doc = doc_of[:nw][valid]
+        ev = (df.source.to_numpy(object) == eval_source).astype(np.int64)
+        occ = (pd.DataFrame({
+                   "gh": gh,
+                   "doc_id": df.doc_id.to_numpy(np.int64)[rows_doc],
+                   "ev": ev[rows_doc]})
+               .groupby(["gh", "doc_id", "ev"], sort=False)
+               .size().reset_index(name="cnt"))
+        occ["cnt"] = occ.cnt.astype(np.int64)
+        occ["bk"] = occ.gh.to_numpy(np.int64) % nbk
+        return occ[["gh", "doc_id", "cnt", "ev", "bk"]]
+
+    def mark_contam(g: pd.DataFrame) -> pd.DataFrame:
+        ev_any = g.groupby("gh", sort=False)["ev"].transform("max")
+        hit = g[(ev_any.to_numpy() == 1) & (g.ev.to_numpy() == 0)]
+        out = (hit.groupby("doc_id", sort=False)["cnt"].sum()
+               .reset_index(name="n_contam"))
+        return pd.DataFrame({"doc_id": out.doc_id.to_numpy(np.int64),
+                             "n_contam": out.n_contam.to_numpy(np.int64),
+                             "bk": out.doc_id.to_numpy(np.int64) % nbk})
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False)["n_contam"].sum()
+               .reset_index())
+        return pd.DataFrame({"doc_id": out.doc_id.to_numpy(np.int64),
+                             "n_contam": out.n_contam.to_numpy(np.int64)})
+
+    return (docs.map_batches(gram_partials, batch_format="pandas")
+            .groupby("bk").map_groups(mark_contam, batch_format="pandas")
+            .groupby("bk").map_groups(
+                lambda g: per_doc(g.drop(columns=["bk"])),
+                batch_format="pandas"))
