@@ -160,7 +160,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: nearest-event temporal join (1-D PBSM band join)
            "events_nearest_error",
            # round 4: benchmark decontamination (gram semi-join)
-           "doc_decontaminate"]
+           "doc_decontaminate",
+           # round 4b: fixed-iteration PageRank (iterative fixed-point
+           # class; unrolled-CTE SQL) + CDC-style snapshot diff
+           "graph_pagerank", "snapshot_diff"]
 
 ROWS_ONLY = ["image_chip_stats",
              "ann_pq_topk",
@@ -1095,3 +1098,97 @@ def test_decontaminate_crafted(tmp_path):
     assert 2 not in got.doc_id.tolist()
     assert not set(got.doc_id) & {0, 3, 4}
     assert int(got.set_index("doc_id").loc[1, "n_contam"]) >= 2
+
+
+def test_pagerank_matches_numpy_power_iteration(tmp_path):
+    """Crafted co-purchase graph vs a dense numpy power iteration with the
+    exact engine semantics (same teleport double, same iteration count):
+    path-ish graph 1-2-3-4-5 with a triangle on {1,2,3}; part 6 co-occurs
+    only once so it must be excluded entirely (min_orders=2)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+    orders = [(1, [1, 2, 3]), (2, [1, 2, 3]),
+              (3, [3, 4]), (4, [3, 4]),
+              (5, [4, 5]), (6, [4, 5]),
+              (7, [5, 6])]
+    rows = [(o, p) for o, parts in orders for p in parts]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    sf = tmp_path / "sfPR"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   sf / "lineitem.parquet")
+
+    got = (Q.graph_pagerank(str(sf)).to_pandas()
+           .sort_values("part_id").reset_index(drop=True))
+
+    # dense power iteration, identical float semantics
+    nodes = [1, 2, 3, 4, 5]
+    idx = {p: i for i, p in enumerate(nodes)}
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    deg = np.zeros(5)
+    for a, b in edges:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    d, n = 0.85, 5.0
+    base = (1.0 - d) / n
+    pr = np.full(5, 1.0 / n)
+    for _ in range(5):
+        new = np.full(5, base)
+        for a, b in edges:
+            new[idx[b]] += d * (pr[idx[a]] / deg[idx[a]])
+            new[idx[a]] += d * (pr[idx[b]] / deg[idx[b]])
+        pr = new
+    want = np.round(pr * n, 6)
+
+    assert list(got.part_id) == nodes  # node 6 excluded
+    assert np.allclose(got.score.to_numpy(), want, atol=2e-6)
+    # the triangle nodes out-rank the path tail; node 3 (deg 3) tops
+    assert got.score[idx[3]] == got.score.max()
+
+
+def test_snapshot_diff_rule_semantics(tmp_path):
+    """Each CDC rule hit once, plus the composite keys: 97·101 (delete
+    wins over change), 97·103 (deleted AND its re-keyed copy added),
+    and an untouched key that must NOT appear."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    ks = [1, 97, 101, 103, 97 * 101, 97 * 103]
+    od = pd.DataFrame({"o_orderkey": ks,
+                       "o_totalprice": [100.0 * (i + 1)
+                                        for i in range(len(ks))]})
+    sf = tmp_path / "sfCDC"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                   sf / "orders.parquet")
+
+    got = (Q.snapshot_diff(str(sf)).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    st = dict(zip(got.o_orderkey, got.change))
+    assert 1 not in st  # unchanged key never emitted
+    assert st[97] == "deleted" and st[97 * 101] == "deleted"
+    assert st[101] == "changed"
+    assert st[97 * 103] == "deleted"
+    assert st[103 + 1_000_000_000] == "added"
+    assert st[97 * 103 + 1_000_000_000] == "added"
+    chg = got[got.o_orderkey == 101]
+    assert float(chg.old_price.iloc[0]) == 300.0
+    assert float(chg.new_price.iloc[0]) == 310.0
+    assert float(got[got.o_orderkey == 97].new_price.iloc[0]) == -1.0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{sf}/orders.parquet')")
+    want = (con.sql(ORACLES["snapshot_diff"]).df()
+            .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -1921,3 +1921,79 @@ FROM g JOIN ev USING (gram)
 WHERE source <> 'src0'
 GROUP BY doc_id
 """
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85,
+                  min_orders: int = 2, k: int = 100) -> str:
+    """Unrolled fixed-iteration PageRank over the co-purchase graph.
+
+    The power method's fixed round count makes it SQL-expressible as a
+    chain of `iters` CTEs (no recursion needed). Float parity with the
+    engine: the teleport coefficient is the SAME Python double
+    ``1 - damping`` serialized via repr into both engines (the literal
+    0.15 is one ulp away from 1-0.85), and pr/outdeg is the identical
+    IEEE divide (BIGINT outdeg promotes to double in DuckDB exactly as
+    numpy converts int64)."""
+    coef = 1.0 - damping
+    parts = [f"""
+WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {min_orders}
+),
+dir AS (SELECT p1 AS s, p2 AS t FROM e UNION ALL SELECT p2 AS s, p1 AS t FROM e),
+nodes AS (SELECT s AS node, count(*) AS outdeg FROM dir GROUP BY s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+pr{i + 1} AS (
+  SELECT nd.node,
+         {coef!r} / nn.n + {damping!r} * COALESCE(c.contrib, 0.0) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT dd.t AS node, SUM(p.pr / sn.outdeg) AS contrib
+    FROM dir dd
+    JOIN pr{i} p ON p.node = dd.s
+    JOIN nodes sn ON sn.node = dd.s
+    GROUP BY dd.t
+  ) c ON c.node = nd.node
+)""")
+    parts.append(f"""
+SELECT node AS part_id, ROUND(pr * nn.n, 6) AS score
+FROM pr{iters} CROSS JOIN nn
+QUALIFY row_number() OVER (ORDER BY ROUND(pr * nn.n, 6) DESC, node) <= {k}
+""")
+    return "".join(parts)
+
+
+ORACLES["graph_pagerank"] = _pagerank_sql()
+
+
+# CDC-style snapshot diff: v2 is derived from orders by the same integer
+# rules as the engine (delete %97, +10.0 price on %101, re-keyed insert
+# on %103); the reconciliation is a FULL OUTER JOIN keeping only
+# differing keys. -1.0 sentinels replace NULL prices (hash-compare
+# safety). The +10.0 is an exact float64 add — identical bits in numpy
+# and DuckDB — so the <> test needs no epsilon.
+ORACLES["snapshot_diff"] = """
+WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v2.k IS NULL THEN 'deleted'
+            WHEN v1.k IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       COALESCE(v1.price, -1.0) AS old_price,
+       COALESCE(v2.price, -1.0) AS new_price
+FROM v1 FULL JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.price <> v2.price
+"""

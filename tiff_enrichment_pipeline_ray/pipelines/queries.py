@@ -5702,6 +5702,44 @@ def market_basket_pairs(sf_dir: str, min_cnt: int = 2, k: int = 100):
             .limit(k))
 
 
+def _copurchase_edges(sf_dir: str, min_orders: int = 2):
+    """Materialized undirected co-purchase edge set over parts (p1 < p2;
+    an edge joins parts bought together in ≥ min_orders distinct orders) —
+    the shared graph builder for graph_triangles / graph_pagerank.
+
+    Scale shape: distinct (order, part) pairs bucket by ORDER → in-bucket
+    self-merge emits co-purchase pair partials (order size bounded, so the
+    explosion is linear in lines) → pair-hash ``_preagg`` → filtered edge
+    rows, materialized once so downstream graph loops never re-run the
+    derivation. Returns ``(edges_dataset, nbk)`` with nbk the input-scaled
+    bucket count the caller can reuse for its own exchanges."""
+    li, nl = _spread_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nbk = _nbuckets(nl, rows_per_bucket=8192, lo=32)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o": df.l_orderkey.to_numpy(np.int64),
+            "p": df.l_partkey.to_numpy(np.int64),
+            "bk": (df.l_orderkey.to_numpy(np.int64) % nbk)})
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["o", "p"]].drop_duplicates()
+        m = g.merge(g, on="o", suffixes=("1", "2"))
+        m = m[m.p1 < m.p2]
+        c = (m.groupby(["p1", "p2"], sort=False).size()
+             .reset_index(name="cnt"))
+        return c
+
+    pair_parts = (li.map_batches(keyed, batch_format="pandas")
+                  .groupby("bk").map_groups(order_pairs,
+                                            batch_format="pandas"))
+    edges = (_preagg(pair_parts, ["p1", "p2"], [("cnt", "cnt", "sum")])
+             .map_batches(lambda df: df[df.cnt >= min_orders]
+                          [["p1", "p2"]], batch_format="pandas")
+             .materialize())
+    return edges, nbk
+
+
 def graph_triangles(sf_dir: str, min_orders: int = 2, k: int = 100):
     """Distributed triangle counting over the co-purchase graph — the
     graph-analytics canary (clustering coefficients, community seeds,
@@ -5728,31 +5766,8 @@ def graph_triangles(sf_dir: str, min_orders: int = 2, k: int = 100):
     term; hub nodes would need degree-ordered orientation, which changes
     no output (the SQL oracle is orientation-free) and can be swapped in
     behind the same exchanges if a corpus develops hubs."""
-    li, nl = _spread_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    nbk = _nbuckets(nl, rows_per_bucket=8192, lo=32)
+    edges, nbk = _copurchase_edges(sf_dir, min_orders)
     MIX = np.int64(1000003)
-
-    def keyed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o": df.l_orderkey.to_numpy(np.int64),
-            "p": df.l_partkey.to_numpy(np.int64),
-            "bk": (df.l_orderkey.to_numpy(np.int64) % nbk)})
-
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["o", "p"]].drop_duplicates()
-        m = g.merge(g, on="o", suffixes=("1", "2"))
-        m = m[m.p1 < m.p2]
-        c = (m.groupby(["p1", "p2"], sort=False).size()
-             .reset_index(name="cnt"))
-        return c
-
-    pair_parts = (li.map_batches(keyed, batch_format="pandas")
-                  .groupby("bk").map_groups(order_pairs,
-                                            batch_format="pandas"))
-    edges = (_preagg(pair_parts, ["p1", "p2"], [("cnt", "cnt", "sum")])
-             .map_batches(lambda df: df[df.cnt >= min_orders]
-                          [["p1", "p2"]], batch_format="pandas")
-             .materialize())
 
     def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="p1", suffixes=("_x", "_y"))
@@ -5801,6 +5816,123 @@ def graph_triangles(sf_dir: str, min_orders: int = 2, k: int = 100):
     return (counts.map_batches(topk, batch_format="pandas",
                                batch_size=None)
             .sort(["n_tri", "p"], descending=[True, False])
+            .limit(k))
+
+
+def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
+                   min_orders: int = 2, k: int = 100):
+    """Fixed-iteration PageRank over the co-purchase graph — the iterative
+    fixed-point numeric class the graph suite lacked (centrality scoring;
+    in an LLM-data pipeline, the link-graph quality prior of
+    spam-rank-style corpus weighting). Power method with damping d:
+    pr_{t+1}(v) = (1-d)/N + d·Σ_{u→v} pr_t(u)/deg(u), ``iters`` rounds
+    from the uniform start; the undirected co-purchase graph has no
+    dangling nodes by construction (every node in the edge set has
+    deg ≥ 1). Output: top-k nodes by score = round(pr·N, 6)
+    (mean-normalized so 1.0 = average centrality), ties by part id.
+
+    Scale shape: the doc_dup_clusters round pattern — per round TWO
+    bucketed exchanges of slim numeric rows (never Dataset.join's per-round
+    aggregator floor): (1) pr rows meet the deg-carrying directed edge
+    rows in src-keyed buckets and emit (dst, pr_src/deg_src) contribution
+    rows, plus a zero contribution per node row so every node reaches the
+    combine; (2) dst-keyed buckets reduce new_pr = (1-d)/N + d·Σc. The
+    edge+node operand is built by ONE src-keyed exchange (deg attached
+    where each node's adjacency meets) and materialized before the loop;
+    rounds are FIXED, so the driver holds only N and the loop counter —
+    no convergence gather at all. Float parity with the SQL oracle: the
+    teleport coefficient is the same Python double ``1 - damping``
+    serialized into both engines (the literal 0.15 differs from 1-0.85 by
+    one ulp), contributions are the identical pr/deg IEEE divide, and
+    cross-engine sum-association drift (ulps after ``iters`` rounds) is
+    absorbed by the 6-decimal rounding of the O(1)-magnitude score."""
+    edges, _ = _copurchase_edges(sf_dir, min_orders)
+    n_edges = edges.count()
+    if not n_edges:
+        return pd.DataFrame({"part_id": np.empty(0, np.int64),
+                             "score": np.empty(0, np.float64)})
+    nbk = _nbuckets(2 * n_edges, rows_per_bucket=8192, lo=16)
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.p1.to_numpy(np.int64)
+        b = df.p2.to_numpy(np.int64)
+        s = np.concatenate([a, b])
+        t = np.concatenate([b, a])
+        return pd.DataFrame({"s": s, "t": t, "bk": s % nbk})
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        # every directed edge of each src s meets here (keyed by s):
+        # deg = group size. Emit edge rows (t >= 0) and one node row per
+        # src (t == -2); pr rows later carry t == -1.
+        s = g.s.to_numpy(np.int64)
+        t = g.t.to_numpy(np.int64)
+        deg = g.groupby("s", sort=False)["t"].transform("size") \
+               .to_numpy(np.int64)
+        uniq = np.unique(s)
+        key = np.concatenate([s, uniq])
+        return pd.DataFrame({
+            "key": key,
+            "t": np.concatenate([t, np.full(len(uniq), -2, np.int64)]),
+            "deg": np.concatenate([deg, np.zeros(len(uniq), np.int64)]),
+            "pr": np.zeros(len(key), np.float64),
+            "bk": key % nbk})
+
+    mixed = (edges.map_batches(undirect, batch_format="pandas")
+             .groupby("bk").map_groups(attach_deg, batch_format="pandas")
+             .materialize())
+    n_nodes = mixed.map_batches(
+        lambda df: pd.DataFrame({"one": np.ones((df.t == -2).sum(),
+                                                np.int64)}),
+        batch_format="pandas").count()
+    nf = float(n_nodes)
+    base = (1.0 - damping) / nf  # one driver-side divide, reused verbatim
+
+    def init_pr(df: pd.DataFrame) -> pd.DataFrame:
+        key = df.loc[df.t == -2, "key"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "key": key, "t": np.full(len(key), -1, np.int64),
+            "deg": np.zeros(len(key), np.int64),
+            "pr": np.full(len(key), 1.0 / nf, np.float64),
+            "bk": key % nbk})
+
+    pr = mixed.map_batches(init_pr, batch_format="pandas")
+
+    def prop(g: pd.DataFrame) -> pd.DataFrame:
+        eds = g.loc[g.t >= 0, ["key", "t", "deg"]]
+        prs = g.loc[g.t == -1, ["key", "pr"]]
+        nodes_k = g.loc[g.t == -2, "key"].to_numpy(np.int64)
+        m = eds.merge(prs, on="key")
+        c = m.pr.to_numpy(np.float64) / m.deg.to_numpy(np.float64)
+        node = np.concatenate([m.t.to_numpy(np.int64), nodes_k])
+        cc = np.concatenate([c, np.zeros(len(nodes_k), np.float64)])
+        return pd.DataFrame({"node": node, "c": cc, "bk2": node % nbk})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", sort=False)["c"].sum()
+        nd = agg.index.to_numpy(np.int64)
+        return pd.DataFrame({
+            "key": nd, "t": np.full(len(nd), -1, np.int64),
+            "deg": np.zeros(len(nd), np.int64),
+            "pr": base + damping * agg.to_numpy(np.float64),
+            "bk": nd % nbk})
+
+    for _ in range(iters):
+        prop_out = (mixed.union(pr).groupby("bk")
+                    .map_groups(prop, batch_format="pandas"))
+        pr = (prop_out.groupby("bk2")
+              .map_groups(combine, batch_format="pandas")
+              .materialize())
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "part_id": df.key.to_numpy(np.int64),
+            "score": np.round(df.pr.to_numpy(np.float64) * nf, 6)})
+        return out.sort_values(["score", "part_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    return (pr.map_batches(finish, batch_format="pandas", batch_size=None)
+            .sort(["score", "part_id"], descending=[True, False])
             .limit(k))
 
 
@@ -6162,3 +6294,76 @@ def doc_decontaminate(sf_dir: str, n: int = 8, eval_source: str = "src0"):
             .groupby("bk").map_groups(
                 lambda g: per_doc(g.drop(columns=["bk"])),
                 batch_format="pandas"))
+
+
+def snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff: reconcile two versions of a keyed table
+    into (added | deleted | changed) rows — the incremental-ingest /
+    table-versioning primitive (what a lakehouse MERGE reads, what a
+    resumable 100 TB refresh computes before rewriting only dirty
+    partitions). The reference's audit-log intent (create-tables.sql:
+    168-186, old/new row capture on change) expressed as a distributed
+    set reconciliation instead of a trigger.
+
+    The two snapshots are derived deterministically from the orders
+    table with the SAME integer rules in both engines (no synthetic
+    side-data): v1 = orders as-is; v2 = v1 minus keys ≡ 0 (mod 97)
+    [deleted], with o_totalprice + 10.0 on keys ≡ 0 (mod 101) [changed;
+    an exact float64 add — identical bits in numpy and DuckDB], plus a
+    re-keyed copy (key + 1e9) of keys ≡ 0 (mod 103) [added]. Output:
+    one row per differing key with change ∈ {added, deleted, changed}
+    and both prices (-1.0 sentinel where the side is absent — the
+    driver's hash compare is NaN-hostile). Unchanged keys never leave
+    the diff bucket.
+
+    Scale shape: both snapshot scans emit slim (key, side, price) rows
+    into ONE key-hash bucketed exchange; each bucket outer-merges its
+    two sides vectorized and emits only differing keys — the all-to-all
+    carries 2 rows/key maximum and the output is bounded by the true
+    diff size. At real scale both sides stream from storage
+    independently (two read_parquet branches union'd), which is exactly
+    this plan with the derivation map replaced by the second read."""
+    ds = read_testdata(sf_dir, "orders",
+                       columns=["o_orderkey", "o_totalprice"])
+    n = _pq_nrows(testdata_path(sf_dir, "orders"))
+    nbk = _nbuckets(2 * n, rows_per_bucket=8192, lo=16)
+    NEWK = np.int64(1_000_000_000)
+
+    def versions(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.o_orderkey.to_numpy(np.int64)
+        p = df.o_totalprice.to_numpy(np.float64)
+        keep = k % 97 != 0
+        chg = k % 101 == 0
+        add = k % 103 == 0
+        out = pd.DataFrame({
+            "k": np.concatenate([k, k[keep], k[add] + NEWK]),
+            "side": np.concatenate([
+                np.zeros(len(k), np.int64),
+                np.ones(int(keep.sum()) + int(add.sum()), np.int64)]),
+            "price": np.concatenate([
+                p, np.where(chg, p + 10.0, p)[keep], p[add]])})
+        out["bk"] = out.k.to_numpy(np.int64) % nbk
+        return out
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        old = g.loc[g.side == 0, ["k", "price"]]
+        new = g.loc[g.side == 1, ["k", "price"]]
+        m = old.merge(new, on="k", how="outer", suffixes=("_o", "_n"))
+        po = m.price_o.to_numpy(np.float64)
+        pn = m.price_n.to_numpy(np.float64)
+        deleted = np.isnan(pn)
+        added = np.isnan(po)
+        sel = deleted | added | (po != pn)
+        po, pn = po[sel], pn[sel]
+        deleted, added = deleted[sel], added[sel]
+        return pd.DataFrame({
+            "o_orderkey": m.k.to_numpy(np.int64)[sel],
+            "change": np.select([deleted, added], ["deleted", "added"],
+                                default="changed"),
+            "old_price": np.where(added, -1.0, po),
+            "new_price": np.where(deleted, -1.0, pn)})
+
+    return (ds.map_batches(versions, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(lambda g: diff(g.drop(columns=["bk"])),
+                        batch_format="pandas"))
