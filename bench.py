@@ -122,6 +122,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("image_tile_chips", Q.image_tile_chips),
         ("doc_bigram_pmi", Q.doc_bigram_pmi),
         ("geo_knn_join", Q.geo_knn_join),
+        # round 4b: the iterative graph loop (5 rounds x 2 exchanges) —
+        # exchange-floor-bound by design; tracked so a floor regression
+        # in the loop pattern shows up per-round
+        ("graph_pagerank", Q.graph_pagerank),
     ]
     for name, fn in qlist:
         t0 = time.time()

@@ -5851,7 +5851,10 @@ def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     if not n_edges:
         return pd.DataFrame({"part_id": np.empty(0, np.int64),
                              "score": np.empty(0, np.float64)})
-    nbk = _nbuckets(2 * n_edges, rows_per_bucket=8192, lo=16)
+    # loop buckets: larger rows_per_bucket than one-shot exchanges — the
+    # groupby sort runs EVERY round, so its per-group/per-block floor is
+    # paid 2·iters times (the doc_dup_clusters coalesce lesson)
+    nbk = _nbuckets(2 * n_edges, rows_per_bucket=131072, lo=8)
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
         a = df.p1.to_numpy(np.int64)
@@ -5902,9 +5905,17 @@ def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
         prs = g.loc[g.t == -1, ["key", "pr"]]
         nodes_k = g.loc[g.t == -2, "key"].to_numpy(np.int64)
         m = eds.merge(prs, on="key")
-        c = m.pr.to_numpy(np.float64) / m.deg.to_numpy(np.float64)
-        node = np.concatenate([m.t.to_numpy(np.int64), nodes_k])
-        cc = np.concatenate([c, np.zeros(len(nodes_k), np.float64)])
+        # combiner before the shuffle: partial per-dst sums WITHIN this
+        # src bucket — the dst-ward exchange then carries one row per
+        # (dst × src-bucket) instead of one per edge
+        part = (pd.DataFrame({
+                    "node": m.t.to_numpy(np.int64),
+                    "c": m.pr.to_numpy(np.float64)
+                    / m.deg.to_numpy(np.float64)})
+                .groupby("node", sort=False)["c"].sum().reset_index())
+        node = np.concatenate([part.node.to_numpy(np.int64), nodes_k])
+        cc = np.concatenate([part.c.to_numpy(np.float64),
+                             np.zeros(len(nodes_k), np.float64)])
         return pd.DataFrame({"node": node, "c": cc, "bk2": node % nbk})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
