@@ -97,14 +97,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts": Q.q16_supplier_part_counts,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
-        "q22_idle_customers": Q.q22_idle_customers,
         # added this round AFTER the window was first laid out: a query
         # with no driver row ever outranks a stale-green backlog row, so
-        # these displace the two oldest backlog entries (which rotate to
-        # the head of the round-5 queue just below)
+        # these displace the three oldest backlog entries (which rotate
+        # to the head of the round-5 queue just below)
         "graph_pagerank": Q.graph_pagerank,
         "snapshot_diff": Q.snapshot_diff,
+        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
         # ================= end of the 50-entry sweep window ===============
+        "q22_idle_customers": Q.q22_idle_customers,
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,
         # new r4 late additions + r02-green backlog — first in line for the

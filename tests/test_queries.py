@@ -163,7 +163,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "doc_decontaminate",
            # round 4b: fixed-iteration PageRank (iterative fixed-point
            # class; unrolled-CTE SQL) + CDC-style snapshot diff
-           "graph_pagerank", "snapshot_diff"]
+           "graph_pagerank", "snapshot_diff",
+           # round 4b: SymSpell deletion-neighborhood fuzzy self-join
+           "image_id_fuzzy_neighbors"]
 
 ROWS_ONLY = ["image_chip_stats",
              "ann_pq_topk",

@@ -314,3 +314,59 @@ class TestBloom:
         merged = bf.merge(bf.add(bf.empty(18), a), bf.add(bf.empty(18), b))
         assert np.array_equal(merged, bf.add(bf.empty(18),
                                              np.concatenate([a, b])))
+
+
+class TestEdit1Kernel:
+    """edit1_mask vs brute-force Levenshtein DP over the FULL pair space
+    of strings of length <= 4 on a 2-letter alphabet (930 strings² pairs
+    cover every substitution/insertion/deletion/transposition shape)."""
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_exhaustive_small_alphabet(self):
+        import itertools
+
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions import textkernels as tk
+
+        strs = [""]
+        for ln in range(1, 5):
+            strs += ["".join(p) for p in itertools.product("ab", repeat=ln)]
+        pairs = [(a, b) for a in strs for b in strs]
+        sa = np.array([p[0] for p in pairs], dtype=object)
+        sb = np.array([p[1] for p in pairs], dtype=object)
+        got = tk.edit1_mask(sa, sb)
+        want = np.array([self._lev(a, b) == 1 for a, b in pairs])
+        assert (got == want).all()
+
+    def test_deletion_neighborhood_complete(self):
+        """Every distance-1 pair shares >= 1 identity-or-deletion variant
+        hash — the candidate generator misses nothing."""
+        import itertools
+
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions import textkernels as tk
+
+        strs = [""]
+        for ln in range(1, 5):
+            strs += ["".join(p) for p in itertools.product("ab", repeat=ln)]
+        arr = np.array(strs, dtype=object)
+        who, vh = tk.deletion_variant_hashes(arr)
+        keys = {}
+        for w, h in zip(who, vh):
+            keys.setdefault(w, set()).add(int(h))
+        for i, a in enumerate(strs):
+            for j, b in enumerate(strs):
+                if i < j and self._lev(a, b) == 1:
+                    assert keys[i] & keys[j], (a, b)

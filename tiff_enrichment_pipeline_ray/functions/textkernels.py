@@ -137,3 +137,72 @@ def fingerprint64(series: pd.Series) -> np.ndarray:
     return series.fillna("").map(
         lambda t: int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big") >> 1
     ).to_numpy(dtype=np.int64)
+
+
+def edit1_mask(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """``levenshtein(a, b) == 1``, vectorized over ASCII string pairs.
+
+    The SymSpell verify kernel: distance exactly 1 iff (same length and
+    exactly one substituted position) or (length diff 1 and deleting the
+    FIRST mismatching character of the longer yields the shorter — if a
+    later deletion position works, the first-mismatch one provably works
+    too, so checking it alone is complete). No DP table: both cases are
+    O(n·width) numpy byte comparisons over zero-padded fixed-width rows.
+    Distance 0 (equal) and distance ≥ 2 return False.
+    """
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, bool)
+    c = max(sa.astype("S").dtype.itemsize,
+            sb.astype("S").dtype.itemsize) + 1
+    A = np.frombuffer(sa.astype(f"S{c}").tobytes(), np.uint8).reshape(n, c)
+    B = np.frombuffer(sb.astype(f"S{c}").tobytes(), np.uint8).reshape(n, c)
+    la = (A != 0).sum(1)
+    lb = (B != 0).sum(1)
+    out = np.zeros(n, bool)
+    same = la == lb
+    if same.any():
+        out[same] = (A[same] != B[same]).sum(1) == 1
+    d1 = np.abs(la - lb) == 1
+    if d1.any():
+        swap = (lb > la)[d1]
+        L = np.where(swap[:, None], B[d1], A[d1])
+        S = np.where(swap[:, None], A[d1], B[d1])
+        ls = np.minimum(la, lb)[d1]
+        cols = np.arange(c)[None, :]
+        mism = (L != S) & (cols < ls[:, None])
+        k = np.where(mism.any(1), mism.argmax(1), ls)
+        gidx = np.arange(c - 1)[None, :]
+        gidx = gidx + (gidx >= k[:, None])
+        out[d1] = (np.take_along_axis(L, gidx, axis=1)
+                   == S[:, :c - 1]).all(1)
+    return out
+
+
+def deletion_variant_hashes(ids: np.ndarray, width: int = 32):
+    """SymSpell deletion neighborhood as 64-bit keys: for each ASCII id,
+    the id itself plus every single-character-deletion variant, hashed
+    (wraparound polynomial over the zero-padded byte row). Vectorized per
+    DELETION POSITION (≤ width slices of the whole batch), never per
+    string. Returns ``(row_index, variant_hash)`` parallel arrays. Hash
+    collisions only ADD candidate pairs — callers verify exactly with
+    :func:`edit1_mask`, so collisions cost work, not correctness.
+    """
+    n = len(ids)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    arr = ids.astype(f"S{width}")
+    A = np.frombuffer(arr.tobytes(), np.uint8).reshape(n, width)
+    ln = (A != 0).sum(1)
+    if int(ln.max()) >= width:
+        raise ValueError(f"id longer than width={width}")
+    pw = np.uint64(1099511628211) ** np.arange(width, dtype=np.uint64)
+    hs = [(A.astype(np.uint64) * pw).sum(1, dtype=np.uint64)]
+    ix = [np.arange(n, dtype=np.int64)]
+    for i in range(int(ln.max())):
+        rows = np.flatnonzero(ln > i)
+        D = np.concatenate([A[rows][:, :i], A[rows][:, i + 1:],
+                            np.zeros((len(rows), 1), np.uint8)], axis=1)
+        hs.append((D.astype(np.uint64) * pw).sum(1, dtype=np.uint64))
+        ix.append(rows.astype(np.int64))
+    return np.concatenate(ix), np.concatenate(hs).view(np.int64)

@@ -1105,6 +1105,28 @@ SELECT set_name,
        image_id
 FROM g WHERE n >= 5 AND pos <= 5
 """
+    # SymSpell deletion-neighborhood fuzzy self-join: a distance-1 pair
+    # provably shares an identity-or-deletion variant, so the variant
+    # equi-join is a complete candidate generator; levenshtein() = 1 is
+    # the exact verify. DISTINCT collapses multi-variant pair meets.
+    o["image_id_fuzzy_neighbors"] = f"""
+WITH names AS (SELECT DISTINCT image_id AS s FROM {img}),
+var AS (
+  SELECT s, s AS v FROM names
+  UNION ALL
+  SELECT s, substr(s, 1, i) || substr(s, i + 2) AS v
+  FROM names, unnest(range(0, length(s))) AS t(i)
+),
+vd AS (SELECT DISTINCT s, v FROM var),
+pairs AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM vd a JOIN vd b ON a.v = b.v AND a.s < b.s
+  WHERE levenshtein(a.s, b.s) = 1
+),
+ids AS (SELECT a AS image_id FROM pairs UNION ALL SELECT b FROM pairs)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_neighbors
+FROM ids GROUP BY image_id
+"""
     return o
 
 

@@ -6378,3 +6378,95 @@ def snapshot_diff(sf_dir: str):
             .groupby("bk")
             .map_groups(lambda g: diff(g.drop(columns=["bk"])),
                         batch_format="pandas"))
+
+
+def image_id_fuzzy_neighbors(sf_dir: str):
+    """Approximate-string SELF-join at edit distance exactly 1 over the
+    corpus filenames — the fuzzy-matching primitive of data cleaning and
+    noisy-metadata dedup (typo'd filenames, OCR'd titles, near-identical
+    capture ids), the one string-similarity class (edit distance) the
+    near-dup suite (minhash/simhash/ngram-Jaccard) did not cover. Output:
+    (image_id, n_neighbors) for every id with ≥ 1 distance-1 neighbor.
+
+    Scale shape: the SymSpell deletion-neighborhood join. Each id emits
+    its identity + single-deletion 64-bit variant hashes (vectorized per
+    deletion POSITION, ≤ width slices per batch — never per string;
+    functions/textkernels.deletion_variant_hashes); a distance-1 pair
+    provably shares ≥ 1 variant, so ONE variant-hash exchange meets every
+    true pair (hash collisions only add candidates). In-bucket: the
+    int-index self-merge of the footprint/PBSM pattern, per-pair exact
+    verify via the vectorized edit1_mask kernel (no DP, no Python loop).
+    A pair CAN share several variants (and so meet in several buckets):
+    verified pairs ride one pair-hash exchange whose buckets dedup
+    globally — bounded by the TRUE match volume, since only
+    verify-passing pairs enter it — then per-id partial counts reduce in
+    one `_preagg`. Three exchanges total, all slim; candidate volume is
+    bounded by (width+1)² per colliding variant group, and the verify
+    kernel kills false candidates before anything heavier runs."""
+    import ray.data as rd
+
+    from ..functions import textkernels as tk
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    n = _pq_nrows(img_dir)
+    nbk = _nbuckets(12 * n, rows_per_bucket=16384, lo=32)
+    ds = rd.read_parquet(img_dir, columns=["image_id"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.image_id.to_numpy(object)
+        if len(ids) == 0:
+            return pd.DataFrame({"vh": np.empty(0, np.int64),
+                                 "image_id": np.empty(0, object),
+                                 "bk": np.empty(0, np.int64)})
+        who, vh = tk.deletion_variant_hashes(ids)
+        return pd.DataFrame({"vh": vh, "image_id": ids[who],
+                             "bk": vh % nbk})
+
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": np.empty(0, object),
+                              "b": np.empty(0, object),
+                              "bk2": np.empty(0, np.int64)})
+        # repeated chars make duplicate variants of one id
+        g = g.drop_duplicates(["vh", "image_id"]).reset_index(drop=True)
+        idx = pd.DataFrame({"vh": g.vh.to_numpy(np.int64),
+                            "i": np.arange(len(g), dtype=np.int64)})
+        m = idx.merge(idx, on="vh", suffixes=("_a", "_b"))
+        ia = m.i_a.to_numpy(np.int64)
+        ib = m.i_b.to_numpy(np.int64)
+        sel = ia < ib
+        ia, ib = ia[sel], ib[sel]
+        if len(ia) == 0:
+            return empty
+        ids = g.image_id.to_numpy(object)
+        sa, sb = ids[ia], ids[ib]
+        swap = sa > sb
+        pairs = (pd.DataFrame({"a": np.where(swap, sb, sa),
+                               "b": np.where(swap, sa, sb)})
+                 .drop_duplicates())
+        keep = tk.edit1_mask(pairs.a.to_numpy(object),
+                             pairs.b.to_numpy(object))
+        out = pairs[keep]
+        if not len(out):
+            return empty
+        ph = pd.util.hash_pandas_object(out[["a", "b"]], index=False)
+        return pd.DataFrame({
+            "a": out.a.to_numpy(object), "b": out.b.to_numpy(object),
+            "bk2": (ph.to_numpy(np.uint64)
+                    % np.uint64(nbk)).astype(np.int64)})
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["a", "b"])
+        ids = np.concatenate([g.a.to_numpy(object), g.b.to_numpy(object)])
+        vc = pd.Series(ids).value_counts()
+        return pd.DataFrame({"image_id": vc.index.to_numpy(object),
+                             "n_neighbors": vc.to_numpy(np.int64)})
+
+    counted = (ds.map_batches(variants, batch_format="pandas")
+               .groupby("bk")
+               .map_groups(lambda g: pair_bucket(g.drop(columns=["bk"])),
+                           batch_format="pandas")
+               .groupby("bk2")
+               .map_groups(lambda g: dedup_count(g.drop(columns=["bk2"])),
+                           batch_format="pandas"))
+    return _preagg(counted, ["image_id"],
+                   [("n_neighbors", "n_neighbors", "sum")])
