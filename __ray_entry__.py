@@ -96,15 +96,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q16_supplier_part_counts": Q.q16_supplier_part_counts,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         # added this round AFTER the window was first laid out: a query
         # with no driver row ever outranks a stale-green backlog row, so
-        # these displace the three oldest backlog entries (which rotate
+        # these displace the four oldest backlog entries (which rotate
         # to the head of the round-5 queue just below)
         "graph_pagerank": Q.graph_pagerank,
         "snapshot_diff": Q.snapshot_diff,
         "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
+        "events_table_profile": Q.events_table_profile,
         # ================= end of the 50-entry sweep window ===============
+        "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,

@@ -165,7 +165,10 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # class; unrolled-CTE SQL) + CDC-style snapshot diff
            "graph_pagerank", "snapshot_diff",
            # round 4b: SymSpell deletion-neighborhood fuzzy self-join
-           "image_id_fuzzy_neighbors"]
+           "image_id_fuzzy_neighbors",
+           # round 4b: dataset profiling audit (per-column nulls +
+           # exact distincts, all columns through ONE exchange)
+           "events_table_profile"]
 
 ROWS_ONLY = ["image_chip_stats",
              "ann_pq_topk",

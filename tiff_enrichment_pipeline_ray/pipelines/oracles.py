@@ -2019,3 +2019,17 @@ SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
 FROM v1 FULL JOIN v2 ON v1.k = v2.k
 WHERE v1.k IS NULL OR v2.k IS NULL OR v1.price <> v2.price
 """
+
+
+# Dataset profiling audit: per-column nulls + exact distincts. The
+# engine's distinct is over stringified values — injective per dtype
+# (int64/datetime64/varchar exactly; float64 via shortest-round-trip
+# repr), so it equals COUNT(DISTINCT native) here.
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]
+ORACLES["events_table_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events""" for c in _PROFILE_COLS)

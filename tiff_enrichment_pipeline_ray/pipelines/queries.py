@@ -6470,3 +6470,85 @@ def image_id_fuzzy_neighbors(sf_dir: str):
                            batch_format="pandas"))
     return _preagg(counted, ["image_id"],
                    [("n_neighbors", "n_neighbors", "sum")])
+
+
+def events_table_profile(sf_dir: str):
+    """Dataset profiling / data-quality audit (the Deequ/expectations
+    class): per COLUMN null count and EXACT distinct count over the events
+    table — the audit a 100 TB ingest runs before training ever starts
+    (schema drift, null regressions, key-uniqueness checks). Output: one
+    row per column (col_name, n_rows, n_null, n_distinct).
+
+    Scale shape: one pass emits per-block partials — (column, null count)
+    plus the block's DISTINCT stringified values as slim (col_id, value)
+    rows (stringification is injective per dtype: int64/datetime64/str
+    exactly, float64 via shortest-round-trip repr). ONE hash exchange on
+    (col, value-bucket) dedups globally and reduces to per-bucket distinct
+    partials; a tiny `_preagg` sums per column. Exchange volume is
+    bounded by Σ per-block distincts — the profiling cost every engine
+    pays; columns ride the SAME exchange (no per-column passes). Null
+    counts pre-aggregate per block and move ≤ n_cols rows per block."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ds = read_testdata(sf_dir, "events", columns=cols)
+    n = _pq_nrows(testdata_path(sf_dir, "events"))
+    nbk = _nbuckets(n, rows_per_bucket=65536, lo=16)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ci, c in enumerate(cols):
+            s = df[c]
+            nn = int(s.isna().sum())
+            vals = s.dropna()
+            if c == "ts":
+                uniq = np.unique(vals.to_numpy("datetime64[us]").astype(str))
+            else:
+                if vals.dtype.kind == "f":
+                    # -0.0 → +0.0: SQL DISTINCT merges signed zeros, the
+                    # string repr would not (x + 0.0 is the IEEE identity
+                    # that canonicalizes the zero sign)
+                    vals = vals + 0.0
+                uniq = np.unique(vals.astype(str).to_numpy(object))
+            vh = pd.util.hash_array(uniq.astype(object))
+            frames.append(pd.DataFrame({
+                "ci": np.full(len(uniq), ci, np.int64),
+                "v": uniq.astype(object),
+                "nn": np.zeros(len(uniq), np.int64),
+                "bk": (vh % np.uint64(nbk)).astype(np.int64)}))
+            # one null-count row per (block, column), kind marker ci+1000
+            frames.append(pd.DataFrame({
+                "ci": np.array([ci + 1000], np.int64),
+                "v": np.array([""], object),
+                "nn": np.array([nn], np.int64),
+                "bk": np.array([ci % nbk], np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g.ci < 1000]
+        nd = (vals.drop_duplicates(["ci", "v"])
+              .groupby("ci", sort=False).size().reset_index(name="cnt"))
+        nd["kind"] = "distinct"
+        nulls = (g[g.ci >= 1000].groupby("ci", sort=False)["nn"].sum()
+                 .reset_index(name="cnt"))
+        nulls["ci"] = nulls.ci - 1000
+        nulls["kind"] = "null"
+        out = pd.concat([nd, nulls], ignore_index=True)
+        return pd.DataFrame({"ci": out.ci.to_numpy(np.int64),
+                             "kind": out.kind.to_numpy(object),
+                             "cnt": out.cnt.to_numpy(np.int64)})
+
+    agg = _preagg(
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(lambda g: bucket_reduce(g.drop(columns=["bk"])),
+                    batch_format="pandas"),
+        ["ci", "kind"], [("cnt", "cnt", "sum")]).to_pandas()
+    # ≤ 2·n_cols rows: pivot on the driver
+    dist = agg[agg.kind == "distinct"].set_index("ci")["cnt"]
+    nulls = agg[agg.kind == "null"].set_index("ci")["cnt"]
+    return pd.DataFrame({
+        "col_name": np.array(cols, object),
+        "n_rows": np.full(len(cols), n, np.int64),
+        "n_null": np.array([int(nulls.get(i, 0)) for i in range(len(cols))],
+                           np.int64),
+        "n_distinct": np.array([int(dist.get(i, 0))
+                                for i in range(len(cols))], np.int64)})
