@@ -1197,3 +1197,83 @@ def test_snapshot_diff_rule_semantics(tmp_path):
     want = (con.sql(ORACLES["snapshot_diff"]).df()
             .sort_values("o_orderkey").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_overview_pyramid_brute():
+    """image_overview_pyramid vs a direct per-image pyramid build over the
+    decoded sf0.001 corpus: exact row equality (integer-only output), and
+    the level geometry invariants (each level halves dims with floor; the
+    last level is the first whose next halving would drop below 16)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.functions import codec as C
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.sources import synth
+
+    got = (Q.image_overview_pyramid("/root/testdata/sf0.001").to_pandas()
+           .sort_values(["image_id", "level"]).reset_index(drop=True))
+    img_dir = synth.ensure_images(0.001)
+    t = pq.read_table(img_dir, columns=["image_id", "bytes"])
+    rows = []
+    for img_id, blob in zip(t.column("image_id").to_pylist(),
+                            t.column("bytes").to_pylist()):
+        px, _m, ok = C.decode_image(blob)
+        if not ok:
+            continue
+        a = px.astype(np.int64)
+        level = 0
+        while True:
+            rows.append((img_id, level, a.shape[1], a.shape[0],
+                         int(a.sum())))
+            if min(a.shape[0] // 2, a.shape[1] // 2) < 16:
+                break
+            b = a[:a.shape[0] // 2 * 2, :a.shape[1] // 2 * 2]
+            a = (b[0::2, 0::2] + b[0::2, 1::2]
+                 + b[1::2, 0::2] + b[1::2, 1::2]) // 4
+            level += 1
+    want = (pd.DataFrame(rows, columns=["image_id", "level", "w", "h",
+                                        "px_sum"])
+            .sort_values(["image_id", "level"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # multi-level pyramids actually exercised
+    assert (want.groupby("image_id")["level"].max() >= 1).any()
+    # each overview halves the previous level's dims (floor)
+    g = want.sort_values(["image_id", "level"])
+    prev = g.groupby("image_id")[["w", "h"]].shift(1)
+    lv = g.level.to_numpy()
+    assert (g.w.to_numpy()[lv > 0] == (prev.w.to_numpy()[lv > 0] // 2)).all()
+    assert (g.h.to_numpy()[lv > 0] == (prev.h.to_numpy()[lv > 0] // 2)).all()
+
+
+def test_morton_kernel_and_zorder_locality():
+    """_morton13 golden vectors + round-trip de-interleave, and the layout
+    quality property the manifest exists to certify: Z-ordered output
+    files cover small grid rectangles (median per-file x_span AND y_span
+    far below the corpus span), so bbox queries prune on the manifest."""
+    from tiff_enrichment_pipeline_ray.pipelines.queries import (
+        _morton13, geo_zorder_layout)
+
+    ix = np.array([0, 1, 0, 3, 4299, 0b1010101010101], dtype=np.int64)
+    iy = np.array([0, 0, 1, 3, 2899, 0b0101010101010], dtype=np.int64)
+    z = _morton13(ix, iy)
+    # hand-interleaved goldens: x bits at even positions, y at odd
+    assert z[0] == 0 and z[1] == 1 and z[2] == 2 and z[3] == 0b1111
+    # round-trip: de-interleave recovers both coordinates
+    dx = sum(((z >> (2 * b)) & 1) << b for b in range(13))
+    dy = sum(((z >> (2 * b + 1)) & 1) << b for b in range(13))
+    assert (dx == ix).all() and (dy == iy).all()
+    # alternating-bit patterns interleave to the expected block forms
+    assert z[5] == sum(1 << (2 * b) for b in range(0, 13, 2)) \
+        + sum(1 << (2 * b + 1) for b in range(1, 13, 2))
+
+    man = geo_zorder_layout("/root/testdata/sf0.001")
+    assert len(man) == 64
+    assert man.n_points.sum() > 0
+    # equal-size rank cut: file sizes differ by at most 1
+    assert man.n_points.max() - man.n_points.min() <= 1
+    # key ranges are disjoint and ordered file-to-file
+    m = man.sort_values("file_id").reset_index(drop=True)
+    assert (m.zkey_lo.to_numpy()[1:] > m.zkey_hi.to_numpy()[:-1]).all()
+    # locality: median file covers a tiny fraction of the 4300×2900 grid
+    assert np.median(m.x_span) <= 430 and np.median(m.y_span) <= 290

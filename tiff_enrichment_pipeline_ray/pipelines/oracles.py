@@ -2033,3 +2033,37 @@ ORACLES["events_table_profile"] = "\nUNION ALL\n".join(
        CAST(count(*) - count({c}) AS BIGINT) AS n_null,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
 FROM events""" for c in _PROFILE_COLS)
+
+
+ORACLES["doc_chunk_overlap"] = """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+e AS (
+  SELECT doc_id, n, unnest(generate_series(0, CASE WHEN n <= 64 THEN 0
+         ELSE (n - 64 + 47) // 48 END)) AS chunk_idx
+  FROM t)
+SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+       least(64, n - chunk_idx * 48) AS chunk_tokens
+FROM e
+"""
+
+# 13-bit Morton interleave written out as generated bit terms (the engine's
+# _morton13 kernel, term for term)
+_MORTON_TERMS = " | ".join(
+    f"(((ix >> {b}) & 1) << {2 * b}) | (((iy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(13))
+
+ORACLES["geo_zorder_layout"] = f"""
+WITH pts AS (
+  SELECT event_id, (event_id // 7) % 4300 AS ix, event_id % 2900 AS iy
+  FROM events
+), z AS (
+  SELECT event_id, ix, iy, ({_MORTON_TERMS}) AS zkey FROM pts
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY zkey, event_id) - 1 AS rk,
+         count(*) OVER () AS n FROM z
+)
+SELECT (rk * 64) // n AS file_id, count(*) AS n_points,
+       min(zkey) AS zkey_lo, max(zkey) AS zkey_hi,
+       max(ix) - min(ix) AS x_span, max(iy) - min(iy) AS y_span
+FROM r GROUP BY 1
+"""

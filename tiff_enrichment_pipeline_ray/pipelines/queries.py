@@ -6552,3 +6552,179 @@ def events_table_profile(sf_dir: str):
                            np.int64),
         "n_distinct": np.array([int(dist.get(i, 0))
                                 for i in range(len(cols))], np.int64)})
+
+
+def doc_chunk_overlap(sf_dir: str, window: int = 64, stride: int = 48):
+    """RAG-style overlapping chunker: every document is cut into token
+    windows of `window` tokens advancing by `stride` (overlap = window −
+    stride), the retrieval-corpus preparation step every RAG/embedding
+    pipeline runs before encoding. Output one row per chunk:
+    (doc_id, chunk_idx, start_tok, chunk_tokens); a doc with n ≤ window
+    tokens is one chunk, else ceil((n − window)/stride) + 1 chunks, the
+    last one short. Integer-only — hash-exact vs the oracle.
+
+    Scale shape: a pure vectorized flat-map with ZERO exchanges — token
+    counts at C level (str.count), the row explosion via np.repeat over
+    per-doc chunk counts (never a per-doc Python loop); expansion factor
+    is ~n_tokens/stride per doc so block memory scales with the batch's
+    token mass. At 100 TB this runs wherever the documents partitions
+    already live, exactly like image_tile_chips on the raster side."""
+    from ..functions.textkernels import token_count
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+    w, s = np.int64(window), np.int64(stride)
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        n = np.asarray(token_count(df.text), dtype=np.int64)
+        nch = np.where(n <= w, np.int64(1), (n - w + s - 1) // s + 1)
+        total = int(nch.sum())
+        rep_ids = np.repeat(ids, nch)
+        # per-doc chunk index 0..nch-1 without a Python loop
+        csum = nch.cumsum()
+        idx = np.arange(total, dtype=np.int64) - np.repeat(csum - nch, nch)
+        start = idx * s
+        toks = np.minimum(w, np.repeat(n, nch) - start)
+        return pd.DataFrame({"doc_id": rep_ids, "chunk_idx": idx,
+                             "start_tok": start, "chunk_tokens": toks})
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+def _morton13(ix: np.ndarray, iy: np.ndarray) -> np.ndarray:
+    """13-bit × 13-bit Morton (Z-order) interleave → int64 key in
+    [0, 2^26). Vectorized bit ops; bit b of ix lands at 2b, of iy at
+    2b+1 — the textbook space-filling-curve key (Morton 1966)."""
+    z = np.zeros_like(ix)
+    for b in range(13):
+        z |= ((ix >> b) & 1) << (2 * b)
+        z |= ((iy >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def geo_zorder_layout(sf_dir: str, nfiles: int = 64):
+    """Z-order clustered write layout — the ZORDER/cluster-by planner of
+    Delta/Iceberg/BigQuery applied to the point corpus: quantized grid
+    coords are bit-interleaved into a Morton key (locality-preserving:
+    nearby points share key prefixes), the corpus is ranked in key order,
+    and rank space is cut into `nfiles` equal output files. Output is the
+    layout MANIFEST a clustered writer commits — per file: row count, key
+    range, and the spatial quality measure x_span/y_span (Z-ordered files
+    cover tiny grid rectangles, so any bbox query prunes to O(√nfiles)
+    files via the manifest alone). Integer-only → hash-exact vs the
+    oracle's window-function formulation.
+
+    Scale shape: events_global_rank's two-phase distributed order
+    statistic applied to the COMPUTED Morton key — no global sort
+    barrier. Keys are equal-width-bucketed over the fixed [0, 2^26) key
+    space; phase 1 counts rows per bucket (≤ nbk tiny rows to the
+    driver), the driver prefix-sums and broadcasts offsets; phase 2
+    sorts WITHIN each bucket (vectorized, on (zkey, event_id)) and maps
+    global rank → file id, then pre-aggregates per-file partials
+    in-bucket, so the final exchange carries ≤ nbk × O(1) partial rows.
+    Skewed key regions only imbalance bucket sizes, never correctness;
+    the 100-TB fix is sampled quantile bucket bounds, same two phases."""
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    nbk = _nbuckets(ne, rows_per_bucket=8192, lo=32)
+    zspace = np.int64(1) << 26
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(np.int64)
+        ix = (eid // 7) % 4300
+        iy = eid % 2900
+        z = _morton13(ix, iy)
+        return pd.DataFrame({"event_id": eid, "ix": ix, "iy": iy, "zkey": z,
+                             "bk": z * nbk // zspace})
+
+    slim = ev.map_batches(keyed, batch_format="pandas").materialize()
+    cnts = _preagg(slim, ["bk"], [("n", None, "count")]).to_pandas()
+    cnts = cnts.sort_values("bk").reset_index(drop=True)
+    csum = cnts.n.to_numpy(np.int64).cumsum()
+    offsets = dict(zip(cnts.bk.to_numpy(np.int64).tolist(),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+    n_total = int(csum[-1]) if len(csum) else 0
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["zkey", "event_id"], kind="mergesort")
+        base = offsets.get(int(g.bk.iloc[0]), 0)
+        rk = base + np.arange(len(g), dtype=np.int64)
+        g = g.assign(file_id=rk * nfiles // n_total)
+        p = g.groupby("file_id", sort=False).agg(
+            n_points=("event_id", "size"),
+            zkey_lo=("zkey", "min"), zkey_hi=("zkey", "max"),
+            x_lo=("ix", "min"), x_hi=("ix", "max"),
+            y_lo=("iy", "min"), y_hi=("iy", "max")).reset_index()
+        return p.astype(np.int64)
+
+    agg = _preagg(
+        slim.groupby("bk").map_groups(assign, batch_format="pandas"),
+        ["file_id"], [
+            ("n_points", "n_points", "sum"),
+            ("zkey_lo", "zkey_lo", "min"), ("zkey_hi", "zkey_hi", "max"),
+            ("x_lo", "x_lo", "min"), ("x_hi", "x_hi", "max"),
+            ("y_lo", "y_lo", "min"), ("y_hi", "y_hi", "max")]).to_pandas()
+    # ≤ nfiles rows on the driver
+    return pd.DataFrame({
+        "file_id": agg.file_id.to_numpy(np.int64),
+        "n_points": agg.n_points.to_numpy(np.int64),
+        "zkey_lo": agg.zkey_lo.to_numpy(np.int64),
+        "zkey_hi": agg.zkey_hi.to_numpy(np.int64),
+        "x_span": (agg.x_hi - agg.x_lo).to_numpy(np.int64),
+        "y_span": (agg.y_hi - agg.y_lo).to_numpy(np.int64)})
+
+
+def image_overview_pyramid(sf_dir: str, min_dim: int = 16):
+    """COG-style overview pyramid over the image corpus: per decode-ok
+    image, successive 2× reductions (each level a 2×2 integer box filter
+    of the PREVIOUS level, odd edge rows/cols truncated — the standard
+    GeoTIFF overview build) until the next level would drop below
+    `min_dim`. Output one row per (image, level): level 0 = the original
+    (w, h, pixel sum), then each overview's dims + pixel sum — the
+    overview manifest a tile server / COG writer commits.
+
+    Scale shape: zero exchanges — decode + the whole pyramid happen
+    per blob inside map_batches (the per-blob loop is inherent to a
+    codec; each reduction is one vectorized strided sum, and the total
+    pyramid work is ≤ 4/3 of the level-0 pixel count — the geometric
+    series — so the stage costs ~1.33× a plain decode pass). Output
+    rows are slim integers; worker memory is bounded by batch_size ×
+    image size. Rows-only vs the driver (bytes are not SQL-decodable);
+    pinned by tests/test_queries.py::test_overview_pyramid_brute."""
+    import ray.data as rd
+
+    from ..functions import codec as C
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+
+    def pyramid(t: pa.Table) -> pd.DataFrame:
+        ids_out, lvls, ws, hs, sums = [], [], [], [], []
+        ids = t.column("image_id").to_pylist()
+        for img_id, blob in zip(ids, t.column("bytes").to_pylist()):
+            px, _meta, ok = C.decode_image(blob)
+            if not ok:
+                continue
+            a = px.astype(np.int64)
+            level = 0
+            while True:
+                h, w = a.shape
+                ids_out.append(img_id)
+                lvls.append(level)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(a.sum()))
+                if min(h // 2, w // 2) < min_dim:
+                    break
+                h2, w2 = h // 2, w // 2
+                b = a[:h2 * 2, :w2 * 2]
+                a = (b[0::2, 0::2] + b[0::2, 1::2]
+                     + b[1::2, 0::2] + b[1::2, 1::2]) // 4
+                level += 1
+        return pd.DataFrame({
+            "image_id": pd.Series(ids_out, dtype=object),
+            "level": pd.Series(lvls, dtype=np.int64),
+            "w": pd.Series(ws, dtype=np.int64),
+            "h": pd.Series(hs, dtype=np.int64),
+            "px_sum": pd.Series(sums, dtype=np.int64)})
+
+    return ds.map_batches(pyramid, batch_format="pyarrow")
