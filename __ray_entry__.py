@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
         "geo_zorder_layout": Q.geo_zorder_layout,  # new r4 (Z-order layout)
         "image_overview_pyramid": Q.image_overview_pyramid,  # new r4 (rows-only; pytest-pinned)
+        "embedding_pca_project": Q.embedding_pca_project,  # new r4 (rows-only; pytest-pinned)
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4

@@ -463,3 +463,40 @@ class TestSemanticDedup:
         assert got.cluster.tolist() == cl[order].tolist()
         assert got.keep.tolist() == [exp_keep[v] for v in got.vec_id]
         assert bool(got.keep.any()) and not bool(got.keep.all())
+
+
+def test_pca_project_brute():
+    """embedding_pca_project vs a single-process numpy PCA over the same
+    table: projections match to ≤ one rounding quantum (distributed
+    partial sums reassociate floats; eigensolve runs on the driver in
+    both), the variance ordering holds (pc1 variance ≥ pc2 variance),
+    and the deterministic sign rule is applied (largest-|coord| positive
+    per component)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+    got = (Q.embedding_pca_project("/root/testdata/sf0.001").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :2]
+    flip = W[np.abs(W).argmax(axis=0), np.arange(2)] < 0
+    W = W * np.where(flip, -1.0, 1.0)[None, :]
+    P = (X - mean[None, :]) @ W
+    want = pd.DataFrame({"vec_id": t.column("vec_id").to_numpy(),
+                         "pc1": np.round(P[:, 0], 6),
+                         "pc2": np.round(P[:, 1], 6)})
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(want) == 500
+    assert np.allclose(got.pc1, want.pc1, atol=1.1e-6)
+    assert np.allclose(got.pc2, want.pc2, atol=1.1e-6)
+    assert got.pc1.var() >= got.pc2.var()
+    # sign rule: the dominant coordinate of each component is positive
+    assert (np.abs(W).max(axis=0) == W.max(axis=0)).all()

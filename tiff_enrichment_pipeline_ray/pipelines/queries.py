@@ -6728,3 +6728,58 @@ def image_overview_pyramid(sf_dir: str, min_dim: int = 16):
             "px_sum": pd.Series(sums, dtype=np.int64)})
 
     return ds.map_batches(pyramid, batch_format="pyarrow")
+
+
+def embedding_pca_project(sf_dir: str, k: int = 2):
+    """Distributed PCA projection over the embedding corpus — the
+    dimensionality-reduction step embedding-curation pipelines run before
+    visualization / density screens (and the whitening basis SemDeDup-style
+    cluster spaces use). Output (vec_id, pc1..pck): every vector's
+    coordinates on the top-k principal axes of the corpus covariance.
+
+    Scale shape: the repo's MATRIX-VALUED algebraic aggregate — each block
+    reduces to one partial (n, Σx ∈ R^d, Σxxᵀ ∈ R^{d×d}): O(d²) floats per
+    block REGARDLESS of rows, so the driver combines ≤ n_blocks tiny rows
+    (d=64 → 33 KB each), forms cov = Σxxᵀ/n − x̄x̄ᵀ, and eigendecomposes
+    once (O(d³), driver-side by design — the model-fit step, like
+    embedding_kmeans' sampled Lloyd). Eigenvector sign is fixed
+    deterministically (largest-|coord| positive). Phase 2 broadcasts
+    (x̄, W) via ray.put and projects per batch with ONE matmul — the
+    trained-transform-apply pattern every model-scoring stage uses.
+    Rows-only vs the driver (eigensolve is not SQL); pinned by
+    tests/test_ann_multimodal.py::test_pca_project_brute."""
+    import ray
+
+    emb = read_testdata(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(X))],
+            "sx": [X.sum(axis=0)],
+            "sxx": [(X.T @ X).ravel()]})
+
+    p = emb.map_batches(partials, batch_size=4096,
+                        batch_format="pandas").to_pandas()  # ≤ n_blocks rows
+    n = int(p.n.sum())
+    sx = np.sum(np.stack(p.sx.to_numpy()), axis=0)
+    d = sx.shape[0]
+    sxx = np.sum(np.stack(p.sxx.to_numpy()), axis=0).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)        # ascending
+    W = evecs[:, ::-1][:, :k]                 # top-k columns
+    flip = W[np.abs(W).argmax(axis=0), np.arange(k)] < 0
+    W = W * np.where(flip, -1.0, 1.0)[None, :]
+    ref = ray.put((mean, W))
+
+    def project(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+        m, w = ray.get(_r) if isinstance(_r, ray.ObjectRef) else _r
+        X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        P = (X - m[None, :]) @ w
+        out = {"vec_id": df.vec_id.to_numpy(np.int64)}
+        for j in range(w.shape[1]):
+            out[f"pc{j + 1}"] = np.round(P[:, j], 6)
+        return pd.DataFrame(out)
+
+    return emb.map_batches(project, batch_format="pandas")
