@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zorder_layout": Q.geo_zorder_layout,  # new r4 (Z-order layout)
         "image_overview_pyramid": Q.image_overview_pyramid,  # new r4 (rows-only; pytest-pinned)
         "embedding_pca_project": Q.embedding_pca_project,  # new r4 (rows-only; pytest-pinned)
+        "events_record_breakers": Q.events_record_breakers,  # new r4 (prefix-MAX scan)
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4

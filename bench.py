@@ -126,6 +126,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # exchange-floor-bound by design; tracked so a floor regression
         # in the loop pattern shows up per-round
         ("graph_pagerank", Q.graph_pagerank),
+        # round 4c: the decode-heaviest corpus pass outside the flagship —
+        # full per-image overview pyramids (~1.7M rows at sf0.1)
+        ("image_overview_pyramid", Q.image_overview_pyramid),
     ]
     for name, fn in qlist:
         t0 = time.time()

@@ -2067,3 +2067,13 @@ SELECT (rk * 64) // n AS file_id, count(*) AS n_points,
        max(ix) - min(ix) AS x_span, max(iy) - min(iy) AS y_span
 FROM r GROUP BY 1
 """
+
+ORACLES["events_record_breakers"] = """
+WITH o AS (
+  SELECT event_id, value,
+         max(value) OVER (ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events)
+SELECT event_id, value FROM o WHERE prev_max IS NULL OR value > prev_max
+"""

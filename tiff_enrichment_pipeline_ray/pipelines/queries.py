@@ -6783,3 +6783,81 @@ def embedding_pca_project(sf_dir: str, k: int = 2):
         return pd.DataFrame(out)
 
     return emb.map_batches(project, batch_format="pandas")
+
+
+def events_record_breakers(sf_dir: str):
+    """Record-breaking events — every event whose value strictly exceeds
+    ALL earlier values under the (ts, event_id) total order (the running-
+    record / 2-D skyline frontier: each survivor is pareto-optimal on
+    (earlier, higher)). The monitoring primitive behind "new all-time
+    high" alerting and monotone-frontier extraction. Output (event_id,
+    value): copied doubles under pure comparisons (no arithmetic) —
+    hash-exact vs the window-function oracle.
+
+    Scale shape: the two-phase prefix scan of doc_pack_chunks with MAX as
+    the monoid instead of SUM — and a pruning bonus SUM can't have: time
+    buckets from parquet footer ts min/max (metadata only); phase 1
+    reduces each bucket to its max (≤ nbk tiny rows to the driver); the
+    driver prefix-maxes and broadcasts per-bucket offsets; phase 2 keeps
+    rows beating max(bucket offset, in-bucket running max) — and ENTIRE
+    buckets whose max is below their offset are dropped before the
+    in-bucket sort (at 100 TB most of the stream prunes: records get
+    rare as the running max climbs)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq_
+
+    path = testdata_path(sf_dir, "events")
+    files = (sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(path) else [path])
+    lo = hi = None
+    for f in files:
+        md = pq_.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}["ts"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    lo_us = np.datetime64(lo, "us").astype(np.int64)
+    hi_us = np.datetime64(hi, "us").astype(np.int64)
+
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "ts", "value"])
+    nbk = _nbuckets(ne, rows_per_bucket=8192, lo=32)
+    width = max((hi_us - lo_us) // nbk + 1, 1)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(df.ts)
+        return pd.DataFrame({"event_id": df.event_id.to_numpy(np.int64),
+                             "us": us,
+                             "value": df.value.to_numpy(np.float64),
+                             "bk": (us - lo_us) // width})
+
+    slim = ev.map_batches(keyed, batch_format="pandas").materialize()
+    # phase 1: per-bucket max -> driver prefix-max (<= nbk rows)
+    mx = _preagg(slim, ["bk"], [("mx", "value", "max")]).to_pandas()
+    mx = mx.sort_values("bk").reset_index(drop=True)
+    bks = mx.bk.to_numpy(np.int64)
+    pmax = np.concatenate([[-np.inf], np.maximum.accumulate(
+        mx.mx.to_numpy(np.float64))[:-1]])
+    offsets = dict(zip(bks.tolist(), pmax.tolist()))
+    # bucket-level pruning: a bucket whose own max can't beat its offset
+    # contributes nothing
+    live = {int(b) for b, m, o in zip(bks, mx.mx.to_numpy(), pmax) if m > o}
+
+    def records(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": np.empty(0, np.int64),
+                              "value": np.empty(0, np.float64)})
+        if int(g.bk.iloc[0]) not in live:
+            return empty
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        v = g.value.to_numpy(np.float64)
+        off = offsets.get(int(g.bk.iloc[0]), -np.inf)
+        prev = np.maximum(np.concatenate([[off], np.maximum.accumulate(
+            v)[:-1]]), off)
+        keep = v > prev
+        return pd.DataFrame({"event_id": g.event_id.to_numpy(np.int64)[keep],
+                             "value": v[keep]})
+
+    return slim.groupby("bk").map_groups(records, batch_format="pandas")
