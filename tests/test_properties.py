@@ -100,3 +100,59 @@ def test_hll_merge_equals_bulk(keys):
     est = hll.estimate(bulk)
     n = len(set(keys))
     assert est >= 0.5 * n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=8191), min_size=1,
+                max_size=64),
+       st.lists(st.integers(min_value=0, max_value=8191), min_size=1,
+                max_size=64))
+def test_morton_roundtrip_and_order(xs, ys):
+    """_morton13 invariants for any 13-bit coords: exact de-interleave
+    round-trip; keys bounded by 2^26; and quadrant monotonicity — the
+    locality property the Z-order layout relies on: halving-grid
+    quadrants occupy disjoint contiguous key ranges, i.e. the top
+    interleaved bits ARE the quadrant id."""
+    from tiff_enrichment_pipeline_ray.pipelines.queries import _morton13
+
+    n = min(len(xs), len(ys))
+    ix = np.array(xs[:n], dtype=np.int64)
+    iy = np.array(ys[:n], dtype=np.int64)
+    z = _morton13(ix, iy)
+    assert ((z >= 0) & (z < (1 << 26))).all()
+    dx = sum(((z >> (2 * b)) & 1) << b for b in range(13))
+    dy = sum(((z >> (2 * b + 1)) & 1) << b for b in range(13))
+    assert (dx == ix).all() and (dy == iy).all()
+    # quadrant prefix: the top bit pair is (y_msb, x_msb)
+    assert (z >> 25 == (iy >> 12)).all()
+    assert (((z >> 24) & 1) == (ix >> 12)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=5000), min_size=1,
+                max_size=50),
+       st.integers(min_value=2, max_value=128),
+       st.integers(min_value=1, max_value=128))
+def test_chunk_overlap_invariants(lens, window, stride):
+    """The overlapping-chunker arithmetic for ANY token counts / window /
+    stride (stride ≤ window): chunks tile [0, n) exactly — first starts
+    at 0, consecutive starts advance by stride, the union covers every
+    token, every chunk is non-empty and ≤ window, and only the LAST
+    chunk may end early; a doc with n ≤ window is exactly one chunk."""
+    stride = min(stride, window)
+    n = np.array(lens, dtype=np.int64)
+    w, s = np.int64(window), np.int64(stride)
+    nch = np.where(n <= w, np.int64(1), (n - w + s - 1) // s + 1)
+    for ni, c in zip(n.tolist(), nch.tolist()):
+        starts = np.arange(c, dtype=np.int64) * s
+        toks = np.minimum(w, ni - starts)
+        assert (toks > 0).all() and (toks <= w).all()
+        # full coverage: last chunk reaches the end; no gap between
+        # consecutive chunks (next start <= previous end)
+        assert starts[-1] + toks[-1] == ni
+        if c > 1:
+            assert (starts[1:] <= starts[:-1] + toks[:-1]).all()
+            # all but the last chunk are full windows
+            assert (toks[:-1] == w).all()
+        if ni <= window:
+            assert c == 1
