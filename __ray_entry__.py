@@ -33,17 +33,21 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
-    FIRST 50 entries. Round-4 window = (a) queries added/changed this round —
-    the fixed ``doc_source_token_budget`` (r03's one red: oracle
-    HUGEINT→float64 cast artifact), the new ``location_map``, and the nine
-    whose implementations were REDESIGNED for the near-dup claw-back /
-    vectorized token partials (fresh driver rows even though their r03 rows
-    were green); (b) the round-3 additions that registered behind the r03
-    window and so have no driver row yet; then (c) the oldest-green backlog —
-    the TPC-H/events bulk whose driver rows date from r02. Every family swept
-    green in CORRECTNESS_r03 (flagship, geo, ANN, doc block, events tail,
-    samples) rotates BEHIND the window so its green row stays the evidence
-    while the stale rows refresh."""
+    FIRST 50 entries, so never-driver-checked queries outrank stale-green
+    ones. Round-4 window = (a) the five round-4c additions (chunker,
+    Z-order layout, overview pyramid, PCA projection, record breakers);
+    (b) queries added/changed earlier this round — the fixed
+    ``doc_source_token_budget`` (r03's one red: oracle HUGEINT→float64
+    cast artifact), ``location_map``, the round-4a spatial/text additions,
+    and the nine whose implementations were REDESIGNED for the near-dup
+    claw-back / vectorized token partials; (c) the round-3 additions that
+    registered behind the r03 window; (d) the round-4b block (graph /
+    profile / chips / funnel / …) plus ``sample_weighted`` — none of which
+    has a driver row in r01∪r02∪r03. The r01/r02-green TPC-H backlog and
+    every family swept green in CORRECTNESS_r03 rotate BEHIND the window
+    (their green rows stay the evidence); the only never-checked entries
+    left outside are the rows-only sketch/multimodal tail, all
+    pytest-pinned — first in line for round 5."""
     return {
         # --- sweep window: added/changed round 4 -------------------------
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
@@ -82,7 +86,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation_pipeline": Q.doc_curation_pipeline,
         "events_first_last_value": Q.events_first_last_value,
         "embedding_kmeans": Q.embedding_kmeans,  # rows-only (pytest brute-force oracle)
-        # --- oldest-green backlog: driver rows date from CORRECTNESS_r02 --
+        # --- never-driver-checked round-4 block: a query with no driver
+        # row ever outranks every stale-green backlog row ----------------
+        "graph_pagerank": Q.graph_pagerank,
+        "snapshot_diff": Q.snapshot_diff,
+        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
+        "events_table_profile": Q.events_table_profile,
+        "image_tile_chips": Q.image_tile_chips,  # new r4 (chip enumeration)
+        "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
+        "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
+        "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
+        "events_ohlc_bars": Q.events_ohlc_bars,  # new r4 (OHLC combiner)
+        "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
+        "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
+        "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
+        "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
+        "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
+        "image_chip_stats": Q.image_chip_stats,  # new r4 (rows-only; pytest)
+        "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
+        "sample_weighted": Q.sample_weighted,  # never driver-checked (r02-era)
+        # ================= end of the 50-entry sweep window ===============
+        # oldest-green backlog (driver rows from r01/r02) — rotates to the
+        # head of the round-5 window
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q5_regional_revenue": Q.q5_regional_revenue,
@@ -101,33 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": Q.q13_customer_distribution,
         "q16_supplier_part_counts": Q.q16_supplier_part_counts,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
-        # added this round AFTER the window was first laid out: a query
-        # with no driver row ever outranks a stale-green backlog row, so
-        # these displace the four oldest backlog entries (which rotate
-        # to the head of the round-5 queue just below)
-        "graph_pagerank": Q.graph_pagerank,
-        "snapshot_diff": Q.snapshot_diff,
-        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
-        "events_table_profile": Q.events_table_profile,
-        # ================= end of the 50-entry sweep window ===============
         "q19_disjunctive_revenue": Q.q19_disjunctive_revenue,
         "q22_idle_customers": Q.q22_idle_customers,
         "q15_top_supplier": Q.q15_top_supplier,
         "suppliers_with_returns": Q.suppliers_with_returns,
-        # new r4 late additions + r02-green backlog — first in line for the
-        # round-5 window
-        "image_tile_chips": Q.image_tile_chips,  # new r4 (chip enumeration)
-        "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
-        "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
-        "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
-        "events_ohlc_bars": Q.events_ohlc_bars,  # new r4 (OHLC combiner)
-        "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
-        "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
-        "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
-        "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
-        "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
-        "image_chip_stats": Q.image_chip_stats,  # new r4 (rows-only; pytest)
-        "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,
@@ -199,7 +201,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": Q.events_ntile,
         "events_value_histogram": Q.events_value_histogram,
         "sample_join_uniform": Q.sample_join_uniform,
-        "sample_weighted": Q.sample_weighted,
         # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
         # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
