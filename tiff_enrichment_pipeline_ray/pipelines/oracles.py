@@ -2077,3 +2077,34 @@ WITH o AS (
   FROM events)
 SELECT event_id, value FROM o WHERE prev_max IS NULL OR value > prev_max
 """
+
+ORACLES["geo_idw_interpolate"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+st AS (
+  SELECT range AS sid,
+         50.8 + ((range * 37) % 270) / 100.0 AS slat,
+         3.1 + ((range * 73) % 410) / 100.0 AS slon,
+         5.0 + ((range * 13) % 70) AS val
+  FROM range(100)
+),
+d AS (
+  SELECT p.event_id, s.val,
+         (p.lat - s.slat) * (p.lat - s.slat) * 1.8
+           + (p.lon - s.slon) * (p.lon - s.slon) AS d2,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY (p.lat - s.slat) * (p.lat - s.slat) * 1.8
+                    + (p.lon - s.slon) * (p.lon - s.slon),
+                    s.sid) AS rn
+  FROM pts p CROSS JOIN st s
+)
+SELECT event_id,
+       round(sum(val / (d2 + 1e-12)) / sum(1 / (d2 + 1e-12)), 6)
+         AS idw_value
+FROM d WHERE rn <= 4 GROUP BY event_id
+"""

@@ -5880,8 +5880,15 @@ def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
             "pr": np.zeros(len(key), np.float64),
             "bk": key % nbk})
 
+    # coalesce the static operand to a row-scaled block count: groupby's
+    # output partition count inherits its INPUT block count, so without
+    # this every round's union grows the pr block count by |mixed blocks|
+    # (measured: pr at 128→384 blocks over 5 rounds for 6k rows, round
+    # wall 2.2 s → 13.4 s superlinear — the growing-block disease the
+    # doc_dup_clusters loop already guards against)
     mixed = (edges.map_batches(undirect, batch_format="pandas")
              .groupby("bk").map_groups(attach_deg, batch_format="pandas")
+             .repartition(nbk)
              .materialize())
     n_nodes = mixed.map_batches(
         lambda df: pd.DataFrame({"one": np.ones((df.t == -2).sum(),
@@ -5930,8 +5937,13 @@ def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     for _ in range(iters):
         prop_out = (mixed.union(pr).groupby("bk")
                     .map_groups(prop, batch_format="pandas"))
+        # repartition(nbk) pins pr's block count per round (one cheap
+        # exchange of O(nodes) slim rows) — without it each round's
+        # groupby emits (|mixed| + |pr|) output blocks and the loop wall
+        # grows superlinearly in the round number
         pr = (prop_out.groupby("bk2")
               .map_groups(combine, batch_format="pandas")
+              .repartition(nbk)
               .materialize())
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -6861,3 +6873,45 @@ def events_record_breakers(sf_dir: str):
                              "value": v[keep]})
 
     return slim.groupby("bk").map_groups(records, batch_format="pandas")
+
+
+def geo_idw_interpolate(sf_dir: str, k: int = 4):
+    """Inverse-distance-weighted spatial interpolation — the canonical
+    scattered-points→surface estimator (Shepard 1968): every point's value
+    is the 1/d²-weighted mean of its k=4 nearest stations (the same
+    broadcast synthetic station layer as geo_knn_station, each station
+    carrying a deterministic value). The gridding/infill step weather and
+    elevation pipelines run where a raster layer is missing. Output
+    (event_id, idw_value·round-6).
+
+    Scale shape: identical to the kNN join — the station layer is tiny
+    and BROADCAST (at 100 TB: ray.put once, read per actor), each batch
+    computes one (rows × stations) distance matrix and an argpartition
+    top-k, zero exchanges. The d² expression, the +1e-12 degeneracy guard
+    (a point exactly on a station), and the (d², sid) candidate order are
+    expression-identical in the SQL oracle, so the float result agrees to
+    IEEE reassociation (covered by the sweep's one-quantum tolerance)."""
+    sid = np.arange(_N_SYN_STATIONS, dtype=np.int64)
+    slat = 50.8 + ((sid * 37) % 270) / 100.0
+    slon = 3.1 + ((sid * 73) % 410) / 100.0
+    sval = 5.0 + ((sid * 13) % 70).astype(np.float64)
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lat = p.lat.to_numpy()[:, None]
+        lon = p.lon.to_numpy()[:, None]
+        d2 = (lat - slat[None, :]) * (lat - slat[None, :]) * 1.8 \
+            + (lon - slon[None, :]) * (lon - slon[None, :])
+        # k smallest by (d2, sid): argpartition then stable tie-resolve
+        # (argsort of the k+tie slice is overkill — sid IS the column
+        # order, so a stable mergesort over d2 alone realizes (d2, sid))
+        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        dk = np.take_along_axis(d2, order, axis=1) + 1e-12
+        vk = sval[order]
+        w = 1.0 / dk
+        est = (vk * w).sum(axis=1) / w.sum(axis=1)
+        return pd.DataFrame({"event_id": p.event_id,
+                             "idw_value": np.round(est, 6)})
+
+    return ev.map_batches(f, batch_format="pandas")
