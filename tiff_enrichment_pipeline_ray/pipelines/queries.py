@@ -2583,12 +2583,19 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
                                                    batch_format="pandas"))
                     .groupby("bk")
                     .map_groups(propagate, batch_format="pandas"))
+            # repartition pins labels' block count across rounds: each
+            # groupby emits as many blocks as it was fed, so without it
+            # labels blocks COMPOUND round-over-round (the pagerank loop's
+            # measured superlinear growth — masked here only because CC
+            # converges in 2-3 rounds)
             labels = (prop.union(labels.map_batches(
                           lambda df: df.assign(
                               bk=(df.node.to_numpy(np.int64) % nbk)),
                           batch_format="pandas"))
                       .groupby("bk")
                       .map_groups(min_combine, batch_format="pandas")
+                      .repartition(_nbuckets(nlbl, rows_per_bucket=500_000,
+                                             lo=8))
                       .materialize())
             cur = labels.sum("lbl")
             if cur == prev:
