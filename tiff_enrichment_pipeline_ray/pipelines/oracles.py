@@ -2108,3 +2108,11 @@ SELECT event_id,
          AS idw_value
 FROM d WHERE rn <= 4 GROUP BY event_id
 """
+
+ORACLES["doc_shuffle_positions"] = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY (doc_id * 2654435761 + 17 * 40503) % 4294967296,
+                  doc_id) AS shuffle_pos
+FROM documents
+"""

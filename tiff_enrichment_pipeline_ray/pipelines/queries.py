@@ -6922,3 +6922,49 @@ def geo_idw_interpolate(sf_dir: str, k: int = 4):
                              "idw_value": np.round(est, 6)})
 
     return ev.map_batches(f, batch_format="pandas")
+
+
+def doc_shuffle_positions(sf_dir: str, seed: int = 17):
+    """Reproducible seeded corpus shuffle — the training-order primitive a
+    pretraining exporter runs before sharding (docs must be read in a
+    pseudo-random order that is STABLE across resumes and engines, which
+    rules out ``ds.random_shuffle``'s placement-dependent permutation).
+    Every doc's position = its rank under a multiplicative hash of
+    (doc_id, seed): a deterministic permutation both engines express with
+    the same integer arithmetic. Output (doc_id, shuffle_pos), 1-based —
+    integer-only, hash-exact vs the window-function oracle.
+
+    Scale shape: the two-phase distributed order statistic (no global
+    sort barrier) over the FIXED [0, 2^32) hash space: phase-1 per-bucket
+    counts (≤ nbk rows to the driver), broadcast prefix offsets, phase-2
+    in-bucket vectorized sort + offset. The multiplicative constant is
+    Knuth's 2654435761; products stay < 2^63 for any doc_id < 2^31, so
+    the modulo is exact int64 arithmetic in numpy AND DuckDB (which
+    errors, not wraps, on BIGINT overflow — the guard that matters)."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id"])
+    nbk = _nbuckets(nd, rows_per_bucket=8192, lo=16)
+    M = np.int64(2654435761)
+    S = np.int64(seed) * np.int64(40503)
+    SPACE = np.int64(1) << 32
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        h = (ids * M + S) % SPACE
+        return pd.DataFrame({"doc_id": ids, "h": h,
+                             "bk": h * nbk // SPACE})
+
+    slim = docs.map_batches(keyed, batch_format="pandas").materialize()
+    cnts = _preagg(slim, ["bk"], [("n", None, "count")]).to_pandas()
+    cnts = cnts.sort_values("bk").reset_index(drop=True)
+    csum = cnts.n.to_numpy(np.int64).cumsum()
+    offsets = dict(zip(cnts.bk.to_numpy(np.int64).tolist(),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        base = offsets.get(int(g.bk.iloc[0]), 0)
+        return pd.DataFrame({
+            "doc_id": g.doc_id.to_numpy(np.int64),
+            "shuffle_pos": base + np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
