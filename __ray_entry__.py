@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_record_breakers": Q.events_record_breakers,  # new r4 (prefix-MAX scan)
         "geo_idw_interpolate": Q.geo_idw_interpolate,  # new r4 (IDW gridding)
         "doc_shuffle_positions": Q.doc_shuffle_positions,  # new r4 (seeded shuffle)
+        "doc_mixture_order": Q.doc_mixture_order,  # new r4 (weighted mixture interleave)
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
         "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
@@ -76,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
         "doc_bm25_scores": Q.doc_bm25_scores,
         "doc_unigram_xent": Q.doc_unigram_xent,
-        "dedup_minhash_docs": Q.dedup_minhash_docs,  # rows-only (pytest pair-set oracle)
         # --- round-3 additions, never driver-checked ----------------------
         "orders_monthly_growth": Q.orders_monthly_growth,
         "events_user_retention": Q.events_user_retention,
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= end of the 50-entry sweep window ===============
         "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,  # rows-only (pytest pair-set oracle); rotated out for doc_shuffle_positions
+        "dedup_minhash_docs": Q.dedup_minhash_docs,  # rows-only (pytest pair-set oracle); rotated out for doc_mixture_order
         # oldest-green backlog (driver rows from r01/r02) — rotates to the
         # head of the round-5 window
         "q1_pricing_summary": Q.q1_pricing_summary,

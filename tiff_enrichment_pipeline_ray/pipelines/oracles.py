@@ -2116,3 +2116,11 @@ SELECT doc_id,
                   doc_id) AS shuffle_pos
 FROM documents
 """
+
+ORACLES["doc_mixture_order"] = """
+WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             1.0 + (CAST(substr(source, 4) AS INT) % 4) AS w
+           FROM documents)
+SELECT doc_id, row_number() OVER (ORDER BY rn / w, doc_id) AS mix_pos FROM r
+"""

@@ -6968,3 +6968,56 @@ def doc_shuffle_positions(sf_dir: str, seed: int = 17):
             "shuffle_pos": base + np.arange(1, len(g) + 1, dtype=np.int64)})
 
     return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
+
+
+def doc_mixture_order(sf_dir: str):
+    """Weighted data-mixture interleave — the ordering sibling of
+    doc_source_token_budget's capping: given per-source mixing weights,
+    emit each doc's global training position under weighted fair queueing
+    (virtual time p = rank-within-source / weight — a source with weight w
+    contributes w docs per unit of virtual time, the deterministic form
+    of mixture sampling every pretraining data loader implements).
+    Weights are a deterministic function of the source id (1 + idx % 4).
+    Output (doc_id, mix_pos), 1-based.
+
+    Scale shape: two rank phases. (1) rank WITHIN source: one groupby on
+    the bounded source key (stream keys are bounded; a 100-TB corpus has
+    the same handful of sources), vectorized sort + arange per group,
+    emitting slim (doc_id, p) rows. (2) global rank over p: the two-phase
+    order statistic (p is bounded by n_docs/min_w, so equal-width p-range
+    buckets size from the row count — metadata only); phase-1 counts,
+    broadcast prefix offsets, phase-2 in-bucket (p, doc_id) sort + offset.
+    The p = rn/w quotient is ONE IEEE divide of an exact int by a small
+    exact double — bit-identical in numpy and DuckDB, so the order (and
+    the integer output) is hash-exact."""
+    docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "source"])
+    nbk = _nbuckets(nd, rows_per_bucket=8192, lo=16)
+    width = max(float(nd) / nbk, 1e-300)
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        ids = g.doc_id.to_numpy(np.int64)
+        rn = np.arange(1, len(g) + 1, dtype=np.int64)
+        w = 1.0 + float(int(str(g.source.iloc[0])[3:]) % 4)
+        p = rn.astype(np.float64) / np.float64(w)
+        return pd.DataFrame({"doc_id": ids, "p": p,
+                             "bk": np.clip((p / width).astype(np.int64),
+                                           0, nbk - 1)})
+
+    slim = (docs.groupby("source")
+            .map_groups(per_source, batch_format="pandas")
+            .materialize())
+    cnts = _preagg(slim, ["bk"], [("n", None, "count")]).to_pandas()
+    cnts = cnts.sort_values("bk").reset_index(drop=True)
+    csum = cnts.n.to_numpy(np.int64).cumsum()
+    offsets = dict(zip(cnts.bk.to_numpy(np.int64).tolist(),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p", "doc_id"], kind="mergesort")
+        base = offsets.get(int(g.bk.iloc[0]), 0)
+        return pd.DataFrame({
+            "doc_id": g.doc_id.to_numpy(np.int64),
+            "mix_pos": base + np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
