@@ -6980,44 +6980,73 @@ def doc_mixture_order(sf_dir: str):
     Weights are a deterministic function of the source id (1 + idx % 4).
     Output (doc_id, mix_pos), 1-based.
 
-    Scale shape: two rank phases. (1) rank WITHIN source: one groupby on
-    the bounded source key (stream keys are bounded; a 100-TB corpus has
-    the same handful of sources), vectorized sort + arange per group,
-    emitting slim (doc_id, p) rows. (2) global rank over p: the two-phase
-    order statistic (p is bounded by n_docs/min_w, so equal-width p-range
-    buckets size from the row count — metadata only); phase-1 counts,
-    broadcast prefix offsets, phase-2 in-bucket (p, doc_id) sort + offset.
-    The p = rn/w quotient is ONE IEEE divide of an exact int by a small
-    exact double — bit-identical in numpy and DuckDB, so the order (and
-    the integer output) is hash-exact."""
+    Scale shape: two chained two-phase order statistics, NEVER a
+    per-source group (sources are bounded in NUMBER but not in SIZE — a
+    single map_groups per source would put billions of rows in one task
+    at 100 TB). Within-source ranks: doc_id-range buckets (footer min/max,
+    metadata only); phase-1 per-(bucket, source) counts — ≤ nbk × n_src
+    tiny rows to the driver — prefix-summed per source in bucket order;
+    phase-2 in-bucket per-source sort + offsets, emitting slim
+    (doc_id, p) rows bucketed by p. Global rank over p: the same two
+    phases on the p-range (p ≤ n_docs / min_w). The p = rn/w quotient is
+    ONE IEEE divide of an exact int by a small exact double —
+    bit-identical in numpy and DuckDB, so the order (and the integer
+    output) is hash-exact."""
     docs, nd = _spread_read(sf_dir, "documents", ["doc_id", "source"])
     nbk = _nbuckets(nd, rows_per_bucket=8192, lo=16)
-    width = max(float(nd) / nbk, 1e-300)
+    lo_id, hi_id = _pq_colminmax(testdata_path(sf_dir, "documents"),
+                                 "doc_id")
+    rng = max(1, (hi_id - lo_id + 1 + nbk - 1) // nbk)
+    pwidth = max(float(nd) / nbk, 1e-300)
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        ids = g.doc_id.to_numpy(np.int64)
-        rn = np.arange(1, len(g) + 1, dtype=np.int64)
-        w = 1.0 + float(int(str(g.source.iloc[0])[3:]) % 4)
-        p = rn.astype(np.float64) / np.float64(w)
-        return pd.DataFrame({"doc_id": ids, "p": p,
-                             "bk": np.clip((p / width).astype(np.int64),
-                                           0, nbk - 1)})
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy(np.int64)
+        sidx = df.source.str.slice(3).astype(np.int64).to_numpy()
+        return pd.DataFrame({"doc_id": ids, "src": sidx,
+                             "bk": (ids - lo_id) // rng})
 
-    slim = (docs.groupby("source")
-            .map_groups(per_source, batch_format="pandas")
-            .materialize())
-    cnts = _preagg(slim, ["bk"], [("n", None, "count")]).to_pandas()
-    cnts = cnts.sort_values("bk").reset_index(drop=True)
-    csum = cnts.n.to_numpy(np.int64).cumsum()
-    offsets = dict(zip(cnts.bk.to_numpy(np.int64).tolist(),
-                       np.concatenate([[0], csum[:-1]]).tolist()))
+    slim = docs.map_batches(keyed, batch_format="pandas").materialize()
+
+    # phase 1a: per-(bucket, source) counts -> per-source prefix offsets
+    # (<= nbk x n_src tiny rows; sources are bounded in number)
+    c = _preagg(slim, ["bk", "src"], [("n", None, "count")]).to_pandas()
+    c = c.sort_values(["src", "bk"]).reset_index(drop=True)
+    c["off"] = (c.groupby("src")["n"].cumsum() - c.n).astype(np.int64)
+    n_src = int(c.src.max()) + 1
+    # dense (bucket -> offset-by-source vector) lookup: O(1) numpy fancy
+    # index per row in phase 2, no per-row dict probing
+    off_vec = {int(b): np.zeros(n_src, np.int64)
+               for b in c.bk.unique().tolist()}
+    for b, s, o in zip(c.bk.tolist(), c.src.tolist(), c.off.tolist()):
+        off_vec[int(b)][int(s)] = o
+
+    def within_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "doc_id"], kind="mergesort")
+        bkv = int(g.bk.iloc[0])
+        srcs = g.src.to_numpy(np.int64)
+        base = off_vec[bkv][srcs]
+        rn = base + g.groupby("src", sort=False).cumcount().to_numpy() + 1
+        w = 1.0 + (srcs % 4).astype(np.float64)
+        p = rn.astype(np.float64) / w
+        return pd.DataFrame({
+            "doc_id": g.doc_id.to_numpy(np.int64), "p": p,
+            "pbk": np.clip((p / pwidth).astype(np.int64), 0, nbk - 1)})
+
+    mid = (slim.groupby("bk").map_groups(within_rank, batch_format="pandas")
+           .materialize())
+
+    # phase 1b/2b: global rank over p (same two phases on the p-range)
+    c2 = _preagg(mid, ["pbk"], [("n", None, "count")]).to_pandas()
+    c2 = c2.sort_values("pbk").reset_index(drop=True)
+    csum = c2.n.to_numpy(np.int64).cumsum()
+    off2 = dict(zip(c2.pbk.to_numpy(np.int64).tolist(),
+                    np.concatenate([[0], csum[:-1]]).tolist()))
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["p", "doc_id"], kind="mergesort")
-        base = offsets.get(int(g.bk.iloc[0]), 0)
+        base = off2.get(int(g.pbk.iloc[0]), 0)
         return pd.DataFrame({
             "doc_id": g.doc_id.to_numpy(np.int64),
             "mix_pos": base + np.arange(1, len(g) + 1, dtype=np.int64)})
 
-    return slim.groupby("bk").map_groups(rank_bucket, batch_format="pandas")
+    return mid.groupby("pbk").map_groups(rank_bucket, batch_format="pandas")
