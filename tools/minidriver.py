@@ -74,6 +74,17 @@ def compare(name, ray_df, sql_df, tol=0.0):
 def run(sf_dir, only=None):
     import duckdb
     import ray
+    import os
+    import re
+
+    # pin the flagship oracles to the sf being swept (they read the
+    # MATERIALIZED flagship output for GRAFT_ORACLE_SF, default 0.01 —
+    # sweeping sf0.1 without this reads 0.01-scale oracle tables and every
+    # flagship/images-derived query rows-mismatches by ~10x)
+    if "GRAFT_ORACLE_SF" not in os.environ:
+        m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+        if m:
+            os.environ["GRAFT_ORACLE_SF"] = m.group(1)
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
