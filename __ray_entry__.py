@@ -34,8 +34,9 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-4 window = (a) the five round-4c additions (chunker,
-    Z-order layout, overview pyramid, PCA projection, record breakers);
+    ones. Round-4 window = (a) the eight round-4c additions (chunker,
+    Z-order layout, overview pyramid, PCA projection, record breakers,
+    IDW interpolation, seeded shuffle, mixture interleave);
     (b) queries added/changed earlier this round — the fixed
     ``doc_source_token_budget`` (r03's one red: oracle HUGEINT→float64
     cast artifact), ``location_map``, the round-4a spatial/text additions,
