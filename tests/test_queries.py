@@ -1277,3 +1277,51 @@ def test_morton_kernel_and_zorder_locality():
     assert (m.zkey_lo.to_numpy()[1:] > m.zkey_hi.to_numpy()[:-1]).all()
     # locality: median file covers a tiny fraction of the 4300×2900 grid
     assert np.median(m.x_span) <= 430 and np.median(m.y_span) <= 290
+
+
+def test_record_breakers_crafted_ties(tmp_path):
+    """events_record_breakers vs its window oracle AND a pandas brute on a
+    CRAFTED stream the synthetic data can't guarantee: equal-ts ties
+    (broken by event_id), exact value plateaus (strict > means a repeat of
+    the running max is NOT a record), a late global max, and long flat
+    tails that exercise the bucket-level pruning path."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 600, n)), unit="m")  # many equal-ts ties
+    value = rng.choice([1.0, 2.0, 3.0, 5.0, 5.0, 8.0], size=n)  # plateaus
+    value[-7] = 100.0  # late global max, then a flat pruned tail
+    ev = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "ts": ts, "value": value})
+    sf = tmp_path / "sfR"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   sf / "events.parquet")
+
+    got = (Q.events_record_breakers(str(sf)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    want = (con.sql(ORACLES["events_record_breakers"]).df()
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # brute: strictly-increasing prefix maxima under (ts, event_id) order
+    o = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    v = o.value.to_numpy()
+    prev = np.concatenate([[-np.inf], np.maximum.accumulate(v)[:-1]])
+    brute = set(o.event_id.to_numpy()[v > prev].tolist())
+    assert set(got.event_id.tolist()) == brute
+    # the crafted stream actually exercises the semantics
+    assert len(got) >= 3
+    assert 100.0 in got.value.tolist()
+    # a plateau repeat is not a record: values are strictly increasing
+    assert (np.diff(got.sort_values("event_id").value.to_numpy()) > 0).all()
