@@ -1325,3 +1325,64 @@ def test_record_breakers_crafted_ties(tmp_path):
     assert 100.0 in got.value.tolist()
     # a plateau repeat is not a record: values are strictly increasing
     assert (np.diff(got.sort_values("event_id").value.to_numpy()) > 0).all()
+
+
+def test_idw_point_on_station_and_zorder_skew(tmp_path):
+    """Two crafted edges the lattice testdata may not pin: (1) an event
+    point EXACTLY on a station (d² = 0 — the +1e-12 guard must make the
+    estimate collapse to that station's value, identically in both
+    engines, instead of dividing by zero); (2) geo_zorder_layout on a
+    heavily CLUSTERED id distribution (skewed Morton fine-buckets — the
+    two-phase rank must still cut rank space into equal files with
+    disjoint ordered key ranges)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    # event_id 770707: lat = 50.7 + (770707 % 2900)/1000, lon = 3.0 +
+    # ((770707 // 7) % 4300)/1000 — engineered below instead: find an id
+    # that lands exactly on station 0 (slat=50.8, slon=3.1): need
+    # event_id % 2900 == 100 and (event_id // 7) % 4300 == 100.
+    on_station = None
+    for eid in range(100, 3_000_000, 2900):
+        if (eid // 7) % 4300 == 100:
+            on_station = eid
+            break
+    assert on_station is not None
+    # clustered ids: two tight blobs + the on-station point
+    ids = np.concatenate([
+        np.arange(0, 400),                      # blob at the grid origin
+        np.arange(1_000_000, 1_000_400),        # second tight blob
+        [on_station]]).astype(np.int64)
+    sf = tmp_path / "sfZ"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"event_id": ids}), preserve_index=False),
+        sf / "events.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+
+    got = (Q.geo_idw_interpolate(str(sf)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (con.sql(ORACLES["geo_idw_interpolate"]).df()
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the on-station estimate collapses to station 0's value (5.0):
+    # w0 = 1/1e-12 dwarfs the other three in-sum weights
+    est = float(got.loc[got.event_id == on_station, "idw_value"].iloc[0])
+    assert abs(est - 5.0) < 1e-3
+
+    gotz = Q.geo_zorder_layout(str(sf)).sort_values("file_id") \
+        .reset_index(drop=True)
+    wantz = (con.sql(ORACLES["geo_zorder_layout"]).df()
+             .sort_values("file_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        gotz[wantz.columns].reset_index(drop=True), wantz)
+    # equal rank cut despite the skew; ordered disjoint key ranges
+    assert gotz.n_points.max() - gotz.n_points.min() <= 1
+    assert (gotz.zkey_lo.to_numpy()[1:] > gotz.zkey_hi.to_numpy()[:-1]).all()
