@@ -34,21 +34,23 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-4 window = (a) the eight round-4c additions (chunker,
+    ones. Round-4 window = (a) the nine round-4c additions (chunker,
     Z-order layout, overview pyramid, PCA projection, record breakers,
-    IDW interpolation, seeded shuffle, mixture interleave);
-    (b) queries added/changed earlier this round — the fixed
+    IDW interpolation, seeded shuffle, mixture interleave, spatial CV
+    split); (b) queries added/changed earlier this round — the fixed
     ``doc_source_token_budget`` (r03's one red: oracle HUGEINT→float64
-    cast artifact), ``location_map``, the round-4a spatial/text additions,
-    and the nine whose implementations were REDESIGNED for the near-dup
-    claw-back / vectorized token partials; (c) the round-3 additions that
-    registered behind the r03 window; (d) the round-4b block (graph /
-    profile / chips / funnel / …) plus ``sample_weighted`` — none of which
-    has a driver row in r01∪r02∪r03. The r01/r02-green TPC-H backlog and
-    every family swept green in CORRECTNESS_r03 rotate BEHIND the window
-    (their green rows stay the evidence); the only never-checked entries
-    left outside are the rows-only sketch/multimodal tail, all
-    pytest-pinned — first in line for round 5."""
+    cast artifact), the round-4a spatial/text additions, and the six
+    whose implementations were REDESIGNED for the near-dup claw-back /
+    vectorized token partials; (c) the round-3 additions that registered
+    behind the r03 window; (d) the round-4b block (graph / profile /
+    chips / funnel / …) plus ``sample_weighted`` — none of which has a
+    driver row in r01∪r02∪r03. Rotated just past the marker to make room
+    for the SQL-exact 4c additions: four ROWS-ONLY queries whose
+    exactness is pytest-pinned anyway (pair-set-equality / PNG oracles).
+    The r01/r02-green TPC-H backlog and every family swept green in
+    CORRECTNESS_r03 rotate BEHIND the window (their green rows stay the
+    evidence); the only never-checked entries left outside are rows-only
+    and pytest-pinned — first in line for round 5."""
     return {
         # --- sweep window: added/changed round 4 -------------------------
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
@@ -59,8 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_idw_interpolate": Q.geo_idw_interpolate,  # new r4 (IDW gridding)
         "doc_shuffle_positions": Q.doc_shuffle_positions,  # new r4 (seeded shuffle)
         "doc_mixture_order": Q.doc_mixture_order,  # new r4 (weighted mixture interleave)
+        "geo_block_split": Q.geo_block_split,  # new r4 (leakage-free spatial CV split)
         "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
-        "location_map": Q.location_map,  # new r4 (rows-only; pytest-pinned)
         "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
         "doc_neardup_keep_best": Q.doc_neardup_keep_best,  # new r4
         "doc_substring_dedup_tokens": Q.doc_substring_dedup_tokens,  # new r4
@@ -110,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,  # rows-only (pytest pair-set oracle); rotated out for doc_shuffle_positions
         "dedup_minhash_docs": Q.dedup_minhash_docs,  # rows-only (pytest pair-set oracle); rotated out for doc_mixture_order
+        "location_map": Q.location_map,  # rows-only (pytest PNG oracle); rotated out for geo_block_split
         # oldest-green backlog (driver rows from r01/r02) — rotates to the
         # head of the round-5 window
         "q1_pricing_summary": Q.q1_pricing_summary,

@@ -2124,3 +2124,18 @@ WITH r AS (SELECT doc_id, source,
            FROM documents)
 SELECT doc_id, row_number() OVER (ORDER BY rn / w, doc_id) AS mix_pos FROM r
 """
+
+ORACLES["geo_block_split"] = """
+WITH b AS (
+  SELECT ((event_id // 7) % 4300) // 64 AS tx,
+         (event_id % 2900) // 64 AS ty
+  FROM events
+), s AS (
+  SELECT tx, ty, count(*) AS n,
+         CASE (tx * 73856093 + ty * 19349663) % 2147483647 % 10
+           WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+  FROM b GROUP BY tx, ty
+)
+SELECT split, sum(n) AS n_points, count(*) AS n_blocks
+FROM s GROUP BY split
+"""

@@ -7050,3 +7050,45 @@ def doc_mixture_order(sf_dir: str):
             "mix_pos": base + np.arange(1, len(g) + 1, dtype=np.int64)})
 
     return mid.groupby("pbk").map_groups(rank_bucket, batch_format="pandas")
+
+
+def geo_block_split(sf_dir: str, block: int = 64):
+    """Spatial block (checkerboard) train/val/test split — the
+    leakage-free split geospatial ML requires: a RANDOM row split leaks
+    through spatial autocorrelation (neighboring points land in train AND
+    test; Roberts et al. 2017), so the unit of assignment must be a
+    coarse spatial block, not a row. Every point's 64×64-grid block is
+    hashed to a deterministic 80/10/10 split; all points of a block share
+    a fate. Output (split, n_points, n_blocks) — n_blocks (exact distinct
+    blocks per split) certifies block-granularity assignment.
+
+    Scale shape: a stateless vectorized map (tile + two-prime spatial
+    hash — products bounded far below 2^63, exact int64 both engines),
+    then ONE (split, tx, ty) pre-aggregated exchange (bounded by the
+    BLOCK count, not the corpus) and a ≤ 3-row final group. The split
+    rule is pure arithmetic on the block id: resume-stable, identical on
+    any engine, no stored split table needed."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+    P1, P2 = np.int64(73856093), np.int64(19349663)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(np.int64)
+        tx = ((eid // 7) % 4300) // block
+        ty = (eid % 2900) // block
+        h = (tx * P1 + ty * P2) % np.int64(2147483647) % np.int64(10)
+        split = np.where(h == 0, "test", np.where(h == 1, "val", "train"))
+        return pd.DataFrame({"split": split, "tx": tx, "ty": ty})
+
+    per_block = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                        ["split", "tx", "ty"], [("n", None, "count")])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("split", sort=False).agg(
+            n_points=("n", "sum"), n_blocks=("n", "size")).reset_index()
+        return pd.DataFrame({"split": g.split.to_numpy(object),
+                             "n_points": g.n_points.to_numpy(np.int64),
+                             "n_blocks": g.n_blocks.to_numpy(np.int64)})
+
+    # ≤ n_blocks rows -> one in-task final reduce (3-row output)
+    return per_block.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
