@@ -53,9 +53,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and pytest-pinned — first in line for round 5."""
     return {
         # --- sweep window: added/changed round 4 -------------------------
+        "geo_getis_hotspots": Q.geo_getis_hotspots,  # new r4d (Gi* hotspots)
+        "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
+        "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
         "geo_zorder_layout": Q.geo_zorder_layout,  # new r4 (Z-order layout)
-        "image_overview_pyramid": Q.image_overview_pyramid,  # new r4 (rows-only; pytest-pinned)
         "embedding_pca_project": Q.embedding_pca_project,  # new r4 (rows-only; pytest-pinned)
         "events_record_breakers": Q.events_record_breakers,  # new r4 (prefix-MAX scan)
         "geo_idw_interpolate": Q.geo_idw_interpolate,  # new r4 (IDW gridding)
@@ -95,7 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": Q.snapshot_diff,
         "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
         "events_table_profile": Q.events_table_profile,
-        "image_tile_chips": Q.image_tile_chips,  # new r4 (chip enumeration)
         "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
         "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
         "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
@@ -105,10 +106,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
-        "image_chip_stats": Q.image_chip_stats,  # new r4 (rows-only; pytest)
         "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
         "sample_weighted": Q.sample_weighted,  # never driver-checked (r02-era)
         # ================= end of the 50-entry sweep window ===============
+        # rows-only + pytest-pinned + BENCH-tracked per round (their running
+        # is evidenced by BENCH_r4's per-query wall), rotated out for the
+        # SQL-exact ESDA trio (Gi*/LISA/Moran):
+        "image_overview_pyramid": Q.image_overview_pyramid,
+        "image_tile_chips": Q.image_tile_chips,
+        "image_chip_stats": Q.image_chip_stats,  # rows-only (pytest brute-force oracle)
         "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,  # rows-only (pytest pair-set oracle); rotated out for doc_shuffle_positions
         "dedup_minhash_docs": Q.dedup_minhash_docs,  # rows-only (pytest pair-set oracle); rotated out for doc_mixture_order

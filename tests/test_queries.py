@@ -138,6 +138,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4: partitioned (both-sides-large) spatial joins — PBSM
            # grid exchanges vs DuckDB banded equi-joins, bit-exact
            "geo_range_join", "geo_near_pairs", "geo_bbox_overlap_pairs",
+           # round 4d: ESDA spatial statistics (Gi* hotspots / local
+           # Moran LISA / global Moran's I) over the distance-band weights
+           "geo_getis_hotspots", "geo_local_moran", "geo_moran_i",
            # round 4: span-REMOVAL accounting (interval union per doc)
            "doc_substring_dedup_tokens",
            # round 4: radius-bounded kNN join + per-doc TF-IDF top terms

@@ -2139,3 +2139,70 @@ WITH b AS (
 SELECT split, sum(n) AS n_points, count(*) AS n_blocks
 FROM s GROUP BY split
 """
+
+
+# ESDA spatial statistics: shared distance-band neighbor CTE (banded
+# lon self-join, both directions) + global scalars. The band on
+# floor(lon/0.012) +-1 is lossless: qualifying pairs have
+# |dlon| <= 0.01 < 0.012. Predicate and statistic expressions are
+# term-identical to the engine; fp reassociation is covered by the
+# sweep tolerance.
+_ESDA_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+),
+b AS (
+  SELECT event_id, lat, lon, x,
+         CAST(floor(lon / 0.012) AS BIGINT) AS xb
+  FROM pts
+),
+nb AS (
+  SELECT a.event_id, count(*) AS k, sum(p.x) AS sx
+  FROM b a
+  CROSS JOIN (VALUES (-1), (0), (1)) d(kk)
+  JOIN b p ON p.xb = a.xb + d.kk AND p.event_id != a.event_id
+  WHERE 1.8 * (a.lat - p.lat) * (a.lat - p.lat)
+        + (a.lon - p.lon) * (a.lon - p.lon) <= 0.01 * 0.01
+  GROUP BY a.event_id
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS xbar, var_pop(x) AS v
+  FROM pts
+)
+"""
+
+ORACLES["geo_getis_hotspots"] = _ESDA_SQL + """
+SELECT p.event_id,
+       CAST(COALESCE(nb.k, 0) AS BIGINT) AS n_neighbors,
+       round((COALESCE(nb.sx, 0) + p.x - g.xbar * (COALESCE(nb.k, 0) + 1))
+             / (sqrt(g.v) * sqrt((COALESCE(nb.k, 0) + 1.0)
+                                 * (g.n - COALESCE(nb.k, 0) - 1.0)
+                                 / (g.n - 1.0))), 6) AS gi_star
+FROM pts p CROSS JOIN g LEFT JOIN nb USING (event_id)
+"""
+
+ORACLES["geo_local_moran"] = _ESDA_SQL + """
+SELECT p.event_id,
+       CAST(COALESCE(nb.k, 0) AS BIGINT) AS n_neighbors,
+       round((p.x - g.xbar)
+             * (COALESCE(nb.sx, 0) - COALESCE(nb.k, 0) * g.xbar)
+             / g.v, 6) AS local_i
+FROM pts p CROSS JOIN g LEFT JOIN nb USING (event_id)
+"""
+
+ORACLES["geo_moran_i"] = _ESDA_SQL + """
+, t AS (
+  SELECT sum((p.x - g.xbar)
+             * (COALESCE(nb.sx, 0) - COALESCE(nb.k, 0) * g.xbar)) AS num,
+         sum(COALESCE(nb.k, 0)) AS w
+  FROM pts p CROSS JOIN g LEFT JOIN nb USING (event_id)
+)
+SELECT CAST(g.n AS BIGINT) AS n_points,
+       CAST(t.w AS BIGINT) AS w_pairs,
+       round(t.num / (t.w * g.v), 6) AS moran_i
+FROM g, t
+"""

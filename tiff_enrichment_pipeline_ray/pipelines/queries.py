@@ -7092,3 +7092,197 @@ def geo_block_split(sf_dir: str, block: int = 64):
     # ≤ n_blocks rows -> one in-task final reduce (3-row output)
     return per_block.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None)
+
+
+# --------------------------------------------- spatial statistics (ESDA)
+
+# Distance-band spatial-weights parameters shared by the Getis-Ord /
+# Moran family: binary weights w_ij = 1 iff 0 < d(i,j) <= eps under the
+# same scaled-euclidean metric (1.8*dlat^2 + dlon^2) the kNN/near-pair
+# operators use. Cell edge 0.012 > eps and > eps/sqrt(1.8) on the lat
+# axis, so every neighbor of a point lies in its own or one of the 8
+# adjacent cells.
+_ESDA_EPS = 0.01
+_ESDA_CELL = 0.012
+_ESDA_NXY = 4096
+
+
+def _esda_neighbor_stats(sf_dir: str):
+    """Per-point neighborhood aggregates over the events-derived layer:
+    (event_id, x, k, sx) with x = the event's value, k = neighbor count
+    within the distance band, sx = sum of neighbor values.
+
+    Scale shape: the geo_near_pairs grid scheme turned into a per-point
+    AGGREGATION — each point is emitted HOME to its own cell plus GHOST
+    copies to all 8 adjacent cells, so a home point's full neighborhood
+    is present in its home-cell group and the per-point (k, sx) is
+    COMPLETE after ONE groupby(cell-bucket) exchange of ~9 slim copies
+    per point; no pair set is ever materialized. Zero-neighbor points
+    are preserved by a left re-attach against the home rows inside the
+    same group."""
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "value"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    e2 = np.float64(_ESDA_EPS) * np.float64(_ESDA_EPS)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        x = df.value.to_numpy(np.float64)
+        cx = np.floor((lon - _GRID_LON0) / _ESDA_CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _ESDA_CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * _ESDA_NXY + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat, "x": x})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < _ESDA_NXY)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * _ESDA_NXY + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok],
+                    "x": x[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def nbr_stats(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        cols = ["cell", "id", "lon", "lat", "x"]
+        m = home[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.id_a.to_numpy() != m.id_b.to_numpy()]
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        m = m[1.8 * dlat * dlat + dlon * dlon <= e2]
+        agg = (m.groupby("id_a", sort=False)
+               .agg(k=("id_b", "size"), sx=("x_b", "sum")).reset_index())
+        out = home[["id", "x"]].merge(agg, left_on="id", right_on="id_a",
+                                      how="left")
+        return pd.DataFrame({
+            "event_id": out.id.to_numpy(np.int64),
+            "x": out.x.to_numpy(np.float64),
+            "k": out.k.fillna(0).to_numpy(np.int64),
+            "sx": out.sx.fillna(0.0).to_numpy(np.float64)})
+
+    return (ev.map_batches(copies, batch_format="pandas")
+            .groupby("bk").map_groups(nbr_stats, batch_format="pandas"))
+
+
+def _esda_value_scalars(sf_dir: str):
+    """Global (n, mean, population variance) of events.value — the O(1)
+    broadcast side of every ESDA statistic. One pre-aggregated pass:
+    per-block (n, sum, sumsq) partials, ONE-row combine on the driver."""
+    ev = read_testdata(sf_dir, "events", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.value.to_numpy(np.float64)
+        return pd.DataFrame({"n": [len(x)], "s": [x.sum()],
+                             "ss": [(x * x).sum()]})
+
+    t = (ev.map_batches(partial, batch_format="pandas")
+         .repartition(1)
+         .map_batches(lambda d: pd.DataFrame({
+             "n": [d.n.sum()], "s": [d.s.sum()], "ss": [d.ss.sum()]}),
+             batch_format="pandas", batch_size=None)
+         .to_pandas())
+    n = float(t.n.iloc[0])
+    xbar = float(t.s.iloc[0]) / n
+    var = float(t.ss.iloc[0]) / n - xbar * xbar
+    return n, xbar, var
+
+
+def geo_getis_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hot/cold-spot detection (Getis & Ord 1992; the
+    ArcGIS "Hot Spot Analysis" primitive) over the events-derived point
+    layer with value = events.value and binary distance-band weights
+    INCLUDING self (the * variant). Per point:
+
+        Gi* = (sx_i + x_i - xbar*(k_i+1))
+              / (s * sqrt((k_i+1) * (n - k_i - 1) / (n - 1)))
+
+    with xbar/s the global mean/population-std. Output (event_id,
+    n_neighbors, gi_star round-6) — |Gi*| > ~2 marks significant
+    clustering of high (hot) or low (cold) values.
+
+    Scale shape: ONE bucketed-grid exchange for the per-point (k, sx)
+    (_esda_neighbor_stats — no pair materialization) + an O(1) scalar
+    broadcast; the statistic itself is a stateless vectorized map. The
+    expression is term-identical to the SQL oracle; float reassociation
+    is covered by the sweep's one-quantum tolerance."""
+    n, xbar, var = _esda_value_scalars(sf_dir)
+    s = float(np.sqrt(var))
+
+    def gi(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.k.to_numpy(np.float64)
+        w = k + 1.0
+        num = df.sx.to_numpy(np.float64) + df.x.to_numpy(np.float64) \
+            - xbar * w
+        den = s * np.sqrt(w * (n - w) / (n - 1.0))
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(np.int64),
+            "n_neighbors": df.k.to_numpy(np.int64),
+            "gi_star": np.round(num / den, 6)})
+
+    return _esda_neighbor_stats(sf_dir).map_batches(
+        gi, batch_format="pandas")
+
+
+def geo_local_moran(sf_dir: str):
+    """Local Moran's I (Anselin 1995 LISA) per point: I_i = z_i * sum_j
+    w_ij z_j / m2 with z = x - xbar, m2 = population variance — positive
+    where a point sits in a like-valued neighborhood (high-high /
+    low-low), negative for spatial outliers. Output (event_id,
+    n_neighbors, local_i round-6). Same single-exchange scale shape as
+    geo_getis_hotspots (sum_j z_j = sx_i - k_i*xbar needs only the
+    per-point neighbor aggregates)."""
+    _n, xbar, var = _esda_value_scalars(sf_dir)
+
+    def li(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.k.to_numpy(np.float64)
+        z = df.x.to_numpy(np.float64) - xbar
+        lz = df.sx.to_numpy(np.float64) - k * xbar
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(np.int64),
+            "n_neighbors": df.k.to_numpy(np.int64),
+            "local_i": np.round(z * lz / var, 6)})
+
+    return _esda_neighbor_stats(sf_dir).map_batches(
+        li, batch_format="pandas")
+
+
+def geo_moran_i(sf_dir: str):
+    """GLOBAL Moran's I spatial autocorrelation (Moran 1950) of
+    events.value under the distance-band weights:
+
+        I = (n / W) * sum_ij w_ij z_i z_j / sum_i z_i^2
+
+    computed as sum_i z_i * (sx_i - k_i*xbar) over the per-point
+    neighbor aggregates (W = sum_i k_i directed pairs). Output is ONE
+    row (n_points, w_pairs, moran_i round-6) — the corpus-level "is
+    this layer spatially clustered" diagnostic run before any hotspot
+    drill-down.
+
+    Scale shape: the neighbor-stats exchange + a per-block partial
+    reduction to (num, W) — THREE floats per block reach the driver."""
+    n, xbar, var = _esda_value_scalars(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.k.to_numpy(np.float64)
+        z = df.x.to_numpy(np.float64) - xbar
+        num = (z * (df.sx.to_numpy(np.float64) - k * xbar)).sum()
+        return pd.DataFrame({"num": [num], "w": [df.k.to_numpy(np.int64).sum()]})
+
+    t = (_esda_neighbor_stats(sf_dir)
+         .map_batches(partial, batch_format="pandas")
+         .repartition(1)
+         .map_batches(lambda d: pd.DataFrame({
+             "num": [d.num.sum()], "w": [d.w.sum()]}),
+             batch_format="pandas", batch_size=None)
+         .to_pandas())
+    w = float(t.w.iloc[0])
+    moran = float(t.num.iloc[0]) / (w * var)
+    return pd.DataFrame({"n_points": np.array([int(n)], dtype=np.int64),
+                         "w_pairs": np.array([int(w)], dtype=np.int64),
+                         "moran_i": np.array([round(moran, 6)])})
