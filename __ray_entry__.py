@@ -54,11 +54,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- sweep window: added/changed round 4 -------------------------
         "geo_getis_hotspots": Q.geo_getis_hotspots,  # new r4d (Gi* hotspots)
+        "geo_grid_density_smooth": Q.geo_grid_density_smooth,  # new r4d (focal 3x3)
+        "events_markov_transitions": Q.events_markov_transitions,  # new r4d
         "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
         "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
         "geo_zorder_layout": Q.geo_zorder_layout,  # new r4 (Z-order layout)
-        "embedding_pca_project": Q.embedding_pca_project,  # new r4 (rows-only; pytest-pinned)
         "events_record_breakers": Q.events_record_breakers,  # new r4 (prefix-MAX scan)
         "geo_idw_interpolate": Q.geo_idw_interpolate,  # new r4 (IDW gridding)
         "doc_shuffle_positions": Q.doc_shuffle_positions,  # new r4 (seeded shuffle)
@@ -95,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # row ever outranks every stale-green backlog row ----------------
         "graph_pagerank": Q.graph_pagerank,
         "snapshot_diff": Q.snapshot_diff,
-        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
         "events_table_profile": Q.events_table_profile,
         "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
         "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
@@ -109,10 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
         "sample_weighted": Q.sample_weighted,  # never driver-checked (r02-era)
         # ================= end of the 50-entry sweep window ===============
-        # rows-only + pytest-pinned + BENCH-tracked per round (their running
-        # is evidenced by BENCH_r4's per-query wall), rotated out for the
-        # SQL-exact ESDA trio (Gi*/LISA/Moran):
+        # rows-only + pytest-pinned (first two also BENCH-tracked per round —
+        # their running is evidenced by BENCH_r4's per-query wall), rotated
+        # out for the SQL-exact ESDA trio + focal smooth + Markov matrix:
         "image_overview_pyramid": Q.image_overview_pyramid,
+        "embedding_pca_project": Q.embedding_pca_project,  # rows-only (pytest oracle)
+        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,  # rows-only (pytest pair-set oracle)
         "image_tile_chips": Q.image_tile_chips,
         "image_chip_stats": Q.image_chip_stats,  # rows-only (pytest brute-force oracle)
         "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate

@@ -2206,3 +2206,39 @@ SELECT CAST(g.n AS BIGINT) AS n_points,
        round(t.num / (t.w * g.v), 6) AS moran_i
 FROM g, t
 """
+
+
+# Focal 3x3 smoothing over the tile census: empty neighbor tiles
+# contribute zero (inner join drops them; divisor fixed at 9).
+ORACLES["geo_grid_density_smooth"] = """
+WITH c AS (
+  SELECT ((event_id // 7) % 4300) // 50 AS tile_x,
+         (event_id % 2900) // 50 AS tile_y,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.tile_x, a.tile_y, CAST(a.n AS BIGINT) AS n_points,
+       round(sum(b.n) / 9.0, 6) AS smooth_density
+FROM c a
+CROSS JOIN (VALUES (-1), (0), (1)) dx(i)
+CROSS JOIN (VALUES (-1), (0), (1)) dy(j)
+JOIN c b ON b.tile_x = a.tile_x + dx.i AND b.tile_y = a.tile_y + dy.j
+GROUP BY a.tile_x, a.tile_y, a.n
+"""
+
+ORACLES["events_markov_transitions"] = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS p_trans
+FROM c
+"""

@@ -7286,3 +7286,80 @@ def geo_moran_i(sf_dir: str):
     return pd.DataFrame({"n_points": np.array([int(n)], dtype=np.int64),
                          "w_pairs": np.array([int(w)], dtype=np.int64),
                          "moran_i": np.array([round(moran, 6)])})
+
+
+def geo_grid_density_smooth(sf_dir: str):
+    """Focal 3×3 mean smoothing of the point-density raster — the kernel
+    (neighborhood) statistic every raster engine ships (ArcGIS Focal
+    Statistics / GDAL smoothing): per occupied 50×50 tile, the mean of
+    the 9-cell neighborhood's point counts with EMPTY tiles contributing
+    zero (fixed /9 divisor). Output (tile_x, tile_y, n_points,
+    smooth_density round-6) — the denoised density surface a hotspot map
+    renders instead of the raw census.
+
+    Scale shape: the census is ONE pre-aggregated exchange bounded by
+    the tile GRID (86×58 here — a function of the domain, not the row
+    count), so the focal pass runs dense-vectorized in a single task:
+    scatter counts into a zero-padded 2-D array, sum the 9 shifted
+    slices. At planetary tile counts the same focal is a 9-offset merge
+    bucketed by tile-block with one-cell halos — the documented upgrade
+    path; the exchange count stays 1 either way."""
+    census = geo_tile_census(sf_dir)
+
+    def focal(df: pd.DataFrame) -> pd.DataFrame:
+        tx = df.tile_x.to_numpy(np.int64)
+        ty = df.tile_y.to_numpy(np.int64)
+        n = df.n_points.to_numpy(np.int64)
+        grid = np.zeros((tx.max() + 3, ty.max() + 3), dtype=np.int64)
+        grid[tx + 1, ty + 1] = n
+        s = np.zeros_like(grid)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                s[1:-1, 1:-1] += grid[1 + dx:grid.shape[0] - 1 + dx,
+                                      1 + dy:grid.shape[1] - 1 + dy]
+        return pd.DataFrame({
+            "tile_x": tx, "tile_y": ty, "n_points": n,
+            "smooth_density": np.round(s[tx + 1, ty + 1] / 9.0, 6)})
+
+    return census.repartition(1).map_batches(focal, batch_format="pandas",
+                                             batch_size=None)
+
+
+def events_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count and row-normalized probability of (prev_type →
+    next_type) under the (ts, event_id) total order — the session-model
+    statistic behind next-action prediction and funnel diagnostics.
+    Output (prev_type, next_type, n_trans, p_trans round-6); ≤ |types|²
+    rows.
+
+    Scale shape: one shuffle keyed on user_id (the LAG pattern of
+    events_user_lag), vectorized in-group pairing, then a pre-aggregated
+    count exchange bounded by |types|² and a one-task normalize — the
+    per-prev totals live in the same ≤25-row frame, never a second
+    pass over the input."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "user_id",
+                                                  "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        order = np.lexsort((g.event_id.to_numpy(), us))
+        t = g.event_type.to_numpy()[order]
+        return pd.DataFrame({"prev_type": t[:-1], "next_type": t[1:]})
+
+    pairs = ev.groupby("user_id").map_groups(per_user,
+                                             batch_format="pandas")
+    agg = _preagg(pairs, ["prev_type", "next_type"],
+                  [("n_trans", None, "count")])
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("prev_type").n_trans.transform("sum")
+        return pd.DataFrame({
+            "prev_type": df.prev_type.to_numpy(object),
+            "next_type": df.next_type.to_numpy(object),
+            "n_trans": df.n_trans.to_numpy(np.int64),
+            "p_trans": np.round(df.n_trans.to_numpy(np.float64)
+                                / tot.to_numpy(np.float64), 6)})
+
+    return agg.repartition(1).map_batches(normalize, batch_format="pandas",
+                                          batch_size=None)
