@@ -236,3 +236,81 @@ class TestKNNExtremeLatitudes:
         ci, cd = bucket.query(qlat, qlon, 2)
         assert (bi == ci).all()
         np.testing.assert_allclose(bd, cd, rtol=1e-12)
+
+
+class TestDBSCAN:
+    """geo_dbscan_clusters vs an O(n^2) brute-force DBSCAN with the same
+    deterministic border rule (border -> min cluster label among its core
+    neighbors)."""
+
+    @staticmethod
+    def _brute(ids, eps, min_pts):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        lat, lon = Q._dbscan_points(ids)
+        dlat = lat[:, None] - lat[None, :]
+        dlon = lon[:, None] - lon[None, :]
+        d2 = 1.8 * dlat * dlat + dlon * dlon
+        e2 = np.float64(eps) * np.float64(eps)
+        nbr = d2 <= e2
+        np.fill_diagonal(nbr, False)
+        k = nbr.sum(axis=1)
+        core = k + 1 >= min_pts
+        # CC over the core-core eps-graph (BFS), label = min core id
+        n = len(ids)
+        label = {}
+        core_idx = np.where(core)[0]
+        seen = set()
+        for s in core_idx:
+            if s in seen:
+                continue
+            comp = [s]
+            seen.add(s)
+            queue = [s]
+            while queue:
+                u = queue.pop()
+                for v in np.where(nbr[u] & core)[0]:
+                    if v not in seen:
+                        seen.add(v)
+                        comp.append(v)
+                        queue.append(v)
+            lbl = int(min(ids[c] for c in comp))
+            for c in comp:
+                label[c] = lbl
+        rows = [(int(ids[c]), label[c], True) for c in core_idx]
+        for i in range(n):
+            if core[i]:
+                continue
+            cn = np.where(nbr[i] & core)[0]
+            if len(cn):
+                rows.append((int(ids[i]),
+                             min(label[c] for c in cn), False))
+        import pandas as pd
+
+        return (pd.DataFrame(rows,
+                             columns=["event_id", "cluster_id", "is_core"])
+                .sort_values(["event_id"]).reset_index(drop=True))
+
+    def test_brute_force_sf0001(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        ids = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                            columns=["event_id"]).column(0).to_numpy()
+        want = self._brute(np.asarray(ids, dtype=np.int64),
+                           Q._DBS_EPS, Q._DBS_MIN_PTS)
+        got = (Q.geo_dbscan_clusters("/root/testdata/sf0.001").to_pandas()
+               .sort_values(["event_id"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["event_id", "cluster_id", "is_core"]].astype(
+                {"is_core": bool}),
+            want, check_dtype=False)
+        # structure sanity: clusters exist, every cluster has >=1 core and
+        # its label is the min CORE id
+        assert got.cluster_id.nunique() >= 2
+        g = got.groupby("cluster_id")
+        assert bool(g.is_core.any().all())
+        mins = g.apply(lambda d: d.loc[d.is_core, "event_id"].min())
+        assert (mins.index.to_numpy() == mins.to_numpy()).all()

@@ -7363,3 +7363,342 @@ def events_markov_transitions(sf_dir: str):
 
     return agg.repartition(1).map_batches(normalize, batch_format="pandas",
                                           batch_size=None)
+
+
+# ------------------------------------------------------ density clustering
+
+def _cc_label_prop(labels, edges, n_nodes: int, n_edges: int,
+                   max_rounds: int = 50):
+    """Generic distributed connected components by hash-min label
+    propagation (the doc_dup_clusters loop, factored for reuse):
+    ``labels`` = Dataset(node, lbl) (init lbl = node id), ``edges`` =
+    Dataset(src, node) DIRECTED BOTH WAYS, both materialized by the
+    caller. Each round is two bucketed sort exchanges with vectorized
+    in-bucket pandas merges; both loop operands are re-coalesced to
+    row-scaled block counts every round (the block-compounding guard
+    measured in the PageRank loop); the driver sees only an O(1)
+    convergence aggregate. Returns the converged labels Dataset."""
+    if n_edges == 0:
+        return labels
+    nbk = _nbuckets(n_edges + n_nodes, rows_per_bucket=4096, lo=16)
+    lbl_blocks = _nbuckets(n_nodes, rows_per_bucket=500_000, lo=8)
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.src.to_numpy(np.int64),
+            "node": df.node.to_numpy(np.int64),
+            "lbl": np.full(len(df), -1, dtype=np.int64),
+            "bk": (df.src.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.node.to_numpy(np.int64),
+            "node": np.full(len(df), -1, dtype=np.int64),
+            "lbl": df.lbl.to_numpy(np.int64),
+            "bk": (df.node.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lbls = g.loc[g.node < 0, ["key", "lbl"]]
+        eds = g.loc[g.node >= 0, ["key", "node"]]
+        m = eds.merge(lbls, on="key")
+        return pd.DataFrame({
+            "node": m.node.to_numpy(np.int64),
+            "lbl": m.lbl.to_numpy(np.int64),
+            "bk": (m.node.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", sort=False).lbl.min().reset_index()
+        return pd.DataFrame({"node": out.node.to_numpy(np.int64),
+                             "lbl": out.lbl.to_numpy(np.int64)})
+
+    erows = (edges.map_batches(edge_rows, batch_format="pandas")
+             .repartition(_nbuckets(n_edges, rows_per_bucket=500_000, lo=8))
+             .materialize())
+    labels = labels.repartition(lbl_blocks).materialize()
+    prev = labels.sum("lbl")
+    for _ in range(max_rounds):
+        prop = (erows.union(labels.map_batches(label_rows,
+                                               batch_format="pandas"))
+                .groupby("bk")
+                .map_groups(propagate, batch_format="pandas"))
+        labels = (prop.union(labels.map_batches(
+                      lambda df: df.assign(
+                          bk=(df.node.to_numpy(np.int64) % nbk)),
+                      batch_format="pandas"))
+                  .groupby("bk")
+                  .map_groups(min_combine, batch_format="pandas")
+                  .repartition(lbl_blocks)
+                  .materialize())
+        cur = labels.sum("lbl")
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+# DBSCAN point layer: 30% of events fall in one of 7 dense blobs (12x12
+# slot lattice, 0.001 deg spacing, multiplicity grows with sf), the rest
+# scatter across the whole domain as noise. Pure integer arithmetic
+# (products < 2^63 for any event_id < 2^31) so tests and both engines
+# derive bit-identical coordinates.
+_DBS_EPS = 0.0025
+_DBS_MIN_PTS = 5
+_DBS_CELL = 0.003  # > eps and > eps/sqrt(1.8): neighbors in 8-adjacency
+
+
+def _dbscan_points(eid: np.ndarray):
+    pid = np.asarray(eid, dtype=np.int64)
+    blob = (pid % 10) < 3
+    bid = pid % 7
+    blat = 50.9 + ((bid * 41) % 240) / 100.0
+    blon = 3.2 + ((bid * 67) % 380) / 100.0
+    slot = (pid * np.int64(2654435761)) % 144
+    nlat = 50.7 + ((pid * 97) % 2900) / 1000.0
+    nlon = 3.0 + (((pid * 31) // 7) % 4300) / 1000.0
+    lat = np.where(blob, blat + (slot // 12) / 1000.0, nlat)
+    lon = np.where(blob, blon + (slot % 12) / 1000.0, nlon)
+    return lat, lon
+
+
+def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
+                        min_pts: int = _DBS_MIN_PTS):
+    """Distributed grid-DBSCAN (Ester et al. 1996) over a deterministic
+    blob+noise point layer: core points have >= min_pts points (self
+    included) within eps under the scaled-euclidean metric; clusters are
+    connected components of the core-core eps-graph; border points
+    (non-core with a core neighbor) attach to the MINIMUM cluster label
+    among their core neighbors — the deterministic resolution of
+    DBSCAN's order-dependent border tie (documented variant; classic
+    DBSCAN assigns borders to whichever core claimed them first). Noise
+    is omitted. Output (event_id, cluster_id = min core id in the
+    component, is_core).
+
+    Scale shape (MR-DBSCAN with POSITION CONTRACTION — the piece that
+    keeps dense data from going quadratic): duplicate coordinates are
+    collapsed to (position, multiplicity, min_id) INSIDE each grid
+    bucket before any pairing, so every quadratic term runs over unique
+    positions (bounded by the geometry) instead of points; neighbor
+    counts come from multiplicity sums (k(p) = sum of m(q) over
+    qualifying positions − 1, identical for every point at p). The
+    core-core graph is contracted the same way: a per-position STAR
+    (member → position's min core id; an exact clique since co-located
+    points are at distance 0) plus ONE representative edge per
+    qualifying position pair — connectivity is preserved because any
+    point-level edge factors through the two stars and the rep edge.
+    ONE grid exchange (9 slim copies/point) computes flags + all edge
+    candidates; one bucketed merge attaches the b-side core flag (a
+    ghost's neighborhood is only complete in its own home bucket); the
+    generic _cc_label_prop loop runs on the contracted graph (O(blob
+    diameter) rounds, O(1) driver convergence checks); border
+    attachment is a bucketed merge + distributed min. No pair set,
+    label table or cluster ever lives on the driver. Rows-only vs the
+    driver (CC is not tractable SQL); value semantics pinned by
+    tests/test_spatial.py::TestDBSCAN brute-force."""
+    import ray  # noqa: F401  (Dataset ops only)
+
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    e2 = np.float64(eps) * np.float64(eps)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.event_id.to_numpy(np.int64)
+        lat, lon = _dbscan_points(ids)
+        cx = np.floor((lon - _GRID_LON0) / _DBS_CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _DBS_CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * _ESDA_NXY + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < _ESDA_NXY)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * _ESDA_NXY + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    # kinds emitted by the home-bucket pass:
+    #   0: per-point core flag            (a=id,   b=-1,    flag=core)
+    #   1: star CC edge, both directions  (a,b core member<->position rep)
+    #   2: rep-pair candidate             (a=rep_p core, b=rep_q, flag=T)
+    #   3: border candidate               (a=non-core id, b=rep_q)
+    def flags_and_edges(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        # position contraction (exact-float groupby: duplicate coords are
+        # bit-identical integer-derived doubles)
+        pall = (g.groupby(["cell", "lat", "lon"], sort=False)
+                .agg(m=("id", "size"), rep=("id", "min")).reset_index())
+        ph = (home.groupby(["cell", "lat", "lon"], sort=False)
+              .agg(m=("id", "size"), rep=("id", "min")).reset_index())
+        cols = ["cell", "lat", "lon", "m", "rep"]
+        mm = ph[cols].merge(pall[cols], on="cell", suffixes=("_a", "_b"))
+        dlat = mm.lat_a.to_numpy() - mm.lat_b.to_numpy()
+        dlon = mm.lon_a.to_numpy() - mm.lon_b.to_numpy()
+        mm = mm[1.8 * dlat * dlat + dlon * dlon <= e2]
+        ksum = (mm.groupby(["lat_a", "lon_a"], sort=False).m_b.sum()
+                .rename("tot").reset_index())
+        ph = ph.merge(ksum, left_on=["lat", "lon"],
+                      right_on=["lat_a", "lon_a"])
+        ph["core"] = ph.tot.to_numpy(np.int64) >= min_pts
+        # expand per-point flags (kind 0)
+        hp = home[["id", "lat", "lon"]].merge(
+            ph[["lat", "lon", "core", "rep"]], on=["lat", "lon"])
+        out_a = [hp.id.to_numpy(np.int64)]
+        out_b = [np.full(len(hp), -1, dtype=np.int64)]
+        out_k = [np.zeros(len(hp), dtype=np.int8)]
+        out_f = [hp.core.to_numpy(bool)]
+        # kind 1: stars within core positions (member != rep), both ways
+        st = hp[hp.core.to_numpy(bool)
+                & (hp.id.to_numpy(np.int64) != hp.rep.to_numpy(np.int64))]
+        if len(st):
+            sa = st.id.to_numpy(np.int64)
+            sb = st.rep.to_numpy(np.int64)
+            out_a.append(np.concatenate([sa, sb]))
+            out_b.append(np.concatenate([sb, sa]))
+            out_k.append(np.ones(2 * len(st), dtype=np.int8))
+            out_f.append(np.ones(2 * len(st), dtype=bool))
+        # cross-position qualifying pairs with the home side's coreness
+        mp = mm.merge(ph[["lat", "lon", "core"]],
+                      left_on=["lat_a", "lon_a"], right_on=["lat", "lon"])
+        diff = ((mp.lat_a.to_numpy() != mp.lat_b.to_numpy())
+                | (mp.lon_a.to_numpy() != mp.lon_b.to_numpy()))
+        mp = mp[diff]
+        # kind 2: one rep edge per qualifying position pair, core a-side
+        k2 = mp[mp.core.to_numpy(bool)]
+        if len(k2):
+            out_a.append(k2.rep_a.to_numpy(np.int64))
+            out_b.append(k2.rep_b.to_numpy(np.int64))
+            out_k.append(np.full(len(k2), 2, dtype=np.int8))
+            out_f.append(np.ones(len(k2), dtype=bool))
+        # kind 3: border candidates — every NON-core home point against
+        # each qualifying neighbor position's rep
+        k3pos = mp[~mp.core.to_numpy(bool)][["lat_a", "lon_a", "rep_b"]]
+        if len(k3pos):
+            k3 = hp[~hp.core.to_numpy(bool)][["id", "lat", "lon"]].merge(
+                k3pos, left_on=["lat", "lon"],
+                right_on=["lat_a", "lon_a"])
+            if len(k3):
+                out_a.append(k3.id.to_numpy(np.int64))
+                out_b.append(k3.rep_b.to_numpy(np.int64))
+                out_k.append(np.full(len(k3), 3, dtype=np.int8))
+                out_f.append(np.zeros(len(k3), dtype=bool))
+        return pd.DataFrame({"kind": np.concatenate(out_k),
+                             "a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "flag": np.concatenate(out_f)})
+
+    mixed = (ev.map_batches(copies, batch_format="pandas")
+             .groupby("bk").map_groups(flags_and_edges,
+                                       batch_format="pandas")
+             .materialize())
+
+    core_tbl = mixed.filter(expr="kind == 0")
+    stars = mixed.filter(expr="kind == 1")
+    need_b = mixed.filter(expr="kind == 2 or kind == 3")
+    n_need = need_b.count()
+    pbk = _nbuckets(n_need + ne, rows_per_bucket=8192, lo=16)
+
+    # attach the b-side core flag (kind preserved through the merge)
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.b.to_numpy(np.int64),
+            "a": df.a.to_numpy(np.int64),
+            "kind": df.kind.to_numpy(np.int8),
+            "bk": (df.b.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def flag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.a.to_numpy(np.int64),
+            "a": np.full(len(df), -1, dtype=np.int64),
+            "kind": np.where(df.flag.to_numpy(bool), np.int8(-1),
+                             np.int8(-2)),
+            "bk": (df.a.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def attach_b(g: pd.DataFrame) -> pd.DataFrame:
+        corekeys = g.loc[g.kind == -1, ["key"]]
+        ps = g.loc[g.kind >= 0, ["key", "a", "kind"]]
+        m = ps.merge(corekeys, on="key")  # semi-join: keep core b only
+        return pd.DataFrame({"a": m.a.to_numpy(np.int64),
+                             "b": m.key.to_numpy(np.int64),
+                             "kind": m.kind.to_numpy(np.int8)})
+
+    flagged = (need_b.map_batches(pair_rows, batch_format="pandas")
+               .union(core_tbl.map_batches(flag_rows,
+                                           batch_format="pandas"))
+               .groupby("bk").map_groups(attach_b, batch_format="pandas")
+               .materialize())
+
+    # CC edges: stars (already both directions) + core-core rep pairs
+    # (the reverse direction arrives from the partner position's own
+    # home bucket — rep choice is position-deterministic)
+    cc_edges = (stars.map_batches(lambda df: pd.DataFrame({
+                    "src": df.a.to_numpy(np.int64),
+                    "node": df.b.to_numpy(np.int64)}),
+                    batch_format="pandas")
+                .union(flagged.filter(expr="kind == 2").map_batches(
+                    lambda df: pd.DataFrame({
+                        "src": df.a.to_numpy(np.int64),
+                        "node": df.b.to_numpy(np.int64)}),
+                    batch_format="pandas"))
+                .materialize())
+    n_cc_edges = cc_edges.count()
+
+    init = core_tbl.filter(expr="flag == True").map_batches(
+        lambda df: pd.DataFrame({"node": df.a.to_numpy(np.int64),
+                                 "lbl": df.a.to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    n_core = init.count()
+    labels = _cc_label_prop(init, cc_edges, n_core, n_cc_edges)
+
+    # border attachment: candidates meet labels in b-keyed buckets;
+    # per-bucket PARTIAL mins (a's core neighbors scatter across
+    # buckets), then a global min-combine
+    def bc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.b.to_numpy(np.int64),
+            "node": df.a.to_numpy(np.int64),
+            "lbl": np.full(len(df), -1, dtype=np.int64),
+            "bk": (df.b.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def lbl_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.node.to_numpy(np.int64),
+            "node": np.full(len(df), -1, dtype=np.int64),
+            "lbl": df.lbl.to_numpy(np.int64),
+            "bk": (df.node.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def attach_border(g: pd.DataFrame) -> pd.DataFrame:
+        lbls = g.loc[g.node < 0, ["key", "lbl"]]
+        cands = g.loc[g.node >= 0, ["key", "node"]]
+        m = cands.merge(lbls, on="key")
+        if not len(m):
+            return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64)})
+        out = m.groupby("node", sort=False).lbl.min().reset_index()
+        return pd.DataFrame({"event_id": out.node.to_numpy(np.int64),
+                             "cluster_id": out.lbl.to_numpy(np.int64)})
+
+    border_part = (flagged.filter(expr="kind == 3")
+                   .map_batches(bc_rows, batch_format="pandas")
+                   .union(labels.map_batches(lbl_rows,
+                                             batch_format="pandas"))
+                   .groupby("bk").map_groups(attach_border,
+                                             batch_format="pandas"))
+    border = _preagg(border_part, ["event_id"],
+                     [("cluster_id", "cluster_id", "min")]).map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df.event_id.to_numpy(np.int64),
+            "cluster_id": df.cluster_id.to_numpy(np.int64),
+            "is_core": np.zeros(len(df), dtype=bool)}),
+        batch_format="pandas")
+
+    core_out = labels.map_batches(
+        lambda df: pd.DataFrame({
+            "event_id": df.node.to_numpy(np.int64),
+            "cluster_id": df.lbl.to_numpy(np.int64),
+            "is_core": np.ones(len(df), dtype=bool)}),
+        batch_format="pandas")
+    return core_out.union(border)
