@@ -314,3 +314,79 @@ class TestDBSCAN:
         assert bool(g.is_core.any().all())
         mins = g.apply(lambda d: d.loc[d.is_core, "event_id"].min())
         assert (mins.index.to_numpy() == mins.to_numpy()).all()
+
+
+class TestTerrain:
+    """slope_aspect / hillshade kernel goldens: planar ramps have exact
+    closed-form slope, aspect and hillshade."""
+
+    def test_flat_grid(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            hillshade,
+            slope_aspect,
+        )
+
+        s, a = slope_aspect(np.full((8, 10), 42.0), 30.0, 30.0)
+        assert (s == 0.0).all() and (a == -1.0).all()
+        hs = hillshade(s, a)
+        assert np.allclose(hs, np.cos(np.radians(45.0)))
+
+    def test_planar_ramp_east(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            hillshade,
+            slope_aspect,
+        )
+
+        # z = 2m per 30m cell eastward: slope = atan(2/30), descent = west
+        z = np.tile(np.arange(12, dtype=np.float64) * 2.0, (6, 1))
+        s, a = slope_aspect(z, 30.0, 30.0)
+        # interior exact; edge COLUMNS see a halved east-west difference
+        # through the replicate padding (the standard DEM boundary rule)
+        want_deg = np.degrees(np.arctan(2.0 / 30.0))
+        assert np.allclose(s[:, 1:-1], want_deg)
+        assert np.allclose(s[:, [0, -1]],
+                           np.degrees(np.arctan(1.0 / 30.0)))
+        assert np.allclose(a, 270.0)
+        # hillshade identity at az=315, alt=45
+        sl = np.radians(s)
+        want = (np.cos(np.radians(45.0)) * np.cos(sl)
+                + np.sin(np.radians(45.0)) * np.sin(sl)
+                * np.cos(np.radians(315.0 - 270.0)))
+        assert np.allclose(hillshade(s, a), np.clip(want, 0, 1))
+
+    def test_planar_ramp_north_and_per_row_dx(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            slope_aspect,
+        )
+
+        # z rises 3m per 25m cell northward (rows index south->north):
+        # steepest descent = south (180 deg)
+        z = np.tile((np.arange(7, dtype=np.float64) * 3.0)[:, None],
+                    (1, 9))
+        s, a = slope_aspect(z, 25.0, 25.0)
+        assert np.allclose(s[1:-1, :], np.degrees(np.arctan(3.0 / 25.0)))
+        assert np.allclose(s[[0, -1], :],
+                           np.degrees(np.arctan(1.5 / 25.0)))
+        assert np.allclose(a, 180.0)
+        # per-row dx vector: east ramp with row-dependent cell width
+        z2 = np.tile(np.arange(9, dtype=np.float64), (7, 1))
+        dx = np.linspace(20.0, 40.0, 7)
+        s2, a2 = slope_aspect(z2, dx, 25.0)
+        want = np.degrees(np.arctan(1.0 / dx))[:, None]
+        assert np.allclose(s2[:, 1:-1],
+                           np.broadcast_to(want, s2[:, 1:-1].shape))
+        assert np.allclose(a2, 270.0)
+
+    def test_zonal_query(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.geo_terrain_stats("/root/testdata/sf0.001").to_pandas()
+        nev = pq.ParquetFile(
+            "/root/testdata/sf0.001/events.parquet").metadata.num_rows
+        assert int(df.n_points.sum()) == nev
+        assert ((df.mean_slope_deg >= 0) & (df.mean_slope_deg < 90)).all()
+        assert ((df.mean_hillshade >= 0) & (df.mean_hillshade <= 1)).all()
+        # terrain is non-flat by construction
+        assert df.mean_slope_deg.max() > 0.01

@@ -185,3 +185,58 @@ class TestLocationMap:
         want = viz.bounds_map_rgb(viz.rasterize_bounds(
             geo.west.to_numpy(), south, east, geo.north.to_numpy()))
         assert (img == want).all()
+
+
+class TestSharpness:
+    """laplacian_var / tenengrad closed-form goldens + the corpus query."""
+
+    def test_constant_image_is_zero(self):
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            laplacian_var,
+            tenengrad,
+        )
+
+        z = np.full((16, 16), 1234.0)
+        assert laplacian_var(z) == 0.0
+        assert tenengrad(z) == 0.0
+        # a linear ramp has zero Laplacian everywhere and constant Sobel
+        ramp = np.tile(np.arange(16, dtype=np.float64), (16, 1))
+        assert laplacian_var(ramp) == 0.0
+        # Sobel gx of unit-step ramp = 8 per cell -> energy 64 exactly
+        assert tenengrad(ramp) == 64.0
+
+    def test_single_impulse_golden(self):
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            laplacian_var,
+        )
+
+        # 5x5 zeros with one center impulse of 1: interior Laplacian
+        # values are -4 (center), +1 (4-neighbors), 0 elsewhere
+        z = np.zeros((5, 5))
+        z[2, 2] = 1.0
+        lap = np.array([-4.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+        assert np.isclose(laplacian_var(z), lap.var())
+
+    def test_tiny_image_guard(self):
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            laplacian_var,
+            tenengrad,
+        )
+
+        assert laplacian_var(np.ones((2, 5))) == 0.0
+        assert tenengrad(np.ones((1, 1))) == 0.0
+
+    def test_corpus_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.image_sharpness("/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 100
+        assert (df.lap_var >= 0).all() and (df.tenengrad >= 0).all()
+        # blur flag is corpus-relative: strictly fewer blurry than sharp
+        assert 0 <= int(df.is_blurry.sum()) < len(df)

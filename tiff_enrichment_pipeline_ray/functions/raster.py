@@ -118,3 +118,79 @@ def affine_bilinear_resample(src: np.ndarray,
     v *= near_r[:, None].astype(np.float32)
     v *= near_c[None, :].astype(np.float32)
     return v
+
+
+def slope_aspect(grid, dx_m, dy_m):
+    """Horn (1981) 3×3 finite-difference slope and aspect over a uniform
+    raster — the terrain derivative every DEM pipeline ships (ESRI
+    Slope/Aspect; gdaldem). Rows index latitude SOUTH→NORTH, columns
+    WEST→EAST (the ElevationGrid layout). ``dx_m`` is the east-west cell
+    size in meters — a scalar or per-row (nrows,) vector (it shrinks
+    with cos(latitude)); ``dy_m`` the north-south size.
+
+    Returns (slope_deg, aspect_deg): slope in [0, 90); aspect = the
+    direction of steepest DESCENT in degrees clockwise from north in
+    [0, 360), with −1.0 as the flat-cell sentinel (p = q = 0). Edge
+    cells use replicate padding. NaN cells propagate NaN."""
+    z = np.pad(np.asarray(grid, dtype=np.float64), 1, mode="edge")
+    # stencil (lat increases with row):  g h i   <- north row (r+1)
+    #                                    d e f
+    #                                    a b c   <- south row (r-1)
+    a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]       # noqa: E702
+    d = z[1:-1, :-2]; f = z[1:-1, 2:]                       # noqa: E702
+    g = z[2:, :-2]; h = z[2:, 1:-1]; i = z[2:, 2:]          # noqa: E702
+    dx = np.asarray(dx_m, dtype=np.float64)
+    if dx.ndim == 1:
+        dx = dx[:, None]
+    p = ((c + 2.0 * f + i) - (a + 2.0 * d + g)) / (8.0 * dx)   # dz/d(east)
+    q = ((g + 2.0 * h + i) - (a + 2.0 * b + c)) / (8.0 * float(dy_m))
+    slope = np.degrees(np.arctan(np.hypot(p, q)))
+    flat = (p == 0.0) & (q == 0.0)
+    aspect = (np.degrees(np.arctan2(-p, -q)) + 360.0) % 360.0
+    aspect = np.where(flat, -1.0, aspect)
+    return slope, aspect
+
+
+def hillshade(slope_deg, aspect_deg, azimuth_deg: float = 315.0,
+              altitude_deg: float = 45.0):
+    """Lambertian hillshade in [0, 1] from slope/aspect (the ESRI/gdaldem
+    formula): cos(zenith)·cos(slope) + sin(zenith)·sin(slope)·
+    cos(azimuth − aspect), clamped at 0. Flat cells (aspect sentinel −1)
+    shade cos(zenith) exactly."""
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+    sl = np.radians(np.asarray(slope_deg, dtype=np.float64))
+    asp = np.radians(np.asarray(aspect_deg, dtype=np.float64))
+    hs = (np.cos(zen) * np.cos(sl)
+          + np.sin(zen) * np.sin(sl) * np.cos(az - asp))
+    hs = np.where(np.asarray(aspect_deg) == -1.0,
+                  np.cos(zen) * np.cos(sl), hs)
+    return np.clip(hs, 0.0, 1.0)
+
+
+def laplacian_var(img):
+    """Variance of the 4-neighbor Laplacian over the VALID interior —
+    the standard single-number blur detector (Pech-Pacheco et al. 2000,
+    'variance of Laplacian'): sharp imagery has high-frequency content,
+    defocused imagery suppresses it. Returns 0.0 for images smaller
+    than 3×3."""
+    z = np.asarray(img, dtype=np.float64)
+    if z.shape[0] < 3 or z.shape[1] < 3:
+        return 0.0
+    lap = (z[:-2, 1:-1] + z[2:, 1:-1] + z[1:-1, :-2] + z[1:-1, 2:]
+           - 4.0 * z[1:-1, 1:-1])
+    return float(lap.var())
+
+
+def tenengrad(img):
+    """Mean Sobel gradient energy (gx² + gy²) over the valid interior —
+    the Tenengrad focus measure (Krotkov 1988). Returns 0.0 for images
+    smaller than 3×3."""
+    z = np.asarray(img, dtype=np.float64)
+    if z.shape[0] < 3 or z.shape[1] < 3:
+        return 0.0
+    gx = ((z[:-2, 2:] + 2.0 * z[1:-1, 2:] + z[2:, 2:])
+          - (z[:-2, :-2] + 2.0 * z[1:-1, :-2] + z[2:, :-2]))
+    gy = ((z[2:, :-2] + 2.0 * z[2:, 1:-1] + z[2:, 2:])
+          - (z[:-2, :-2] + 2.0 * z[:-2, 1:-1] + z[:-2, 2:]))
+    return float((gx * gx + gy * gy).mean())

@@ -7702,3 +7702,130 @@ def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
             "is_core": np.ones(len(df), dtype=bool)}),
         batch_format="pandas")
     return core_out.union(border)
+
+
+def geo_terrain_stats(sf_dir: str):
+    """Terrain-derivative zonal statistics: Horn slope + Lambertian
+    hillshade (functions/raster.py:slope_aspect/hillshade) computed over
+    the synthetic elevation raster (the flagship's own enrichment
+    layer), sampled at every event point (nearest grid node) and
+    aggregated per 50×50 census tile — mean slope and mean illumination
+    per zone, the DEM summary a site-suitability or shadow-aware
+    curation pass produces. Output (tile_x, tile_y, n_points,
+    mean_slope_deg round-4, mean_hillshade round-4).
+
+    Scale shape: the derivative rasters are computed ONCE from the
+    broadcast elevation layer (~0.7M cells — a domain-sized side input,
+    ray.put once and read per task, never per batch: worker-side lazy
+    cache keyed by the object ref); per batch the sample is a pure
+    integer-index gather; the aggregate is one pre-aggregated exchange
+    bounded by the tile grid. Rows-only vs the driver (the raster layer
+    is not SQL-visible); kernel semantics pinned by
+    tests/test_spatial.py::TestTerrain goldens (planar ramps, exact
+    arctan/aspect/hillshade identities)."""
+    import ray
+
+    from ..functions import geo as G
+    from ..functions.raster import ElevationGrid, hillshade, slope_aspect
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    eg = ElevationGrid(layers["elevation"])
+    lat_rows = eg.lat0 + (np.arange(eg.nrows) + 0.5) * eg.res
+    m_lon, m_lat = G.meters_per_degree(lat_rows)
+    slope, aspect = slope_aspect(eg.grid, m_lon * eg.res,
+                                 float(m_lat[0]) * eg.res)
+    hs = hillshade(slope, aspect)
+    ref = ray.put((slope.astype(np.float32), hs.astype(np.float32),
+                   eg.lat0, eg.lon0, eg.res, eg.nrows, eg.ncols))
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+    cache = {}
+
+    def sample(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if "t" not in cache:  # once per worker, not per batch
+            cache["t"] = ray.get(_ref)
+        sl, h, lat0, lon0, res, nr, nc = cache["t"]
+        p = _event_points(df)
+        r = np.clip(((p.lat.to_numpy() - lat0) / res).astype(np.int64),
+                    0, nr - 1)
+        c = np.clip(((p.lon.to_numpy() - lon0) / res).astype(np.int64),
+                    0, nc - 1)
+        eid = df.event_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "tile_x": ((eid // 7) % 4300) // 50,
+            "tile_y": (eid % 2900) // 50,
+            "s": sl[r, c].astype(np.float64),
+            "h": h[r, c].astype(np.float64)})
+
+    agg = _preagg(ev.map_batches(sample, batch_format="pandas"),
+                  ["tile_x", "tile_y"],
+                  [("n_points", None, "count"), ("ssum", "s", "sum"),
+                   ("hsum", "h", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.n_points.to_numpy(np.float64)
+        return pd.DataFrame({
+            "tile_x": df.tile_x.to_numpy(np.int64),
+            "tile_y": df.tile_y.to_numpy(np.int64),
+            "n_points": df.n_points.to_numpy(np.int64),
+            "mean_slope_deg": np.round(df.ssum.to_numpy(np.float64) / n, 4),
+            "mean_hillshade": np.round(df.hsum.to_numpy(np.float64) / n, 4)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def image_sharpness(sf_dir: str):
+    """Per-image sharpness / blur screening — the image-side quality
+    filter a multimodal training-data pipeline runs before captioning or
+    chip export (blurred/defocused captures waste tokens): variance of
+    the 4-neighbor Laplacian (Pech-Pacheco 2000) + Tenengrad Sobel
+    energy (Krotkov 1988) per decoded image, plus the corpus-relative
+    blur flag (lap_var below 25% of the corpus median). Output
+    (image_id, lap_var round-4, tenengrad round-4, is_blurry).
+
+    Scale shape: decode + both focus measures are one zero-exchange
+    actor-less map over the image blobs (per-blob loop inherent to a
+    codec; the stencils are whole-array numpy slices); the corpus
+    median is a SECOND pass over the tiny per-image metric table (one
+    distributed sort-free quantile via np.partition per block partials
+    is unnecessary — the metric table is one float per image, exchanged
+    once through repartition(1); at 100 TB swap in the t-digest
+    broadcast at the documented approximation boundary). Rows-only
+    (bytes are not SQL-decodable); kernels pinned by
+    tests/test_viz.py::TestSharpness closed-form goldens."""
+    import ray.data as rd
+
+    from ..functions import codec as C
+    from ..functions.raster import laplacian_var, tenengrad
+    from ..sources import synth
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+
+    def metrics(t: pa.Table) -> pd.DataFrame:
+        ids, lv, tg = [], [], []
+        for img_id, blob in zip(t.column("image_id").to_pylist(),
+                                t.column("bytes").to_pylist()):
+            px, _meta, ok = C.decode_image(blob)
+            if not ok:
+                continue
+            ids.append(img_id)
+            lv.append(laplacian_var(px))
+            tg.append(tenengrad(px))
+        return pd.DataFrame({
+            "image_id": pd.Series(ids, dtype=object),
+            "lap_var": np.round(np.array(lv, dtype=np.float64), 4),
+            "tenengrad": np.round(np.array(tg, dtype=np.float64), 4)})
+
+    m = ds.map_batches(metrics, batch_format="pyarrow").materialize()
+    med = float(m.select_columns(["lap_var"]).repartition(1).map_batches(
+        lambda df: pd.DataFrame({"med": [np.median(df.lap_var.to_numpy())]}),
+        batch_format="pandas", batch_size=None).to_pandas().med.iloc[0])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_blurry"] = df.lap_var.to_numpy() < 0.25 * med
+        return df
+
+    return m.map_batches(flag, batch_format="pandas")
