@@ -240,3 +240,34 @@ class TestSharpness:
         assert (df.lap_var >= 0).all() and (df.tenengrad >= 0).all()
         # blur flag is corpus-relative: strictly fewer blurry than sharp
         assert 0 <= int(df.is_blurry.sum()) < len(df)
+
+
+class TestHeatmap:
+    """geo_heatmap_render: decode roundtrip + exact LUT color at the
+    max-density tile (the render is deterministic end-to-end)."""
+
+    def test_render(self, ray_session):
+        import numpy as np
+
+        from tiff_enrichment_pipeline_ray.functions import viz
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        row = Q.geo_heatmap_render("/root/testdata/sf0.001") \
+            .to_pandas().iloc[0]
+        smooth = Q.geo_grid_density_smooth("/root/testdata/sf0.001") \
+            .to_pandas()
+        assert row.n_tiles == len(smooth)
+        assert row.width == (smooth.tile_x.max() + 1) * 8
+        assert row.height == (smooth.tile_y.max() + 1) * 8
+        # re-render in-process and compare the exact pixel of the max
+        # tile against the LUT top entry
+        tx = smooth.tile_x.to_numpy()
+        ty = smooth.tile_y.to_numpy()
+        v = smooth.smooth_density.to_numpy()
+        i = int(np.argmax(v))
+        h = smooth.tile_y.max() + 1
+        grid = np.zeros((h, smooth.tile_x.max() + 1))
+        grid[h - 1 - ty, tx] = v
+        rgb = viz.apply_cmap(grid, "ryg", 0.0, float(v.max()))
+        want = viz._LUTS["ryg"][255]
+        assert (rgb[h - 1 - ty[i], tx[i]] == want).all()

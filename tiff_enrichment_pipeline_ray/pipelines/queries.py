@@ -7829,3 +7829,45 @@ def image_sharpness(sf_dir: str):
         return df
 
     return m.map_batches(flag, batch_format="pandas")
+
+
+def geo_heatmap_render(sf_dir: str, scale: int = 8):
+    """Corpus density-heatmap render: the focal-smoothed tile census
+    (geo_grid_density_smooth) rasterized to a PNG via the shipped
+    colormap machinery (functions/viz.py apply_cmap + encode_png, 'ryg'
+    ramp, min-max normalized, ×8 nearest-neighbor upscale) — the
+    hotspot MAP companion to geo_getis_hotspots' statistics, and the
+    corpus-level sibling of the per-image index visualizations
+    (visualizer parity: scripts/visualize_tiff_locations.py renders
+    where data is; this renders how MUCH). Output: one row
+    (width, height, n_tiles, vmax, png_len).
+
+    Scale shape: everything upstream of the render is the bounded
+    smoothed census (86×58 — domain-sized); the render itself is one
+    task. Rows-only vs the driver (PNG bytes are not SQL); pixel
+    correctness pinned by tests/test_viz.py::TestHeatmap (decode
+    roundtrip + exact LUT color of the max-density tile)."""
+    from ..functions import viz
+
+    smooth = geo_grid_density_smooth(sf_dir)
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        tx = df.tile_x.to_numpy(np.int64)
+        ty = df.tile_y.to_numpy(np.int64)
+        v = df.smooth_density.to_numpy(np.float64)
+        # row 0 at the TOP = max tile_y (north-up image)
+        w, h = int(tx.max()) + 1, int(ty.max()) + 1
+        grid = np.zeros((h, w), dtype=np.float64)
+        grid[h - 1 - ty, tx] = v
+        rgb = viz.apply_cmap(grid, "ryg", 0.0, float(v.max()))
+        rgb = np.repeat(np.repeat(rgb, scale, axis=0), scale, axis=1)
+        png = viz.encode_png(rgb)
+        return pd.DataFrame({
+            "width": np.array([w * scale], dtype=np.int64),
+            "height": np.array([h * scale], dtype=np.int64),
+            "n_tiles": np.array([len(df)], dtype=np.int64),
+            "vmax": np.array([round(float(v.max()), 6)]),
+            "png_len": np.array([len(png)], dtype=np.int64)})
+
+    return smooth.repartition(1).map_batches(render, batch_format="pandas",
+                                             batch_size=None)
