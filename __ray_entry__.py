@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_getis_hotspots": Q.geo_getis_hotspots,  # new r4d (Gi* hotspots)
         "geo_grid_density_smooth": Q.geo_grid_density_smooth,  # new r4d (focal 3x3)
         "events_markov_transitions": Q.events_markov_transitions,  # new r4d
+        "geo_user_paths": Q.geo_user_paths,  # new r4d (trajectory stats)
         "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
         "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
@@ -107,8 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
         "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
-        "sample_weighted": Q.sample_weighted,  # never driver-checked (r02-era)
         # ================= end of the 50-entry sweep window ===============
+        "sample_weighted": Q.sample_weighted,  # driver-green in r03; rotated out for geo_user_paths
         # rows-only + pytest-pinned (first two also BENCH-tracked per round —
         # their running is evidenced by BENCH_r4's per-query wall), rotated
         # out for the SQL-exact ESDA trio + focal smooth + Markov matrix:

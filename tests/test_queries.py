@@ -143,6 +143,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "geo_getis_hotspots", "geo_local_moran", "geo_moran_i",
            # round 4d: focal 3x3 density smoothing + Markov transition matrix
            "geo_grid_density_smooth", "events_markov_transitions",
+           # round 4d: per-user trajectory statistics (LAG + IEEE-exact
+           # sqrt step lengths)
+           "geo_user_paths",
            # round 4: span-REMOVAL accounting (interval union per doc)
            "doc_substring_dedup_tokens",
            # round 4: radius-bounded kNN join + per-doc TF-IDF top terms

@@ -2242,3 +2242,36 @@ SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_trans,
              / sum(n) OVER (PARTITION BY prev_type), 6) AS p_trans
 FROM c
 """
+
+
+# Per-user path statistics: LAG under (ts, event_id); step lengths are
+# sqrt of the shared scaled-euclidean product expression (IEEE sqrt is
+# correctly rounded -> identical per-step values in both engines).
+ORACLES["geo_user_paths"] = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+),
+s AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         first_value(lat) OVER w AS lat0,
+         first_value(lon) OVER w AS lon0,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(max(n) - 1 AS BIGINT) AS n_steps,
+       round(COALESCE(sum(sqrt(1.8 * (lat - plat) * (lat - plat)
+                               + (lon - plon) * (lon - plon))), 0),
+             6) AS path_len,
+       round(max(CASE WHEN rn = n THEN
+               sqrt(1.8 * (lat - lat0) * (lat - lat0)
+                    + (lon - lon0) * (lon - lon0)) END),
+             6) AS net_disp
+FROM s GROUP BY user_id
+"""

@@ -7871,3 +7871,41 @@ def geo_heatmap_render(sf_dir: str, scale: int = 8):
 
     return smooth.repartition(1).map_batches(render, batch_format="pandas",
                                              batch_size=None)
+
+
+def geo_user_paths(sf_dir: str):
+    """Per-user trajectory statistics: ordered by (ts, event_id), each
+    user's event positions form a path — emit step count, total path
+    length and net displacement (start→end) under the scaled-euclidean
+    metric shared by the whole geo family (sqrt of a product expression:
+    IEEE sqrt is correctly rounded, so both engines compute identical
+    step lengths; only the SUM's association differs — covered by the
+    sweep tolerance on the rounded output). The movement-analytics
+    primitive behind trip-length distributions and GPS-jitter screens.
+    Output (user_id, n_steps, path_len round-6, net_disp round-6).
+
+    Scale shape: ONE shuffle keyed on user_id (the LAG pattern), a
+    vectorized lexsort + diff per group; per-user output rows only."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "user_id",
+                                                  "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        order = np.lexsort((g.event_id.to_numpy(), us))
+        p = _event_points(g.iloc[order])
+        lat = p.lat.to_numpy()
+        lon = p.lon.to_numpy()
+        dlat = lat[1:] - lat[:-1]
+        dlon = lon[1:] - lon[:-1]
+        steps = np.sqrt(1.8 * dlat * dlat + dlon * dlon)
+        nlat = lat[-1] - lat[0]
+        nlon = lon[-1] - lon[0]
+        return pd.DataFrame({
+            "user_id": g.user_id.to_numpy()[:1],
+            "n_steps": np.array([len(steps)], dtype=np.int64),
+            "path_len": np.array([round(float(steps.sum()), 6)]),
+            "net_disp": np.array([round(float(
+                np.sqrt(1.8 * nlat * nlat + nlon * nlon)), 6)])})
+
+    return ev.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
