@@ -390,3 +390,72 @@ class TestTerrain:
         assert ((df.mean_hillshade >= 0) & (df.mean_hillshade <= 1)).all()
         # terrain is non-flat by construction
         assert df.mean_slope_deg.max() > 0.01
+
+
+class TestContours:
+    """Marching-squares geometry goldens + closed-contour topology."""
+
+    def test_straight_ramp_exact(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            contour_segments,
+        )
+
+        z = np.tile(np.arange(10, dtype=np.float64), (6, 1))
+        x0, y0, x1, y1 = contour_segments(z, 4.5)
+        assert len(x0) == 5
+        assert np.isclose(np.hypot(x1 - x0, y1 - y0).sum(), 5.0)
+        assert np.allclose(np.concatenate([x0, x1]), 4.5)
+
+    def test_diagonal_ramp_exact(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            contour_segments,
+        )
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        x0, y0, x1, y1 = contour_segments((xx + yy).astype(float), 3.5)
+        assert np.isclose(np.hypot(x1 - x0, y1 - y0).sum(),
+                          3.5 * np.sqrt(2.0))
+
+    def test_cone_closed_loop(self):
+        import collections
+
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            contour_segments,
+        )
+
+        yy, xx = np.mgrid[0:41, 0:41]
+        z = 20.0 - np.hypot(xx - 20, yy - 20)
+        x0, y0, x1, y1 = contour_segments(z, 9.5)
+        total = np.hypot(x1 - x0, y1 - y0).sum()
+        # polyline length approximates the circle circumference from
+        # below, within the marching-squares chord error
+        circ = 2 * np.pi * 10.5
+        assert 0.99 * circ < total <= circ
+        # closed topology: every endpoint belongs to exactly 2 segments
+        pts = np.concatenate([np.stack([x0, y0], 1),
+                              np.stack([x1, y1], 1)])
+        cnt = collections.Counter(map(tuple, np.round(pts, 9)))
+        assert set(cnt.values()) == {2}
+
+    def test_saddle_cases(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            contour_segments,
+        )
+
+        # one quad, diagonal highs: two segments either way the saddle
+        # resolves; flipping the level flips the case (5 <-> 10)
+        z = np.array([[1.0, 0.0], [0.0, 1.0]])
+        for lv in (0.4, 0.6):
+            x0, y0, x1, y1 = contour_segments(z, lv)
+            assert len(x0) == 2
+
+    def test_level_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = (Q.geo_contour_lines("/root/testdata/sf0.001").to_pandas()
+              .sort_values("level").reset_index(drop=True))
+        assert list(df.level) == list(range(20, 301, 40))
+        # the synthetic terrain tops out below 300 m — the last level
+        # may legitimately be empty
+        assert (df.n_segments[df.level <= 260] > 0).all()
+        assert (df.total_len_km[df.level <= 260] > 0).all()

@@ -194,3 +194,67 @@ def tenengrad(img):
     gy = ((z[2:, :-2] + 2.0 * z[2:, 1:-1] + z[2:, 2:])
           - (z[:-2, :-2] + 2.0 * z[:-2, 1:-1] + z[:-2, 2:]))
     return float((gx * gx + gy * gy).mean())
+
+
+def contour_segments(grid, level: float):
+    """Marching-squares iso-contour extraction (Lorensen & Cline's 2-D
+    case) at one level: returns (x0, y0, x1, y1) float64 arrays of line
+    segments in GRID coordinates (x = column, y = row), with linear
+    interpolation along cell edges and the center-average rule for the
+    two saddle cases. 'High' = value >= level. Straight ramps reproduce
+    exact straight lines; closed contours produce topologically closed
+    polylines (every endpoint shared by exactly two segments) — both
+    pinned in tests."""
+    z = np.asarray(grid, dtype=np.float64)
+    lv = np.float64(level)
+    a = z[:-1, :-1]; b = z[:-1, 1:]; c = z[1:, 1:]; d = z[1:, :-1]  # noqa: E702
+    case = ((a >= lv) * 1 + (b >= lv) * 2
+            + (c >= lv) * 4 + (d >= lv) * 8).astype(np.int8)
+    ny, nx = a.shape
+    cx, cy = np.meshgrid(np.arange(nx, dtype=np.float64),
+                         np.arange(ny, dtype=np.float64))
+
+    def interp(v0, v1):
+        dv = v1 - v0
+        return np.where(dv != 0.0, (lv - v0) / np.where(dv == 0.0, 1.0, dv),
+                        0.0)
+
+    # edge crossing points: B(ottom) a-b, R(ight) b-c, T(op) d-c, L(eft) a-d
+    bx, by = cx + interp(a, b), cy
+    rx, ry = cx + 1.0, cy + interp(b, c)
+    tx, ty = cx + interp(d, c), cy + 1.0
+    lx, ly = cx, cy + interp(a, d)
+    center_hi = (a + b + c + d) / 4.0 >= lv
+
+    # case -> list of (edge0, edge1); saddles handled separately
+    table = {1: ("L", "B"), 2: ("B", "R"), 3: ("L", "R"), 4: ("T", "R"),
+             6: ("B", "T"), 7: ("L", "T"), 8: ("L", "T"), 9: ("B", "T"),
+             11: ("T", "R"), 12: ("L", "R"), 13: ("B", "R"),
+             14: ("L", "B")}
+    pts = {"B": (bx, by), "R": (rx, ry), "T": (tx, ty), "L": (lx, ly)}
+    seg = []
+
+    def emit(mask, e0, e1):
+        if not mask.any():
+            return
+        (x0, y0), (x1, y1) = pts[e0], pts[e1]
+        seg.append(np.stack([x0[mask], y0[mask], x1[mask], y1[mask]],
+                            axis=1))
+
+    for k, (e0, e1) in table.items():
+        emit(case == k, e0, e1)
+    # saddle 5 (a,c high): center high -> arcs hug the LOW corners b, d
+    emit((case == 5) & center_hi, "B", "R")
+    emit((case == 5) & center_hi, "L", "T")
+    emit((case == 5) & ~center_hi, "L", "B")
+    emit((case == 5) & ~center_hi, "T", "R")
+    # saddle 10 (b,d high): mirrored
+    emit((case == 10) & center_hi, "L", "B")
+    emit((case == 10) & center_hi, "T", "R")
+    emit((case == 10) & ~center_hi, "B", "R")
+    emit((case == 10) & ~center_hi, "L", "T")
+    if not seg:
+        e = np.empty(0, dtype=np.float64)
+        return e, e.copy(), e.copy(), e.copy()
+    s = np.concatenate(seg, axis=0)
+    return s[:, 0], s[:, 1], s[:, 2], s[:, 3]

@@ -7909,3 +7909,57 @@ def geo_user_paths(sf_dir: str):
 
     return ev.groupby("user_id").map_groups(per_user,
                                             batch_format="pandas")
+
+
+def geo_contour_lines(sf_dir: str):
+    """Iso-elevation contour extraction (raster→vector): marching
+    squares (functions/raster.py:contour_segments) over the synthetic
+    elevation layer at 8 levels (20..300 m step 40) — the gdaldem
+    contour / QGIS contour analogue. Per level: segment count and total
+    line length in km (east-west cell widths shrink with cos(latitude);
+    each segment is measured with the meter scale of its mean row).
+    Output (level, n_segments, total_len_km round-4).
+
+    Scale shape: the raster is ONE broadcast (ray.put once, worker-side
+    cache); levels fan out as a tiny Dataset so the 8 extractions run
+    as parallel tasks. At planetary rasters the same kernel runs
+    per-TILE with one-row halos and the per-level reduce becomes a
+    (level)-keyed pre-aggregated exchange — documented upgrade path;
+    segment geometry is tile-local either way. Rows-only vs the driver;
+    kernel pinned by tests/test_spatial.py::TestContours (exact ramp /
+    diagonal lengths, closed-loop topology, circumference match)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions import geo as G
+    from ..functions.raster import ElevationGrid, contour_segments
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    eg = ElevationGrid(layers["elevation"])
+    ref = ray.put((eg.grid.astype(np.float32), eg.lat0, eg.res))
+    levels = list(range(20, 301, 40))
+    cache = {}
+
+    def per_level(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if "g" not in cache:
+            cache["g"] = ray.get(_ref)
+        grid, lat0, res = cache["g"]
+        out = []
+        for lv in df.level.tolist():
+            x0, y0, x1, y1 = contour_segments(grid, float(lv))
+            ym = (y0 + y1) * 0.5
+            m_lon, m_lat = G.meters_per_degree(lat0 + (ym + 0.5) * res)
+            dxm = (x1 - x0) * res * m_lon
+            dym = (y1 - y0) * res * float(m_lat[0] if len(m_lat) else 0.0)
+            out.append((int(lv), len(x0),
+                        round(float(np.sqrt(dxm * dxm + dym * dym).sum())
+                              / 1000.0, 4)))
+        return pd.DataFrame(out, columns=["level", "n_segments",
+                                          "total_len_km"]).astype(
+            {"level": np.int64, "n_segments": np.int64})
+
+    return rd.from_items([{"level": lv} for lv in levels],
+                         override_num_blocks=len(levels)) \
+        .map_batches(per_level, batch_format="pandas")
