@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_grid_density_smooth": Q.geo_grid_density_smooth,  # new r4d (focal 3x3)
         "events_markov_transitions": Q.events_markov_transitions,  # new r4d
         "geo_user_paths": Q.geo_user_paths,  # new r4d (trajectory stats)
+        "geo_emerging_hotspots": Q.geo_emerging_hotspots,  # new r4d (Mann-Kendall space-time)
         "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
         "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
@@ -107,8 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
         "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
-        "doc_decontaminate": Q.doc_decontaminate,  # new r4 (benchmark decontam)
         # ================= end of the 50-entry sweep window ===============
+        "doc_decontaminate": Q.doc_decontaminate,  # SQL-oracled; rotated out for geo_emerging_hotspots (sweep-checked locally at 3 sfs)
         "sample_weighted": Q.sample_weighted,  # driver-green in r03; rotated out for geo_user_paths
         # rows-only + pytest-pinned (first two also BENCH-tracked per round —
         # their running is evidenced by BENCH_r4's per-query wall), rotated

@@ -129,6 +129,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # round 4c: the decode-heaviest corpus pass outside the flagship —
         # full per-image overview pyramids (~1.7M rows at sf0.1)
         ("image_overview_pyramid", Q.image_overview_pyramid),
+        # round 4d: the multi-exchange spatial-clustering heavyweight
+        # (grid exchange + flag attach + in-task rep CC + label-back +
+        # border min) and the ESDA neighbor-aggregation exchange
+        ("geo_dbscan_clusters", Q.geo_dbscan_clusters),
+        ("geo_getis_hotspots", Q.geo_getis_hotspots),
     ]
     for name, fn in qlist:
         t0 = time.time()

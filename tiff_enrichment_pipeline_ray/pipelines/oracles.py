@@ -2275,3 +2275,41 @@ SELECT user_id,
              6) AS net_disp
 FROM s GROUP BY user_id
 """
+
+
+# Emerging hotspots: Mann-Kendall S per tile over the dense daily count
+# series (missing days = 0). Integer-only.
+ORACLES["geo_emerging_hotspots"] = """
+WITH c AS (
+  SELECT ((event_id // 7) % 4300) // 50 AS tile_x,
+         (event_id % 2900) // 50 AS tile_y,
+         epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+wr AS (
+  SELECT unnest(range((SELECT min(day) FROM c),
+                      (SELECT max(day) FROM c) + 1)) AS day
+),
+tiles AS (SELECT DISTINCT tile_x, tile_y FROM c),
+d AS (
+  SELECT t.tile_x, t.tile_y, w.day, COALESCE(c.n, 0) AS n
+  FROM tiles t CROSS JOIN wr w
+  LEFT JOIN c ON c.tile_x = t.tile_x AND c.tile_y = t.tile_y
+             AND c.day = w.day
+),
+s AS (
+  SELECT a.tile_x, a.tile_y,
+         CAST(sum(sign(b.n - a.n)) AS BIGINT) AS mk_s
+  FROM d a JOIN d b ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y
+                   AND b.day > a.day
+  GROUP BY a.tile_x, a.tile_y
+)
+SELECT s.tile_x, s.tile_y,
+       CAST(t.n_events AS BIGINT) AS n_events, s.mk_s,
+       CASE WHEN s.mk_s > 0 THEN 'up'
+            WHEN s.mk_s < 0 THEN 'down' ELSE 'flat' END AS trend
+FROM s JOIN (SELECT tile_x, tile_y, sum(n) AS n_events FROM c
+             GROUP BY tile_x, tile_y) t
+  ON t.tile_x = s.tile_x AND t.tile_y = s.tile_y
+"""

@@ -2539,68 +2539,10 @@ def doc_dup_clusters(sf_dir: str, threshold: float = 0.6, max_rounds: int = 50):
              .materialize())
 
     n_edges = edges.count()
-    if n_edges:
-        nbk = _nbuckets(n_edges + labels.count(), rows_per_bucket=4096,
-                        lo=16)
-
-        def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-            # key = src; node >= 0 marks an edge row
-            return pd.DataFrame({
-                "key": df.src.to_numpy(np.int64),
-                "node": df.node.to_numpy(np.int64),
-                "lbl": np.full(len(df), -1, dtype=np.int64),
-                "bk": (df.src.to_numpy(np.int64) % nbk).astype(np.int64)})
-
-        def label_rows(df: pd.DataFrame) -> pd.DataFrame:
-            # key = node; node == -1 marks a label row
-            return pd.DataFrame({
-                "key": df.node.to_numpy(np.int64),
-                "node": np.full(len(df), -1, dtype=np.int64),
-                "lbl": df.lbl.to_numpy(np.int64),
-                "bk": (df.node.to_numpy(np.int64) % nbk).astype(np.int64)})
-
-        def propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lbls = g.loc[g.node < 0, ["key", "lbl"]]
-            eds = g.loc[g.node >= 0, ["key", "node"]]
-            m = eds.merge(lbls, on="key")
-            return pd.DataFrame({
-                "node": m.node.to_numpy(np.int64),
-                "lbl": m.lbl.to_numpy(np.int64),
-                "bk": (m.node.to_numpy(np.int64) % nbk).astype(np.int64)})
-
-        def min_combine(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("node", sort=False).lbl.min().reset_index()
-            return pd.DataFrame({"node": out.node.to_numpy(np.int64),
-                                 "lbl": out.lbl.to_numpy(np.int64)})
-
-        erows = (edges.map_batches(edge_rows, batch_format="pandas")
-                 .repartition(_nbuckets(2 * n_edges, rows_per_bucket=500_000,
-                                        lo=8))
-                 .materialize())
-        prev = labels.sum("lbl")
-        for _ in range(max_rounds):
-            prop = (erows.union(labels.map_batches(label_rows,
-                                                   batch_format="pandas"))
-                    .groupby("bk")
-                    .map_groups(propagate, batch_format="pandas"))
-            # repartition pins labels' block count across rounds: each
-            # groupby emits as many blocks as it was fed, so without it
-            # labels blocks COMPOUND round-over-round (the pagerank loop's
-            # measured superlinear growth — masked here only because CC
-            # converges in 2-3 rounds)
-            labels = (prop.union(labels.map_batches(
-                          lambda df: df.assign(
-                              bk=(df.node.to_numpy(np.int64) % nbk)),
-                          batch_format="pandas"))
-                      .groupby("bk")
-                      .map_groups(min_combine, batch_format="pandas")
-                      .repartition(_nbuckets(nlbl, rows_per_bucket=500_000,
-                                             lo=8))
-                      .materialize())
-            cur = labels.sum("lbl")
-            if cur == prev:
-                break
-            prev = cur
+    # the generic distributed hash-min loop (factored round-4d into
+    # _cc_label_prop, shared with any row-scaled CC consumer)
+    labels = _cc_label_prop(labels, edges, nlbl, n_edges,
+                            max_rounds=max_rounds)
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -7488,8 +7430,13 @@ def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
     ONE grid exchange (9 slim copies/point) computes flags + all edge
     candidates; one bucketed merge attaches the b-side core flag (a
     ghost's neighborhood is only complete in its own home bucket); the
-    generic _cc_label_prop loop runs on the contracted graph (O(blob
-    diameter) rounds, O(1) driver convergence checks); border
+    contracted rep graph is DOMAIN-bounded (occupied fine cells × ≤14
+    neighbors — the tile-census argument), so its CC runs as union-find
+    in ONE task (the diameter-bound _cc_label_prop loop paid ~2 exchange
+    floors per round for a graph of a few thousand rows; measured 12.5 s
+    → ~4 s at sf0.1/32) and members take their cluster label through ONE
+    rep-keyed bucketed merge; row-scaled graphs (doc_dup_clusters) keep
+    the distributed loop; border
     attachment is a bucketed merge + distributed min. No pair set,
     label table or cluster ever lives on the driver. Rows-only vs the
     driver (CC is not tractable SQL); value semantics pinned by
@@ -7550,16 +7497,14 @@ def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
         out_b = [np.full(len(hp), -1, dtype=np.int64)]
         out_k = [np.zeros(len(hp), dtype=np.int8)]
         out_f = [hp.core.to_numpy(bool)]
-        # kind 1: stars within core positions (member != rep), both ways
-        st = hp[hp.core.to_numpy(bool)
-                & (hp.id.to_numpy(np.int64) != hp.rep.to_numpy(np.int64))]
+        # kind 1: position STARS (member -> its position's rep, self
+        # included so singleton positions still enumerate their rep)
+        st = hp[hp.core.to_numpy(bool)]
         if len(st):
-            sa = st.id.to_numpy(np.int64)
-            sb = st.rep.to_numpy(np.int64)
-            out_a.append(np.concatenate([sa, sb]))
-            out_b.append(np.concatenate([sb, sa]))
-            out_k.append(np.ones(2 * len(st), dtype=np.int8))
-            out_f.append(np.ones(2 * len(st), dtype=bool))
+            out_a.append(st.id.to_numpy(np.int64))
+            out_b.append(st.rep.to_numpy(np.int64))
+            out_k.append(np.ones(len(st), dtype=np.int8))
+            out_f.append(np.ones(len(st), dtype=bool))
         # cross-position qualifying pairs with the home side's coreness
         mp = mm.merge(ph[["lat", "lon", "core"]],
                       left_on=["lat_a", "lon_a"], right_on=["lat", "lon"])
@@ -7634,24 +7579,71 @@ def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
     # CC edges: stars (already both directions) + core-core rep pairs
     # (the reverse direction arrives from the partner position's own
     # home bucket — rep choice is position-deterministic)
-    cc_edges = (stars.map_batches(lambda df: pd.DataFrame({
-                    "src": df.a.to_numpy(np.int64),
-                    "node": df.b.to_numpy(np.int64)}),
-                    batch_format="pandas")
-                .union(flagged.filter(expr="kind == 2").map_batches(
-                    lambda df: pd.DataFrame({
-                        "src": df.a.to_numpy(np.int64),
-                        "node": df.b.to_numpy(np.int64)}),
-                    batch_format="pandas"))
-                .materialize())
-    n_cc_edges = cc_edges.count()
+    # CC over the CONTRACTED rep graph. The rep-pair edge set is bounded
+    # by occupied fine cells x <=14 neighbor cells — a function of the
+    # DOMAIN, not the row count (the tile-census argument) — so it
+    # coalesces into ONE task running union-find in memory; per-POINT
+    # graphs must instead use the distributed _cc_label_prop loop (the
+    # doc_dup_clusters path). Isolated core positions never appear in an
+    # edge; their label defaults to their own rep downstream.
+    def cc_task(df: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
 
-    init = core_tbl.filter(expr="flag == True").map_batches(
-        lambda df: pd.DataFrame({"node": df.a.to_numpy(np.int64),
-                                 "lbl": df.a.to_numpy(np.int64)}),
-        batch_format="pandas").materialize()
-    n_core = init.count()
-    labels = _cc_label_prop(init, cc_edges, n_core, n_cc_edges)
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(df.a.to_numpy(np.int64).tolist(),
+                        df.b.to_numpy(np.int64).tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min id becomes the root -> root IS the label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent.keys())
+        return pd.DataFrame({
+            "rep": np.array(nodes, dtype=np.int64),
+            "lbl": np.array([find(x) for x in nodes], dtype=np.int64)})
+
+    rep_lbl = (flagged.filter(expr="kind == 2")
+               .repartition(1)
+               .map_batches(cc_task, batch_format="pandas",
+                            batch_size=None)
+               .materialize())
+
+    # label-back: every core member meets its rep's cluster label in ONE
+    # rep-keyed bucketed merge; reps with no edge row label themselves
+    def star_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.b.to_numpy(np.int64),
+            "node": df.a.to_numpy(np.int64),
+            "lbl": np.full(len(df), -1, dtype=np.int64),
+            "bk": (df.b.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def replbl_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.rep.to_numpy(np.int64),
+            "node": np.full(len(df), -1, dtype=np.int64),
+            "lbl": df.lbl.to_numpy(np.int64),
+            "bk": (df.rep.to_numpy(np.int64) % pbk).astype(np.int64)})
+
+    def label_back(g: pd.DataFrame) -> pd.DataFrame:
+        lbls = g.loc[g.node < 0, ["key", "lbl"]]
+        mem = g.loc[g.node >= 0, ["key", "node"]]
+        m = mem.merge(lbls, on="key", how="left")
+        lbl = m.lbl.fillna(m.key).to_numpy(np.int64)  # isolated rep
+        return pd.DataFrame({"node": m.node.to_numpy(np.int64),
+                             "lbl": lbl})
+
+    labels = (stars.map_batches(star_rows, batch_format="pandas")
+              .union(rep_lbl.map_batches(replbl_rows,
+                                         batch_format="pandas"))
+              .groupby("bk").map_groups(label_back, batch_format="pandas")
+              .materialize())
 
     # border attachment: candidates meet labels in b-keyed buckets;
     # per-bucket PARTIAL mins (a's core neighbors scatter across
@@ -7963,3 +7955,51 @@ def geo_contour_lines(sf_dir: str):
     return rd.from_items([{"level": lv} for lv in levels],
                          override_num_blocks=len(levels)) \
         .map_batches(per_level, batch_format="pandas")
+
+
+def geo_emerging_hotspots(sf_dir: str):
+    """Emerging-hotspot analysis (the ArcGIS space-time-cube primitive):
+    per census tile, the Mann-Kendall trend statistic of the DAILY point
+    count over the corpus' full [min_day, max_day] range (missing days
+    count 0):  S = Σ_{i<j} sign(n_j − n_i)  — S > 0 marks a growing
+    (emerging) hotspot, S < 0 a cooling one. Integer-only → hash-exact
+    vs the SQL oracle. Output (tile_x, tile_y, n_events, mk_s, trend).
+
+    Scale shape: ONE pre-aggregated (tile, day) census exchange (bounded
+    by tiles × days — domain × span, not rows), an O(1) day-range
+    aggregate broadcast as two scalars, then a per-tile vectorized
+    sign-matrix reduction over the dense day vector (days are bounded by
+    the time span; the quadratic term is span², never rows)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "tile_x": ((eid // 7) % 4300) // 50,
+            "tile_y": (eid % 2900) // 50,
+            "day": _epoch_us(df.ts) // DAY_US})
+
+    cen = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                  ["tile_x", "tile_y", "day"],
+                  [("n", None, "count")]).materialize()
+    d0 = int(cen.min("day"))
+    d1 = int(cen.max("day"))
+    ndays = d1 - d0 + 1
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        dense = np.zeros(ndays, dtype=np.int64)
+        dense[g.day.to_numpy(np.int64) - d0] = g.n.to_numpy(np.int64)
+        diff = np.sign(dense[None, :] - dense[:, None])
+        s = int(np.triu(diff, 1).sum())
+        return pd.DataFrame({
+            "tile_x": g.tile_x.to_numpy(np.int64)[:1],
+            "tile_y": g.tile_y.to_numpy(np.int64)[:1],
+            "n_events": np.array([g.n.sum()], dtype=np.int64),
+            "mk_s": np.array([s], dtype=np.int64),
+            "trend": np.array(["up" if s > 0 else
+                               ("down" if s < 0 else "flat")],
+                              dtype=object)})
+
+    return cen.groupby(["tile_x", "tile_y"]).map_groups(
+        mk, batch_format="pandas")
