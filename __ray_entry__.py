@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions": Q.events_markov_transitions,  # new r4d
         "geo_user_paths": Q.geo_user_paths,  # new r4d (trajectory stats)
         "geo_emerging_hotspots": Q.geo_emerging_hotspots,  # new r4d (Mann-Kendall space-time)
+        "events_cusum_changepoint": Q.events_cusum_changepoint,  # new r4d
         "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
         "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
         "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
@@ -107,8 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
         "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
         "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
-        "events_nearest_error": Q.events_nearest_error,  # new r4 (1-D PBSM)
         # ================= end of the 50-entry sweep window ===============
+        "events_nearest_error": Q.events_nearest_error,  # SQL-oracled; rotated out for events_cusum_changepoint (sweep-checked locally at 3 sfs)
         "doc_decontaminate": Q.doc_decontaminate,  # SQL-oracled; rotated out for geo_emerging_hotspots (sweep-checked locally at 3 sfs)
         "sample_weighted": Q.sample_weighted,  # driver-green in r03; rotated out for geo_user_paths
         # rows-only + pytest-pinned (first two also BENCH-tracked per round —

@@ -156,3 +156,41 @@ def test_chunk_overlap_invariants(lens, window, stride):
             assert (toks[:-1] == w).all()
         if ni <= window:
             assert c == 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=10.0,
+                          allow_nan=False, width=32),
+                min_size=25, max_size=25),
+       st.floats(min_value=0.05, max_value=9.95, allow_nan=False))
+def test_marching_squares_invariants(vals, level):
+    """Marching squares on ANY 5×5 grid: (1) every emitted endpoint lies
+    on a cell edge where the linear interpolation equals the level —
+    re-evaluating the 1-D interpolation at the endpoint recovers the
+    level; (2) segment endpoints stay inside the grid; (3) segments per
+    quad ≤ 2."""
+    from tiff_enrichment_pipeline_ray.functions.raster import (
+        contour_segments,
+    )
+
+    z = np.array(vals, dtype=np.float64).reshape(5, 5)
+    x0, y0, x1, y1 = contour_segments(z, level)
+    for xs, ys in ((x0, y0), (x1, y1)):
+        assert ((xs >= 0) & (xs <= 4) & (ys >= 0) & (ys <= 4)).all()
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            # endpoint is on a grid edge: one coordinate integral
+            fx, fy = x - np.floor(x), y - np.floor(y)
+            assert fx == 0.0 or fy == 0.0
+            if fx != 0.0 or fy != 0.0:
+                # strictly interior to an edge: interpolate the two
+                # nodes it lies between and recover the level
+                if fx != 0.0:
+                    r, c = int(y), int(np.floor(x))
+                    v0, v1 = z[r, c], z[r, c + 1]
+                    t = fx
+                else:
+                    r, c = int(np.floor(y)), int(x)
+                    v0, v1 = z[r, c], z[r + 1, c]
+                    t = fy
+                assert np.isclose(v0 + t * (v1 - v0), level, atol=1e-9)
+    assert len(x0) <= 2 * 16  # <= 2 segments per quad

@@ -149,6 +149,9 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            # round 4d: space-time Mann-Kendall emerging hotspots
            # (integer-only)
            "geo_emerging_hotspots",
+           # round 4d: CUSUM change point (bit-identical left-to-right
+           # cumulation both engines)
+           "events_cusum_changepoint",
            # round 4: span-REMOVAL accounting (interval union per doc)
            "doc_substring_dedup_tokens",
            # round 4: radius-bounded kNN join + per-doc TF-IDF top terms

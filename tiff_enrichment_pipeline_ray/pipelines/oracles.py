@@ -2313,3 +2313,42 @@ FROM s JOIN (SELECT tile_x, tile_y, sum(n) AS n_events FROM c
              GROUP BY tile_x, tile_y) t
   ON t.tile_x = s.tile_x AND t.tile_y = s.tile_y
 """
+
+
+# CUSUM change point per type over dense daily counts: the window
+# cumulative sum evaluates left-to-right with the same operands as the
+# engine's np.cumsum -> bit-identical partial sums; first-day tie-break.
+ORACLES["events_cusum_changepoint"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wr AS (
+  SELECT unnest(range((SELECT min(day) FROM c),
+                      (SELECT max(day) FROM c) + 1)) AS day
+),
+types AS (SELECT DISTINCT event_type FROM c),
+d AS (
+  SELECT t.event_type, w.day, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN wr w
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = w.day
+),
+m AS (
+  SELECT event_type,
+         CAST(sum(n) AS DOUBLE) / count(*) AS xbar
+  FROM d GROUP BY event_type
+),
+cu AS (
+  SELECT d.event_type, d.day,
+         sum(d.n - m.xbar) OVER (PARTITION BY d.event_type
+                                 ORDER BY d.day) AS cum,
+         m.xbar
+  FROM d JOIN m USING (event_type)
+)
+SELECT event_type, CAST(day AS BIGINT) AS cp_day,
+       round(cum, 6) AS cusum_at_cp, round(xbar, 6) AS mean_daily
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cum) DESC, day) AS rn
+      FROM cu)
+WHERE rn = 1
+"""

@@ -8003,3 +8003,48 @@ def geo_emerging_hotspots(sf_dir: str):
 
     return cen.groupby(["tile_x", "tile_y"]).map_groups(
         mk, batch_format="pandas")
+
+
+def events_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point detection per event type: over the dense daily
+    count series (missing days = 0), C_t = Σ_{i<=t}(n_i − n̄); the
+    change point is the day maximizing |C_t| (first day on ties) — the
+    classic Page/Pettitt-style level-shift locator a monitoring pipeline
+    runs over event volumes. Output (event_type, cp_day, cusum_at_cp
+    round-6, mean_daily round-6).
+
+    Exactness: both engines cumulate LEFT-TO-RIGHT over the identical
+    dense day order with identical operands (n̄ is one divide of exact
+    integers), so the partial sums are bit-identical doubles — the
+    argmax tie-break is therefore deterministic on both sides.
+
+    Scale shape: one (type, day) pre-aggregated census exchange bounded
+    by |types| × span; per-type dense vectors bounded by the time span,
+    reduced vectorized."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df.event_type.to_numpy(object),
+                             "day": _epoch_us(df.ts) // DAY_US})
+
+    cen = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                  ["event_type", "day"], [("n", None, "count")]).materialize()
+    d0 = int(cen.min("day"))
+    d1 = int(cen.max("day"))
+    ndays = d1 - d0 + 1
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        dense = np.zeros(ndays, dtype=np.int64)
+        dense[g.day.to_numpy(np.int64) - d0] = g.n.to_numpy(np.int64)
+        xbar = dense.sum() / np.float64(ndays)
+        cum = np.cumsum(dense.astype(np.float64) - xbar)
+        i = int(np.argmax(np.abs(cum)))  # first max on ties
+        return pd.DataFrame({
+            "event_type": g.event_type.to_numpy(object)[:1],
+            "cp_day": np.array([d0 + i], dtype=np.int64),
+            "cusum_at_cp": np.array([round(float(cum[i]), 6)]),
+            "mean_daily": np.array([round(float(xbar), 6)])})
+
+    return cen.groupby("event_type").map_groups(cusum,
+                                                batch_format="pandas")
