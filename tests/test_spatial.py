@@ -459,3 +459,64 @@ class TestContours:
         # may legitimately be empty
         assert (df.n_segments[df.level <= 260] > 0).all()
         assert (df.total_len_km[df.level <= 260] > 0).all()
+
+
+class TestRasterize:
+    """_rasterize_rows on crafted rectangles: exact cell counts/areas."""
+
+    def test_rectangle_exact_cells(self):
+        from tiff_enrichment_pipeline_ray.functions.geo import (
+            meters_per_degree,
+        )
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _rasterize_rows,
+        )
+
+        # axis-aligned rectangle covering cell centers x in [2,5],
+        # y in [1,3] of a res=1 grid anchored at (0,0): center (c+0.5,
+        # r+0.5) inside (1.9, 0.9)-(5.6, 3.6) <=> c in {2..5}, r in {1..3}
+        rect = [np.array([[1.9, 0.9], [5.6, 0.9], [5.6, 3.6], [1.9, 3.6]])]
+        idx = PolygonIndex(rect, ids=np.array([7]))
+        classes = np.array(["crop"], dtype=object)
+        df = _rasterize_rows(idx, classes, 0.0, 0.0, 1.0, 8,
+                             np.arange(6))
+        got = dict(zip(df.landcover_class, df.n_cells))
+        assert got["crop"] == 4 * 3
+        assert got["none"] == 8 * 6 - 12
+        # area: sum over the 3 covered rows of 4 * cell_area(lat_row)
+        want = 0.0
+        for r in (1, 2, 3):
+            m_lon, m_lat = meters_per_degree(np.array([r + 0.5]))
+            want += 4 * float(m_lon[0]) * float(m_lat[0])
+        area = float(df.loc[df.landcover_class == "crop", "area_m2"].iloc[0])
+        assert np.isclose(area, want, rtol=1e-12)
+
+    def test_overlap_min_id_rule(self):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _rasterize_rows,
+        )
+
+        # two overlapping rectangles; the smaller polygon_id wins
+        rects = [np.array([[0.2, 0.2], [3.8, 0.2], [3.8, 3.8], [0.2, 3.8]]),
+                 np.array([[1.8, 1.8], [5.8, 1.8], [5.8, 5.8], [1.8, 5.8]])]
+        idx = PolygonIndex(rects, ids=np.array([5, 9]))
+        classes = np.array(["water", "urban"], dtype=object)
+        df = _rasterize_rows(idx, classes, 0.0, 0.0, 1.0, 7,
+                             np.arange(7))
+        got = dict(zip(df.landcover_class, df.n_cells))
+        # id 5 region: centers (0.5..3.5)^2 = 16 cells (wins overlaps);
+        # id 9 exclusive: centers in [2.5..5.5]^2 minus the 2x2 overlap
+        assert got["water"] == 16
+        assert got["urban"] == 16 - 4
+
+    def test_corpus_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.geo_rasterize_landcover("/root/testdata/sf0.001").to_pandas()
+        # every cell tabulated exactly once (grid dims from the tile set)
+        el = synth.gen_elevation_tiles()
+        ntiles = len(el["tile_id"])
+        assert int(df.n_cells.sum()) == ntiles * 128 * 128
+        assert (df.area_km2 > 0).all()
+        assert "none" in set(df.landcover_class)
+        assert len(df) >= 3

@@ -8048,3 +8048,98 @@ def events_cusum_changepoint(sf_dir: str):
 
     return cen.groupby("event_type").map_groups(cusum,
                                                 batch_format="pandas")
+
+
+def _rasterize_rows(idx, classes: np.ndarray, lat0: float, lon0: float,
+                    res: float, ncols: int, rows: np.ndarray):
+    """Burn the polygon layer into a band of raster rows: classify every
+    cell CENTER via the STRtree PolygonIndex (min-polygon_id ties — the
+    PIP join's documented rule) and tabulate (class, n_cells, area_m2)
+    partials for the band; cell areas shrink with cos(latitude). Cells
+    inside no polygon tabulate as 'none'."""
+    from ..functions import geo as G
+
+    lons = lon0 + (np.arange(ncols, dtype=np.float64) + 0.5) * res
+    out = {}
+    for r in rows.tolist():
+        lat = lat0 + (r + 0.5) * res
+        pos = idx.join(np.full(ncols, lat), lons)
+        cls = np.where(pos >= 0, classes[np.clip(pos, 0, None)], "none")
+        m_lon, m_lat = G.meters_per_degree(np.array([lat]))
+        cell_area = float(m_lon[0]) * res * float(m_lat[0]) * res
+        u, c = np.unique(cls, return_counts=True)
+        for k, n in zip(u.tolist(), c.tolist()):
+            cells, area = out.get(k, (0, 0.0))
+            out[k] = (cells + n, area + n * cell_area)
+    return pd.DataFrame({
+        "landcover_class": np.array(list(out.keys()), dtype=object),
+        "n_cells": np.array([v[0] for v in out.values()], dtype=np.int64),
+        "area_m2": np.array([v[1] for v in out.values()])})
+
+
+def geo_rasterize_landcover(sf_dir: str):
+    """Vector→raster: rasterize the landcover polygon layer onto the
+    elevation grid's cell lattice (gdal_rasterize + 'tabulate area'):
+    every 1/240° cell center is classified by the broadcast STRtree
+    polygon index and per-class cell counts / areas are tabulated — the
+    inverse of geo_contour_lines' raster→vector and the areal ground
+    truth behind zonal_stats_landcover. Output (landcover_class,
+    n_cells, area_km2 round-4), 'none' = cells outside every polygon.
+
+    Scale shape: the polygon index is ONE broadcast (ray.put once,
+    worker-side cache); raster ROWS fan out as a tiny Dataset so bands
+    of rows rasterize as parallel tasks (each a vectorized row-at-a-time
+    PIP join); per-class partials reduce through one |classes|-bounded
+    exchange. Rows-only vs the driver (the polygon layer is not
+    SQL-visible); the row kernel is pinned by
+    tests/test_spatial.py::TestRasterize crafted rectangles (exact cell
+    counts and areas), the PIP join itself by TestPIP brute-force."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.pip import PolygonIndex
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    lc = layers["landcover"]
+    idx = PolygonIndex(lc["rings"], ids=lc["polygon_id"])
+    # classes aligned to polygon POSITIONS (join returns positions)
+    classes = np.asarray(lc["class"], dtype=object)
+    el = layers["elevation"]
+    res = float(np.asarray(el["res_deg"])[0])
+    lat0 = float(np.asarray(el["min_lat"]).min())
+    lon0 = float(np.asarray(el["min_lon"]).min())
+    tny = int(np.asarray(el["ny"])[0])
+    tnx = int(np.asarray(el["nx"])[0])
+    ty = np.rint((np.asarray(el["min_lat"]) - lat0) / (res * tny))
+    tx = np.rint((np.asarray(el["min_lon"]) - lon0) / (res * tnx))
+    nrows = (int(ty.max()) + 1) * tny
+    ncols = (int(tx.max()) + 1) * tnx
+    ref = ray.put((idx, classes))
+    cache = {}
+    band = 64  # rows per task
+    starts = list(range(0, nrows, band))
+
+    def burn(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if "i" not in cache:
+            cache["i"] = ray.get(_ref)
+        index, cls = cache["i"]
+        frames = [_rasterize_rows(index, cls, lat0, lon0, res, ncols,
+                                  np.arange(s, min(s + band, nrows)))
+                  for s in df.start.tolist()]
+        return pd.concat(frames, ignore_index=True)
+
+    part = rd.from_items([{"start": s} for s in starts],
+                         override_num_blocks=len(starts)) \
+        .map_batches(burn, batch_format="pandas")
+    agg = _preagg(part, ["landcover_class"],
+                  [("n_cells", "n_cells", "sum"), ("area", "area_m2", "sum")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "landcover_class": df.landcover_class.to_numpy(object),
+            "n_cells": df.n_cells.to_numpy(np.int64),
+            "area_km2": np.round(df.area.to_numpy(np.float64) / 1e6, 4)})
+
+    return agg.map_batches(finish, batch_format="pandas")
