@@ -34,23 +34,24 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-4 window = (a) the nine round-4c additions (chunker,
-    Z-order layout, overview pyramid, PCA projection, record breakers,
-    IDW interpolation, seeded shuffle, mixture interleave, spatial CV
-    split); (b) queries added/changed earlier this round — the fixed
-    ``doc_source_token_budget`` (r03's one red: oracle HUGEINT→float64
-    cast artifact), the round-4a spatial/text additions, and the six
-    whose implementations were REDESIGNED for the near-dup claw-back /
-    vectorized token partials; (c) the round-3 additions that registered
-    behind the r03 window; (d) the round-4b block (graph / profile /
-    chips / funnel / …) plus ``sample_weighted`` — none of which has a
-    driver row in r01∪r02∪r03. Rotated just past the marker to make room
-    for the SQL-exact 4c additions: four ROWS-ONLY queries whose
-    exactness is pytest-pinned anyway (pair-set-equality / PNG oracles).
-    The r01/r02-green TPC-H backlog and every family swept green in
-    CORRECTNESS_r03 rotate BEHIND the window (their green rows stay the
-    evidence); the only never-checked entries left outside are rows-only
-    and pytest-pinned — first in line for round 5."""
+    ones. Round-4 window = (a) the SQL-exact round-4d additions (the
+    ESDA family — Gi*, local/global Moran — focal density smoothing,
+    Markov transitions, trajectory stats, Mann-Kendall emerging
+    hotspots, CUSUM change point); (b) the round-4c additions (chunker,
+    Z-order layout, record breakers, IDW interpolation, seeded shuffle,
+    mixture interleave, spatial CV split); (c) queries added/changed
+    earlier this round — the fixed ``doc_source_token_budget``, the
+    round-4a spatial/text additions, and the six REDESIGNED for the
+    near-dup claw-back / vectorized token partials; (d) the round-3 and
+    round-4b blocks with no driver row in r01∪r02∪r03. Rotated just
+    past the marker to make room: ROWS-ONLY queries whose exactness is
+    pytest-pinned anyway (several also BENCH-tracked per round, so their
+    running is evidenced by BENCH_r4), plus two SQL-oracled entries
+    (``doc_decontaminate``, ``events_nearest_error``) and r03-green
+    ``sample_weighted`` — all swept green locally at sf0.001/0.01/0.1
+    (tools/minidriver.py), first in line for round 5. The r01/r02-green
+    TPC-H backlog and every family swept green in CORRECTNESS_r03 rotate
+    BEHIND the window (their green rows stay the evidence)."""
     return {
         # --- sweep window: added/changed round 4 -------------------------
         "geo_getis_hotspots": Q.geo_getis_hotspots,  # new r4d (Gi* hotspots)
