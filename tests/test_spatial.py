@@ -520,3 +520,59 @@ class TestRasterize:
         assert (df.area_km2 > 0).all()
         assert "none" in set(df.landcover_class)
         assert len(df) >= 3
+
+
+class TestLineOfSight:
+    """_los_pairs on crafted terrains: flat -> all visible with exact
+    clearance; a plateau wall -> blocked with exact obstruction."""
+
+    @staticmethod
+    def _grid(z2d, res=0.01):
+        ny, nx = z2d.shape
+        return ElevationGrid({
+            "tile_id": np.array([0]),
+            "min_lon": np.array([0.0]), "min_lat": np.array([0.0]),
+            "res_deg": np.array([res]),
+            "nx": np.array([nx], dtype=np.int32),
+            "ny": np.array([ny], dtype=np.int32),
+            "data": [z2d.astype("<f4").tobytes()]})
+
+    def test_flat_all_visible(self):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _los_pairs,
+        )
+
+        eg = self._grid(np.zeros((64, 64)))
+        vis, obst = _los_pairs(eg, np.array([0.1, 0.2]),
+                               np.array([0.1, 0.1]),
+                               np.array([0.5, 0.55]),
+                               np.array([0.6, 0.2]))
+        assert vis.all()
+        # flat terrain, 10 m masts: obstruction is exactly -10 everywhere
+        assert np.allclose(obst, -10.0)
+
+    def test_wall_blocks_with_exact_obstruction(self):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _los_pairs,
+        )
+
+        z = np.zeros((64, 64))
+        z[:, 28:36] = 100.0  # plateau wall across the middle columns
+        eg = self._grid(z)
+        # endpoints on flat ground either side, same latitude row
+        vis, obst = _los_pairs(eg, np.array([0.3]), np.array([0.05]),
+                               np.array([0.3]), np.array([0.59]))
+        assert not vis[0]
+        # interior samples land on the plateau INTERIOR (bilinear = 100
+        # exactly); the sight line sits at 10 m -> obstruction 90
+        assert np.isclose(obst[0], 90.0)
+
+    def test_corpus_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.geo_line_of_sight("/root/testdata/sf0.001").to_pandas()
+        n = len(synth.gen_stations()["lat"])
+        assert len(df) == n * (n - 1) // 2
+        assert df.sid_a.nunique() == n - 1
+        # the synthetic terrain has relief: both outcomes occur
+        assert 0 < int(df.visible.sum()) < len(df)

@@ -8143,3 +8143,83 @@ def geo_rasterize_landcover(sf_dir: str):
             "area_km2": np.round(df.area.to_numpy(np.float64) / 1e6, 4)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def _los_pairs(eg, alat, alon, blat, blon, mast_m: float = 10.0,
+               nsamp: int = 128):
+    """Vectorized line-of-sight over a terrain raster for PAIRS of
+    endpoints: the sight line runs from (terrain_a + mast) to
+    (terrain_b + mast); the pair is visible iff no interior sample's
+    terrain rises above the line. Interior samples at t = k/nsamp,
+    k = 1..nsamp−1, bilinear terrain; returns (visible bool,
+    max_obstruction_m float — negative = clearance)."""
+    t = (np.arange(1, nsamp, dtype=np.float64) / nsamp)[None, :]
+    lats = alat[:, None] * (1.0 - t) + blat[:, None] * t
+    lons = alon[:, None] * (1.0 - t) + blon[:, None] * t
+    terr = eg.sample(lats, lons)
+    za = eg.sample(alat, alon) + mast_m
+    zb = eg.sample(blat, blon) + mast_m
+    sight = za[:, None] * (1.0 - t) + zb[:, None] * t
+    obst = np.nanmax(terr - sight, axis=1)
+    return obst < 0.0, obst
+
+
+def geo_line_of_sight(sf_dir: str):
+    """Station-to-station line-of-sight over the terrain raster (the
+    viewshed/radio-planning primitive: which sensor pairs can see each
+    other with 10 m masts): all unordered station pairs, 127 bilinear
+    terrain samples along each sight line. Output (sid_a, sid_b,
+    visible, max_obstruction_m round-2; negative = clearance margin).
+
+    Scale shape: the terrain raster and station layer are ONE broadcast
+    (ray.put once, worker cache); pairs are LAYER-sized (n_stations²/2,
+    bounded like the layer itself), fanned out per a-station so the
+    sampling matrices stay batch-shaped. At corpus-scale pair counts
+    the same kernel runs over a PBSM-bucketed pair Dataset — documented
+    path. Rows-only vs the driver (raster not SQL-visible); kernel
+    pinned by tests/test_spatial.py::TestLineOfSight crafted flat/wall
+    terrains with exact obstruction values."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.raster import ElevationGrid
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    st = layers["stations"]
+    eg = ElevationGrid(layers["elevation"])
+    ref = ray.put((eg, np.asarray(st["station_id"], dtype=object),
+                   np.asarray(st["lat"], dtype=np.float64),
+                   np.asarray(st["lon"], dtype=np.float64)))
+    n = len(st["lat"])
+    cache = {}
+
+    def per_a(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if "l" not in cache:
+            cache["l"] = ray.get(_ref)
+        g, sid, slat, slon = cache["l"]
+        frames = []
+        for a in df.a.tolist():
+            b = np.arange(a + 1, n)
+            if not len(b):
+                continue
+            vis, obst = _los_pairs(
+                g, np.full(len(b), slat[a]), np.full(len(b), slon[a]),
+                slat[b], slon[b])
+            frames.append(pd.DataFrame({
+                "sid_a": np.repeat(sid[a], len(b)),
+                "sid_b": sid[b],
+                "visible": vis,
+                "max_obstruction_m": np.round(obst, 2)}))
+        if not frames:
+            return pd.DataFrame({
+                "sid_a": pd.Series([], dtype=object),
+                "sid_b": pd.Series([], dtype=object),
+                "visible": pd.Series([], dtype=bool),
+                "max_obstruction_m": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return rd.from_items([{"a": i} for i in range(n)],
+                         override_num_blocks=min(n, 32)) \
+        .map_batches(per_a, batch_format="pandas")
