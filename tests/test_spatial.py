@@ -576,3 +576,54 @@ class TestLineOfSight:
         assert df.sid_a.nunique() == n - 1
         # the synthetic terrain has relief: both outcomes occur
         assert 0 < int(df.visible.sum()) < len(df)
+
+
+class TestFlow:
+    """D8 direction + accumulation closed-form goldens."""
+
+    def test_column_ramp(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            flow_accumulation,
+            flow_d8,
+        )
+
+        z = np.tile((np.arange(10)[::-1])[:, None].astype(float), (1, 4))
+        acc = flow_accumulation(flow_d8(z), z.shape)
+        for r in range(10):
+            assert (acc[r] == r + 1).all()
+
+    def test_v_valley(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            flow_accumulation,
+            flow_d8,
+        )
+
+        yy, xx = np.mgrid[0:6, 0:5]
+        z = np.abs(xx - 2) * 1.0 + (5 - yy) * 0.4
+        acc = flow_accumulation(flow_d8(z), z.shape)
+        # center column drains both flanks: 5 cells per row, cumulative
+        assert (acc[:, 2] == 5 * np.arange(1, 7)).all()
+        assert (acc[:, [0, 4]] == 1).all()
+        assert (acc[:, [1, 3]] == 2).all()
+
+    def test_pit_and_flat(self):
+        from tiff_enrichment_pipeline_ray.functions.raster import (
+            flow_accumulation,
+            flow_d8,
+        )
+
+        flat = np.zeros((4, 4))
+        recv = flow_d8(flat)
+        assert (recv == -1).all()
+        acc = flow_accumulation(recv, flat.shape)
+        assert (acc == 1.0).all()
+
+    def test_corpus_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.geo_flow_accumulation("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 20
+        assert (df["rank"] == np.arange(1, 21)).all()
+        assert df.flow_cells.is_monotonic_decreasing
+        # real drainage: outlets accumulate far more than one cell
+        assert int(df.flow_cells.iloc[0]) > 100

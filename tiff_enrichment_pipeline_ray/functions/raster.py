@@ -258,3 +258,58 @@ def contour_segments(grid, level: float):
         return e, e.copy(), e.copy(), e.copy()
     s = np.concatenate(seg, axis=0)
     return s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+
+
+_D8_OFF = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                    (0, 1), (1, -1), (1, 0), (1, 1)], dtype=np.int64)
+_D8_DIST = np.array([np.sqrt(2.0), 1.0, np.sqrt(2.0), 1.0,
+                     1.0, np.sqrt(2.0), 1.0, np.sqrt(2.0)])
+
+
+def flow_d8(grid):
+    """D8 flow direction (O'Callaghan & Mark 1984): every cell drains to
+    the neighbor with the steepest positive drop/distance (distance √2
+    on diagonals); ties resolve to the FIRST direction in the fixed
+    (NW,N,NE,W,E,SW,S,SE) order; cells with no lower neighbor (pits,
+    flats, and anything draining off-grid) get −1. Returns an int64
+    array of flat receiver indices (r*ncols + c)."""
+    z = np.asarray(grid, dtype=np.float64)
+    ny, nx = z.shape
+    pad = np.pad(z, 1, mode="constant", constant_values=np.inf)
+    best_slope = np.zeros((ny, nx))
+    best_dir = np.full((ny, nx), -1, dtype=np.int64)
+    for k, ((dr, dc), dist) in enumerate(zip(_D8_OFF, _D8_DIST)):
+        nb = pad[1 + dr:1 + dr + ny, 1 + dc:1 + dc + nx]
+        slope = (z - nb) / dist
+        take = slope > best_slope  # strict: ties keep the earlier k
+        best_slope = np.where(take, slope, best_slope)
+        best_dir = np.where(take, k, best_dir)
+    rr, cc = np.meshgrid(np.arange(ny, dtype=np.int64),
+                         np.arange(nx, dtype=np.int64), indexing="ij")
+    recv = np.full((ny, nx), -1, dtype=np.int64)
+    has = best_dir >= 0
+    dr = np.where(has, _D8_OFF[np.clip(best_dir, 0, 7), 0], 0)
+    dc = np.where(has, _D8_OFF[np.clip(best_dir, 0, 7), 1], 0)
+    recv = np.where(has, (rr + dr) * nx + (cc + dc), -1)
+    return recv
+
+
+def flow_accumulation(recv, shape):
+    """Upstream cell count per cell (self included) for a D8 receiver
+    field: since every cell has at most ONE outflow, the drainage graph
+    is a forest, so the fixpoint of acc = 1 + Σ donors' acc converges in
+    max-flow-length iterations, each a vectorized scatter-add. Returns
+    float64 (ny, nx)."""
+    ny, nx = shape
+    r = np.asarray(recv, dtype=np.int64).ravel()
+    ok = r >= 0
+    src = np.flatnonzero(ok)
+    dst = r[ok]
+    acc = np.ones(ny * nx)
+    for _ in range(ny * nx):  # bounded; breaks at fixpoint
+        nxt = np.ones(ny * nx)
+        np.add.at(nxt, dst, acc[src])
+        if np.array_equal(nxt, acc):
+            break
+        acc = nxt
+    return acc.reshape(ny, nx)

@@ -8223,3 +8223,51 @@ def geo_line_of_sight(sf_dir: str):
     return rd.from_items([{"a": i} for i in range(n)],
                          override_num_blocks=min(n, 32)) \
         .map_batches(per_a, batch_format="pandas")
+
+
+def geo_flow_accumulation(sf_dir: str, topk: int = 20):
+    """D8 hydrological flow accumulation over the terrain raster
+    (O'Callaghan & Mark 1984 — the gdaldem/ArcGIS Flow Accumulation
+    primitive): every cell drains to its steepest-descent neighbor; the
+    accumulation field counts upstream cells; the top-k cells are the
+    drainage outlets (where the synthetic rivers run). Output (rank,
+    lat, lon, flow_cells, elev_m round-2), rank by (accumulation DESC,
+    flat cell index) — fully deterministic.
+
+    Scale shape: the raster is domain-bounded (the tile-census
+    argument), so direction + accumulation run vectorized in ONE task
+    (the fixpoint is max-flow-length scatter-add rounds over a forest —
+    each cell has one outflow); only k rows leave it. Planetary rasters
+    tile with halo exchange per fixpoint round — documented path.
+    Rows-only; kernels pinned by tests/test_spatial.py::TestFlow (ramp
+    and V-valley closed forms)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.raster import (
+        ElevationGrid,
+        flow_accumulation,
+        flow_d8,
+    )
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    eg = ElevationGrid(layers["elevation"])
+    ref = ray.put((eg.grid.astype(np.float32), eg.lat0, eg.lon0, eg.res))
+
+    def compute(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        grid, lat0, lon0, res = ray.get(_ref)
+        z = grid.astype(np.float64)
+        acc = flow_accumulation(flow_d8(z), z.shape).ravel()
+        order = np.lexsort((np.arange(len(acc)), -acc))[:topk]
+        r, c = order // z.shape[1], order % z.shape[1]
+        return pd.DataFrame({
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "lat": lat0 + (r + 0.5) * res,
+            "lon": lon0 + (c + 0.5) * res,
+            "flow_cells": acc[order].astype(np.int64),
+            "elev_m": np.round(z.ravel()[order], 2)})
+
+    return rd.from_items([{"go": 1}]).map_batches(compute,
+                                                  batch_format="pandas")
