@@ -627,3 +627,77 @@ class TestFlow:
         assert df.flow_cells.is_monotonic_decreasing
         # real drainage: outlets accumulate far more than one cell
         assert int(df.flow_cells.iloc[0]) > 100
+
+
+class TestKriging:
+    """Ordinary-kriging identities + independent per-point solve."""
+
+    @staticmethod
+    def _layer():
+        sid = np.arange(100, dtype=np.int64)
+        return (50.8 + ((sid * 37) % 270) / 100.0,
+                3.1 + ((sid * 73) % 410) / 100.0,
+                5.0 + ((sid * 13) % 70).astype(np.float64))
+
+    def test_exact_at_stations(self):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _krige_batch,
+            _krige_system,
+        )
+
+        slat, slon, sval = self._layer()
+        # duplicate-position stations make C singular; the synthetic
+        # layer has duplicates ((37,73) mod grid collides) — drop them
+        pos = {}
+        for i in range(100):
+            pos.setdefault((slat[i], slon[i]), i)
+        keep = np.array(sorted(pos.values()))
+        slat, slon, sval = slat[keep], slon[keep], sval[keep]
+        ainv = _krige_system(slat, slon)
+        est, var = _krige_batch(ainv, slat, slon, sval, slat, slon)
+        np.testing.assert_allclose(est, sval, atol=1e-6)
+        np.testing.assert_allclose(var, 0.0, atol=1e-6)
+
+    def test_weights_sum_one_and_independent_solve(self):
+        from tiff_enrichment_pipeline_ray.pipelines.queries import (
+            _krige_batch,
+            _krige_system,
+        )
+
+        slat, slon, sval = self._layer()
+        pos = {}
+        for i in range(100):
+            pos.setdefault((slat[i], slon[i]), i)
+        keep = np.array(sorted(pos.values()))
+        slat, slon, sval = slat[keep], slon[keep], sval[keep]
+        n = len(keep)
+        ainv = _krige_system(slat, slon)
+        rng = np.random.default_rng(7)
+        qlat = rng.uniform(50.8, 53.4, 20)
+        qlon = rng.uniform(3.1, 7.2, 20)
+        est, var = _krige_batch(ainv, slat, slon, sval, qlat, qlon)
+        # independent per-point solve (no precomputed inverse)
+        dlat = slat[:, None] - slat[None, :]
+        dlon = slon[:, None] - slon[None, :]
+        a = np.zeros((n + 1, n + 1))
+        a[:n, :n] = np.exp(-np.sqrt(1.8 * dlat**2 + dlon**2) / 0.5)
+        a[:n, n] = 1.0
+        a[n, :n] = 1.0
+        for i in range(20):
+            h = np.sqrt(1.8 * (qlat[i] - slat) ** 2
+                        + (qlon[i] - slon) ** 2)
+            rhs = np.concatenate([np.exp(-h / 0.5), [1.0]])
+            lam = np.linalg.solve(a, rhs)
+            assert np.isclose(lam[:n].sum(), 1.0, atol=1e-9)
+            assert np.isclose(est[i], lam[:n] @ sval, atol=1e-8)
+            assert np.isclose(var[i], 1.0 - lam @ rhs, atol=1e-8)
+        assert (var >= -1e-9).all()
+
+    def test_corpus_query(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        df = Q.geo_kriging_interpolate("/root/testdata/sf0.001") \
+            .to_pandas()
+        assert len(df) == 1000
+        assert df.kriged_value.between(4.0, 76.0).all()
+        assert (df.kriging_var >= 0).all()

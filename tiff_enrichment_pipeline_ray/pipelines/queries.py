@@ -8271,3 +8271,81 @@ def geo_flow_accumulation(sf_dir: str, topk: int = 20):
 
     return rd.from_items([{"go": 1}]).map_batches(compute,
                                                   batch_format="pandas")
+
+
+def _krige_system(slat: np.ndarray, slon: np.ndarray,
+                  vrange: float = 0.5):
+    """Ordinary-kriging system for the station layer under the
+    exponential covariance C(h) = exp(−h / range) with h the shared
+    scaled-euclidean metric: returns the inverse of the (n+1)×(n+1)
+    augmented matrix [[C, 1], [1ᵀ, 0]] (the Lagrange row enforcing
+    Σλ = 1). n is LAYER-sized, so the factorization is a one-time
+    driver/broadcast cost."""
+    dlat = slat[:, None] - slat[None, :]
+    dlon = slon[:, None] - slon[None, :]
+    h = np.sqrt(1.8 * dlat * dlat + dlon * dlon)
+    n = len(slat)
+    a = np.zeros((n + 1, n + 1))
+    a[:n, :n] = np.exp(-h / vrange)
+    a[:n, n] = 1.0
+    a[n, :n] = 1.0
+    return np.linalg.inv(a)
+
+
+def _krige_batch(ainv: np.ndarray, slat, slon, sval, qlat, qlon,
+                 vrange: float = 0.5):
+    """Vectorized ordinary kriging of a batch of query points: one
+    (batch × n+1) covariance matrix, one matmul against the broadcast
+    inverse; returns (estimate, kriging variance)."""
+    dlat = qlat[:, None] - slat[None, :]
+    dlon = qlon[:, None] - slon[None, :]
+    h = np.sqrt(1.8 * dlat * dlat + dlon * dlon)
+    n = len(slat)
+    k = np.empty((len(qlat), n + 1))
+    k[:, :n] = np.exp(-h / vrange)
+    k[:, n] = 1.0
+    lam = k @ ainv.T            # rows: [λ_1..λ_n, μ]
+    est = lam[:, :n] @ sval
+    var = 1.0 - (lam * k).sum(axis=1)  # C(0)=1 − λᵀk − μ·1
+    return est, var
+
+
+def geo_kriging_interpolate(sf_dir: str):
+    """Ordinary kriging (Matheron 1963 — the BLUE geostatistical
+    estimator, IDW's principled upgrade) of the synthetic station
+    values at every event point, with the kriging VARIANCE as the
+    uncertainty surface (what IDW cannot give): exponential covariance
+    C(h) = exp(−h/0.5) over the shared scaled-euclidean metric, exact
+    interpolator at the stations. Output (event_id, kriged_value
+    round-6, kriging_var round-6).
+
+    Scale shape: the (n+1)² system is LAYER-sized and inverted ONCE
+    (driver), then broadcast; each batch is one covariance matrix and
+    one matmul — zero exchanges, the IDW/kNN broadcast pattern.
+    Rows-only vs the driver (a matrix solve is not SQL); pinned by
+    tests/test_spatial.py::TestKriging — exactness at stations, Σλ = 1,
+    zero variance at stations, agreement with an independent per-point
+    np.linalg.solve."""
+    import ray
+
+    sid = np.arange(_N_SYN_STATIONS, dtype=np.int64)
+    slat = 50.8 + ((sid * 37) % 270) / 100.0
+    slon = 3.1 + ((sid * 73) % 410) / 100.0
+    sval = 5.0 + ((sid * 13) % 70).astype(np.float64)
+    ainv = _krige_system(slat, slon)
+    ref = ray.put((ainv, slat, slon, sval))
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+    cache = {}
+
+    def f(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        if "k" not in cache:
+            cache["k"] = ray.get(_ref)
+        a, la, lo, v = cache["k"]
+        p = _event_points(df)
+        est, var = _krige_batch(a, la, lo, v, p.lat.to_numpy(),
+                                p.lon.to_numpy())
+        return pd.DataFrame({"event_id": p.event_id.to_numpy(np.int64),
+                             "kriged_value": np.round(est, 6),
+                             "kriging_var": np.round(var, 6)})
+
+    return ev.map_batches(f, batch_format="pandas")
