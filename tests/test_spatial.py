@@ -701,3 +701,72 @@ class TestKriging:
         assert len(df) == 1000
         assert df.kriged_value.between(4.0, 76.0).all()
         assert (df.kriging_var >= 0).all()
+
+
+class TestDBSCANMultiplicity:
+    """At sf0.001 every derived position is unique (the slot-hash stride
+    is 7×144 = 1008 ids), so the sf0.001 brute test never exercises the
+    POSITION-CONTRACTION path (multiplicity sums, same-position stars).
+    sf0.01 has ~10 points per blob slot — this chunked brute compare
+    pins exactly that path."""
+
+    def test_brute_force_sf001(self, ray_session):
+        import collections
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        ids = np.asarray(pq.read_table(
+            "/root/testdata/sf0.01/events.parquet",
+            columns=["event_id"]).column(0).to_numpy(), dtype=np.int64)
+        lat, lon = Q._dbscan_points(ids)
+        # multiplicity MUST be present for this test to mean anything
+        mult = collections.Counter(
+            collections.Counter(zip(lat.tolist(), lon.tolist())).values())
+        assert max(mult) > 1, "no duplicate positions at sf0.01?"
+        n = len(ids)
+        e2 = np.float64(Q._DBS_EPS) * np.float64(Q._DBS_EPS)
+        nbr = np.zeros((n, n), dtype=bool)
+        for s in range(0, n, 1000):  # chunked O(n^2) predicate
+            sl = slice(s, min(s + 1000, n))
+            dlat = lat[sl, None] - lat[None, :]
+            dlon = lon[sl, None] - lon[None, :]
+            nbr[sl] = 1.8 * dlat * dlat + dlon * dlon <= e2
+        np.fill_diagonal(nbr, False)
+        k = nbr.sum(axis=1)
+        core = k + 1 >= Q._DBS_MIN_PTS
+        label = {}
+        seen = set()
+        for s in np.where(core)[0]:
+            if s in seen:
+                continue
+            comp, queue = [s], [s]
+            seen.add(s)
+            while queue:
+                u = queue.pop()
+                for v in np.where(nbr[u] & core)[0]:
+                    if v not in seen:
+                        seen.add(v)
+                        comp.append(v)
+                        queue.append(v)
+            lbl = int(min(ids[c] for c in comp))
+            for c in comp:
+                label[c] = lbl
+        rows = [(int(ids[c]), label[c], True) for c in np.where(core)[0]]
+        for i in range(n):
+            if core[i]:
+                continue
+            cn = np.where(nbr[i] & core)[0]
+            if len(cn):
+                rows.append((int(ids[i]), min(label[c] for c in cn),
+                             False))
+        want = (pd.DataFrame(rows, columns=["event_id", "cluster_id",
+                                            "is_core"])
+                .sort_values("event_id").reset_index(drop=True))
+        got = (Q.geo_dbscan_clusters("/root/testdata/sf0.01").to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["event_id", "cluster_id", "is_core"]].astype(
+                {"is_core": bool}), want, check_dtype=False)
