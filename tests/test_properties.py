@@ -194,3 +194,63 @@ def test_marching_squares_invariants(vals, level):
                     t = fy
                 assert np.isclose(v0 + t * (v1 - v0), level, atol=1e-9)
     assert len(x0) <= 2 * 16  # <= 2 segments per quad
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=100.0,
+                          allow_nan=False, width=16),
+                min_size=36, max_size=36))
+def test_flow_accumulation_mass_conservation(vals):
+    """D8 on ANY 6×6 terrain: every cell drains to at most one receiver
+    (a forest), so total mass is conserved — the accumulations of the
+    SINK cells (no receiver) sum to the cell count; every accumulation
+    is ≥ 1; receivers are strictly downhill."""
+    from tiff_enrichment_pipeline_ray.functions.raster import (
+        flow_accumulation,
+        flow_d8,
+    )
+
+    z = np.array(vals, dtype=np.float64).reshape(6, 6)
+    recv = flow_d8(z)
+    acc = flow_accumulation(recv, z.shape)
+    assert (acc >= 1.0).all()
+    sinks = recv.ravel() == -1
+    assert np.isclose(acc.ravel()[sinks].sum(), 36.0)
+    flat = z.ravel()
+    r = recv.ravel()
+    ok = r >= 0
+    assert (flat[r[ok]] < flat[np.flatnonzero(ok)]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=50.0,
+                          allow_nan=False, width=16),
+                min_size=64, max_size=64),
+       st.integers(min_value=5, max_value=55),
+       st.integers(min_value=5, max_value=55))
+def test_line_of_sight_symmetry(vals, ai, bi):
+    """LOS is symmetric: the interior samples of a→b are the reverse of
+    b→a and the sight line is the same chord, so visibility and max
+    obstruction are identical in both directions."""
+    from tiff_enrichment_pipeline_ray.functions.raster import (
+        ElevationGrid,
+    )
+    from tiff_enrichment_pipeline_ray.pipelines.queries import _los_pairs
+
+    z = np.array(vals, dtype=np.float64).reshape(8, 8)
+    eg = ElevationGrid({
+        "tile_id": np.array([0]),
+        "min_lon": np.array([0.0]), "min_lat": np.array([0.0]),
+        "res_deg": np.array([0.01]),
+        "nx": np.array([8], dtype=np.int32),
+        "ny": np.array([8], dtype=np.int32),
+        "data": [z.astype("<f4").tobytes()]})
+    # endpoints strictly inside the covered extent
+    alat, alon = 0.005 + ai * 0.001, 0.01
+    blat, blon = 0.005 + bi * 0.001, 0.07
+    v1, o1 = _los_pairs(eg, np.array([alat]), np.array([alon]),
+                        np.array([blat]), np.array([blon]))
+    v2, o2 = _los_pairs(eg, np.array([blat]), np.array([blon]),
+                        np.array([alat]), np.array([alon]))
+    assert v1[0] == v2[0]
+    assert np.isclose(o1[0], o2[0], atol=1e-9)
