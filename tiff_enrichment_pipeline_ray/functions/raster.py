@@ -286,7 +286,6 @@ def flow_d8(grid):
         best_dir = np.where(take, k, best_dir)
     rr, cc = np.meshgrid(np.arange(ny, dtype=np.int64),
                          np.arange(nx, dtype=np.int64), indexing="ij")
-    recv = np.full((ny, nx), -1, dtype=np.int64)
     has = best_dir >= 0
     dr = np.where(has, _D8_OFF[np.clip(best_dir, 0, 7), 0], 0)
     dc = np.where(has, _D8_OFF[np.clip(best_dir, 0, 7), 1], 0)
