@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_line_of_sight": Q.geo_line_of_sight,  # new r4d, rows-only (pytest crafted terrains)
         "geo_flow_accumulation": Q.geo_flow_accumulation,  # new r4d, rows-only (pytest closed forms)
         "geo_kriging_interpolate": Q.geo_kriging_interpolate,  # new r4d, rows-only (pytest kriging identities)
+        "geo_hillshade_render": Q.geo_hillshade_render,  # new r4d, rows-only (pytest kernel + roundtrip)
         "image_tile_chips": Q.image_tile_chips,
         "image_chip_stats": Q.image_chip_stats,  # rows-only (pytest brute-force oracle)
         "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate

@@ -271,3 +271,15 @@ class TestHeatmap:
         rgb = viz.apply_cmap(grid, "ryg", 0.0, float(v.max()))
         want = viz._LUTS["ryg"][255]
         assert (rgb[h - 1 - ty[i], tx[i]] == want).all()
+
+
+class TestHillshade:
+    def test_render(self, ray_session):
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+
+        row = Q.geo_hillshade_render("/root/testdata/sf0.001") \
+            .to_pandas().iloc[0]
+        assert row.width == 1152 and row.height == 768
+        # Lambertian mean over varied terrain sits near cos(zenith)
+        assert 0.3 < row.mean_shade < 0.95
+        assert row.png_len > 10_000

@@ -8349,3 +8349,47 @@ def geo_kriging_interpolate(sf_dir: str):
                              "kriging_var": np.round(var, 6)})
 
     return ev.map_batches(f, batch_format="pandas")
+
+
+def geo_hillshade_render(sf_dir: str):
+    """Hillshaded relief render of the terrain raster (the gdaldem
+    hillshade PNG — the base layer under every terrain map): Horn slope/
+    aspect → Lambertian shading (az 315°, alt 45°) → grayscale PNG via
+    the pure-numpy encoder. Output: one row (width, height, mean_shade
+    round-6, png_len).
+
+    Scale shape: one domain-bounded render task over the broadcast
+    raster (the geo_heatmap_render argument); planetary rasters render
+    per-tile with one-cell halos. Rows-only; shading kernel pinned by
+    TestTerrain, PNG roundtrip by tests/test_viz.py::TestHillshade."""
+    import ray
+    import ray.data as rd
+
+    from ..functions import geo as G
+    from ..functions import viz
+    from ..functions.raster import ElevationGrid, hillshade, slope_aspect
+    from ..sources import synth
+    from ..stages.enrich import load_layers
+
+    layers = load_layers(synth.ensure_layers())
+    eg = ElevationGrid(layers["elevation"])
+    ref = ray.put((eg.grid.astype(np.float32), eg.lat0, eg.res))
+
+    def render(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        grid, lat0, res = ray.get(_ref)
+        z = grid.astype(np.float64)
+        lat_rows = lat0 + (np.arange(z.shape[0]) + 0.5) * res
+        m_lon, m_lat = G.meters_per_degree(lat_rows)
+        s, a = slope_aspect(z, m_lon * res, float(m_lat[0]) * res)
+        hs = hillshade(s, a)
+        img = (hs[::-1] * 255.0 + 0.5).astype(np.uint8)  # north-up
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        png = viz.encode_png(rgb)
+        return pd.DataFrame({
+            "width": np.array([z.shape[1]], dtype=np.int64),
+            "height": np.array([z.shape[0]], dtype=np.int64),
+            "mean_shade": np.array([round(float(hs.mean()), 6)]),
+            "png_len": np.array([len(png)], dtype=np.int64)})
+
+    return rd.from_items([{"go": 1}]).map_batches(render,
+                                                  batch_format="pandas")
