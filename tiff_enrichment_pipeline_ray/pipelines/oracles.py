@@ -2352,3 +2352,35 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_type
       FROM cu)
 WHERE rn = 1
 """
+
+
+# Station-coverage field: nearest-station distance per point (IEEE sqrt
+# of the shared product metric), tile-aggregated.
+ORACLES["geo_station_coverage"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon,
+         ((event_id // 7) % 4300) // 50 AS tile_x,
+         (event_id % 2900) // 50 AS tile_y
+  FROM events
+),
+st AS (
+  SELECT range AS sid,
+         50.8 + ((range * 37) % 270) / 100.0 AS slat,
+         3.1 + ((range * 73) % 410) / 100.0 AS slon
+  FROM range(100)
+),
+nn AS (
+  SELECT p.event_id, p.tile_x, p.tile_y,
+         sqrt(min(1.8 * (p.lat - s.slat) * (p.lat - s.slat)
+                  + (p.lon - s.slon) * (p.lon - s.slon))) AS d
+  FROM pts p CROSS JOIN st s
+  GROUP BY p.event_id, p.tile_x, p.tile_y
+)
+SELECT tile_x, tile_y,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(d) / count(*), 6) AS mean_station_dist,
+       round(max(d), 6) AS max_station_dist
+FROM nn GROUP BY tile_x, tile_y
+"""

@@ -8393,3 +8393,53 @@ def geo_hillshade_render(sf_dir: str):
 
     return rd.from_items([{"go": 1}]).map_batches(render,
                                                   batch_format="pandas")
+
+
+def geo_station_coverage(sf_dir: str):
+    """Sensor-coverage field: per census tile, the mean and max distance
+    from its points to their NEAREST station (the accessibility /
+    coverage-gap analysis a sensor-network planner runs — large max =
+    a blind spot). Distance = sqrt of the shared scaled-euclidean
+    product expression (IEEE sqrt: correctly rounded, identical both
+    engines); only the per-tile MEAN's summation order differs, covered
+    by the rounded-output tolerance. Output (tile_x, tile_y, n_points,
+    mean_station_dist round-6, max_station_dist round-6).
+
+    Scale shape: the station layer is broadcast (closure constants);
+    each batch computes one (rows × stations) distance matrix and a
+    row-min — zero exchanges before the tile-bounded pre-aggregated
+    reduce (sums/maxes, never the raw distances)."""
+    sid = np.arange(_N_SYN_STATIONS, dtype=np.int64)
+    slat = 50.8 + ((sid * 37) % 270) / 100.0
+    slon = 3.1 + ((sid * 73) % 410) / 100.0
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lat = p.lat.to_numpy()[:, None]
+        lon = p.lon.to_numpy()[:, None]
+        d2 = 1.8 * (lat - slat[None, :]) * (lat - slat[None, :]) \
+            + (lon - slon[None, :]) * (lon - slon[None, :])
+        d = np.sqrt(d2.min(axis=1))
+        eid = df.event_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "tile_x": ((eid // 7) % 4300) // 50,
+            "tile_y": (eid % 2900) // 50,
+            "d": d})
+
+    agg = _preagg(ev.map_batches(f, batch_format="pandas"),
+                  ["tile_x", "tile_y"],
+                  [("n_points", None, "count"), ("dsum", "d", "sum"),
+                   ("dmax", "d", "max")])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tile_x": df.tile_x.to_numpy(np.int64),
+            "tile_y": df.tile_y.to_numpy(np.int64),
+            "n_points": df.n_points.to_numpy(np.int64),
+            "mean_station_dist": np.round(
+                df.dsum.to_numpy(np.float64)
+                / df.n_points.to_numpy(np.float64), 6),
+            "max_station_dist": np.round(df.dmax.to_numpy(np.float64), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
