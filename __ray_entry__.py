@@ -34,109 +34,27 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-4 window = (a) the SQL-exact round-4d additions (the
-    ESDA family — Gi*, local/global Moran — focal density smoothing,
-    Markov transitions, trajectory stats, Mann-Kendall emerging
-    hotspots, CUSUM change point); (b) the round-4c additions (chunker,
-    Z-order layout, record breakers, IDW interpolation, seeded shuffle,
-    mixture interleave, spatial CV split); (c) queries added/changed
-    earlier this round — the fixed ``doc_source_token_budget``, the
-    round-4a spatial/text additions, and the six REDESIGNED for the
-    near-dup claw-back / vectorized token partials; (d) the round-3 and
-    round-4b blocks with no driver row in r01∪r02∪r03. Rotated just
-    past the marker to make room: ROWS-ONLY queries whose exactness is
-    pytest-pinned anyway (several also BENCH-tracked per round, so their
-    running is evidenced by BENCH_r4), plus two SQL-oracled entries
-    (``doc_decontaminate``, ``events_nearest_error``) and r03-green
-    ``sample_weighted`` — all swept green locally at sf0.001/0.01/0.1
-    (tools/minidriver.py), first in line for round 5. The r01/r02-green
-    TPC-H backlog and every family swept green in CORRECTNESS_r03 rotate
-    BEHIND the window (their green rows stay the evidence)."""
+    ones. Round-5 window = (a) ``geo_station_coverage`` (implemented r4d,
+    registered here — the r4 verdict's missing wiring) and
+    ``geo_block_split`` (r4 hash-fail: the oracle summed BIGINT into
+    HUGEINT; CAST fixed this round — same class as the r4
+    ``doc_source_token_budget`` fix); (b) the never-driver-checked
+    SQL-oracled pair ``events_nearest_error`` / ``doc_decontaminate``
+    plus r03-green ``sample_weighted``; (c) the OLDEST green backlog —
+    the r01/r02 TPC-H and events families, whose driver rows are now
+    three rounds stale. Everything swept green in CORRECTNESS_r04 (the
+    whole r4 window: ESDA, terrain, RAG, spatial joins, text-stat
+    redesigns) rotates BEHIND the marker — their r4 rows stay the
+    evidence. NO rows-only query sits inside the window (the r4 verdict's
+    ``embedding_kmeans`` no_oracle slot-burn), so every driver slot can
+    produce a hash row."""
     return {
-        # --- sweep window: added/changed round 4 -------------------------
-        "geo_getis_hotspots": Q.geo_getis_hotspots,  # new r4d (Gi* hotspots)
-        "geo_grid_density_smooth": Q.geo_grid_density_smooth,  # new r4d (focal 3x3)
-        "events_markov_transitions": Q.events_markov_transitions,  # new r4d
-        "geo_user_paths": Q.geo_user_paths,  # new r4d (trajectory stats)
-        "geo_emerging_hotspots": Q.geo_emerging_hotspots,  # new r4d (Mann-Kendall space-time)
-        "events_cusum_changepoint": Q.events_cusum_changepoint,  # new r4d
-        "geo_local_moran": Q.geo_local_moran,  # new r4d (LISA)
-        "geo_moran_i": Q.geo_moran_i,  # new r4d (global Moran's I)
-        "doc_chunk_overlap": Q.doc_chunk_overlap,  # new r4 (RAG chunker)
-        "geo_zorder_layout": Q.geo_zorder_layout,  # new r4 (Z-order layout)
-        "events_record_breakers": Q.events_record_breakers,  # new r4 (prefix-MAX scan)
-        "geo_idw_interpolate": Q.geo_idw_interpolate,  # new r4 (IDW gridding)
-        "doc_shuffle_positions": Q.doc_shuffle_positions,  # new r4 (seeded shuffle)
-        "doc_mixture_order": Q.doc_mixture_order,  # new r4 (weighted mixture interleave)
-        "geo_block_split": Q.geo_block_split,  # new r4 (leakage-free spatial CV split)
-        "doc_source_token_budget": Q.doc_source_token_budget,  # oracle CAST fixed r4
-        "doc_substring_dup_spans": Q.doc_substring_dup_spans,  # new r4
-        "doc_neardup_keep_best": Q.doc_neardup_keep_best,  # new r4
-        "doc_substring_dedup_tokens": Q.doc_substring_dedup_tokens,  # new r4
-        "geo_range_join": Q.geo_range_join,  # new r4 (partitioned spatial)
-        "geo_near_pairs": Q.geo_near_pairs,  # new r4 (eps self-join)
-        "geo_bbox_overlap_pairs": Q.geo_bbox_overlap_pairs,  # new r4 (PBSM)
-        "geo_knn_join": Q.geo_knn_join,  # new r4 (radius-bounded kNN join)
-        "doc_tfidf_topterms": Q.doc_tfidf_topterms,  # new r4
-        "doc_pack_chunks": Q.doc_pack_chunks,  # new r4 (global prefix-sum)
-        # impls redesigned r4 (near-dup claw-back + vectorized token partials)
-        # — re-expose to the driver even though their r03 rows were green
-        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
-        "doc_dup_clusters": Q.doc_dup_clusters,
-        "doc_vocab_topk": Q.doc_vocab_topk,
-        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
-        "doc_bm25_scores": Q.doc_bm25_scores,
-        "doc_unigram_xent": Q.doc_unigram_xent,
-        # --- round-3 additions, never driver-checked ----------------------
-        "orders_monthly_growth": Q.orders_monthly_growth,
-        "events_user_retention": Q.events_user_retention,
-        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
-        "q11_important_stock": Q.q11_important_stock,
-        "q20_excess_stock": Q.q20_excess_stock,
-        "doc_curation_pipeline": Q.doc_curation_pipeline,
-        "events_first_last_value": Q.events_first_last_value,
-        "embedding_kmeans": Q.embedding_kmeans,  # rows-only (pytest brute-force oracle)
-        # --- never-driver-checked round-4 block: a query with no driver
-        # row ever outranks every stale-green backlog row ----------------
-        "graph_pagerank": Q.graph_pagerank,
-        "snapshot_diff": Q.snapshot_diff,
-        "events_table_profile": Q.events_table_profile,
-        "doc_bigram_pmi": Q.doc_bigram_pmi,  # new r4 (PMI collocations)
-        "events_funnel": Q.events_funnel,  # new r4 (conversion funnel)
-        "doc_inverted_index": Q.doc_inverted_index,  # new r4 (postings)
-        "events_ohlc_bars": Q.events_ohlc_bars,  # new r4 (OHLC combiner)
-        "market_basket_pairs": Q.market_basket_pairs,  # new r4 (co-occur)
-        "graph_triangles": Q.graph_triangles,  # new r4 (wedge-closure)
-        "image_footprint_overlaps": Q.image_footprint_overlaps,  # new r4
-        "events_global_rank": Q.events_global_rank,  # new r4 (rank xform)
-        # ================= end of the 50-entry sweep window ===============
-        "events_nearest_error": Q.events_nearest_error,  # SQL-oracled; rotated out for events_cusum_changepoint (sweep-checked locally at 3 sfs)
-        "doc_decontaminate": Q.doc_decontaminate,  # SQL-oracled; rotated out for geo_emerging_hotspots (sweep-checked locally at 3 sfs)
-        "sample_weighted": Q.sample_weighted,  # driver-green in r03; rotated out for geo_user_paths
-        # rows-only + pytest-pinned (first two also BENCH-tracked per round —
-        # their running is evidenced by BENCH_r4's per-query wall), rotated
-        # out for the SQL-exact ESDA trio + focal smooth + Markov matrix:
-        "image_overview_pyramid": Q.image_overview_pyramid,
-        "embedding_pca_project": Q.embedding_pca_project,  # rows-only (pytest oracle)
-        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,  # rows-only (pytest pair-set oracle)
-        "geo_dbscan_clusters": Q.geo_dbscan_clusters,  # new r4d, rows-only (pytest brute-force DBSCAN oracle)
-        "geo_terrain_stats": Q.geo_terrain_stats,  # new r4d, rows-only (pytest kernel goldens)
-        "image_sharpness": Q.image_sharpness,  # new r4d, rows-only (pytest closed-form goldens)
-        "geo_heatmap_render": Q.geo_heatmap_render,  # new r4d, rows-only (pytest pixel oracle)
-        "geo_contour_lines": Q.geo_contour_lines,  # new r4d, rows-only (pytest geometry goldens)
-        "geo_rasterize_landcover": Q.geo_rasterize_landcover,  # new r4d, rows-only (pytest crafted rectangles)
-        "geo_line_of_sight": Q.geo_line_of_sight,  # new r4d, rows-only (pytest crafted terrains)
-        "geo_flow_accumulation": Q.geo_flow_accumulation,  # new r4d, rows-only (pytest closed forms)
-        "geo_kriging_interpolate": Q.geo_kriging_interpolate,  # new r4d, rows-only (pytest kriging identities)
-        "geo_hillshade_render": Q.geo_hillshade_render,  # new r4d, rows-only (pytest kernel + roundtrip)
-        "image_tile_chips": Q.image_tile_chips,
-        "image_chip_stats": Q.image_chip_stats,  # rows-only (pytest brute-force oracle)
-        "image_phash_near_dup": Q.image_phash_near_dup,  # rows-only (pytest pair-set oracle); rotated out for geo_idw_interpolate
-        "dedup_simhash_pairs": Q.dedup_simhash_pairs,  # rows-only (pytest pair-set oracle); rotated out for doc_shuffle_positions
-        "dedup_minhash_docs": Q.dedup_minhash_docs,  # rows-only (pytest pair-set oracle); rotated out for doc_mixture_order
-        "location_map": Q.location_map,  # rows-only (pytest PNG oracle); rotated out for geo_block_split
-        # oldest-green backlog (driver rows from r01/r02) — rotates to the
-        # head of the round-5 window
+        # --- round-5 sweep window: re-checks + oldest-green backlog ------
+        "geo_station_coverage": Q.geo_station_coverage,
+        "geo_block_split": Q.geo_block_split,
+        "events_nearest_error": Q.events_nearest_error,
+        "doc_decontaminate": Q.doc_decontaminate,
+        "sample_weighted": Q.sample_weighted,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q5_regional_revenue": Q.q5_regional_revenue,
@@ -181,12 +99,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
-        # --- families swept green in CORRECTNESS_r03 (unchanged impls) ----
         "events_props_stats": Q.events_props_stats,
+        # ================= end of the 50-entry sweep window ===============
+        # swept green in CORRECTNESS_r04 (ESDA/terrain/RAG/spatial/text),
+        # plus rows-only pytest-pinned queries (no SQL oracle by
+        # construction) and the r03-green remainder — see COVERAGE.md.
+        "geo_getis_hotspots": Q.geo_getis_hotspots,
+        "geo_grid_density_smooth": Q.geo_grid_density_smooth,
+        "events_markov_transitions": Q.events_markov_transitions,
+        "geo_user_paths": Q.geo_user_paths,
+        "geo_emerging_hotspots": Q.geo_emerging_hotspots,
+        "events_cusum_changepoint": Q.events_cusum_changepoint,
+        "geo_local_moran": Q.geo_local_moran,
+        "geo_moran_i": Q.geo_moran_i,
+        "doc_chunk_overlap": Q.doc_chunk_overlap,
+        "geo_zorder_layout": Q.geo_zorder_layout,
+        "events_record_breakers": Q.events_record_breakers,
+        "geo_idw_interpolate": Q.geo_idw_interpolate,
+        "doc_shuffle_positions": Q.doc_shuffle_positions,
+        "doc_mixture_order": Q.doc_mixture_order,
+        "doc_source_token_budget": Q.doc_source_token_budget,
+        "doc_substring_dup_spans": Q.doc_substring_dup_spans,
+        "doc_neardup_keep_best": Q.doc_neardup_keep_best,
+        "doc_substring_dedup_tokens": Q.doc_substring_dedup_tokens,
+        "geo_range_join": Q.geo_range_join,
+        "geo_near_pairs": Q.geo_near_pairs,
+        "geo_bbox_overlap_pairs": Q.geo_bbox_overlap_pairs,
+        "geo_knn_join": Q.geo_knn_join,
+        "doc_tfidf_topterms": Q.doc_tfidf_topterms,
+        "doc_pack_chunks": Q.doc_pack_chunks,
+        "doc_ngram_jaccard_pairs": Q.doc_ngram_jaccard_pairs,
+        "doc_dup_clusters": Q.doc_dup_clusters,
+        "doc_vocab_topk": Q.doc_vocab_topk,
+        "doc_vocab_topk_mg": Q.doc_vocab_topk_mg,
+        "doc_bm25_scores": Q.doc_bm25_scores,
+        "doc_unigram_xent": Q.doc_unigram_xent,
+        "orders_monthly_growth": Q.orders_monthly_growth,
+        "events_user_retention": Q.events_user_retention,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q11_important_stock": Q.q11_important_stock,
+        "q20_excess_stock": Q.q20_excess_stock,
+        "doc_curation_pipeline": Q.doc_curation_pipeline,
+        "events_first_last_value": Q.events_first_last_value,
+        "embedding_kmeans": Q.embedding_kmeans,
+        "graph_pagerank": Q.graph_pagerank,
+        "snapshot_diff": Q.snapshot_diff,
+        "events_table_profile": Q.events_table_profile,
+        "doc_bigram_pmi": Q.doc_bigram_pmi,
+        "events_funnel": Q.events_funnel,
+        "doc_inverted_index": Q.doc_inverted_index,
+        "events_ohlc_bars": Q.events_ohlc_bars,
+        "market_basket_pairs": Q.market_basket_pairs,
+        "graph_triangles": Q.graph_triangles,
+        "image_footprint_overlaps": Q.image_footprint_overlaps,
+        "events_global_rank": Q.events_global_rank,
+        "image_overview_pyramid": Q.image_overview_pyramid,
+        "embedding_pca_project": Q.embedding_pca_project,
+        "image_id_fuzzy_neighbors": Q.image_id_fuzzy_neighbors,
+        "geo_dbscan_clusters": Q.geo_dbscan_clusters,
+        "geo_terrain_stats": Q.geo_terrain_stats,
+        "image_sharpness": Q.image_sharpness,
+        "geo_heatmap_render": Q.geo_heatmap_render,
+        "geo_contour_lines": Q.geo_contour_lines,
+        "geo_rasterize_landcover": Q.geo_rasterize_landcover,
+        "geo_line_of_sight": Q.geo_line_of_sight,
+        "geo_flow_accumulation": Q.geo_flow_accumulation,
+        "geo_kriging_interpolate": Q.geo_kriging_interpolate,
+        "geo_hillshade_render": Q.geo_hillshade_render,
+        "image_tile_chips": Q.image_tile_chips,
+        "image_chip_stats": Q.image_chip_stats,
+        "image_phash_near_dup": Q.image_phash_near_dup,
+        "dedup_simhash_pairs": Q.dedup_simhash_pairs,
+        "dedup_minhash_docs": Q.dedup_minhash_docs,
+        "location_map": Q.location_map,
         "q3_shipping_priority": Q.q3_shipping_priority,
         "q8_market_share": Q.q8_market_share,
         "q9_profit_by_nation": Q.q9_profit_by_nation,
-        # flagship geospatial enrichment (SQL-oracled derived views)
         "flagship_enriched": Q.flagship_enriched,
         "flagship_captures": Q.flagship_captures,
         "image_exact_dedup": Q.image_exact_dedup,
@@ -200,17 +188,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quarantine_report": Q.quarantine_report,
         "ops_stats": Q.ops_stats,
         "micasense_sets": Q.micasense_sets,
-        # geospatial joins with exact SQL parity
         "geo_tile_census": Q.geo_tile_census,
         "geo_knn_station": Q.geo_knn_station,
         "geo_point_in_rect": Q.geo_point_in_rect,
         "geo_distance_join": Q.geo_distance_join,
-        # similarity search / embeddings
         "ann_topk_cosine": Q.ann_topk_cosine,
         "ann_knn_join": Q.ann_knn_join,
         "embedding_label_stats": Q.embedding_label_stats,
         "embedding_near_dup": Q.embedding_near_dup,
-        # documents: text analysis / curation
         "doc_train_split": Q.doc_train_split,
         "doc_exact_dedup": Q.doc_exact_dedup,
         "doc_token_counts": Q.doc_token_counts,
@@ -221,7 +206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts_regex": Q.doc_token_counts_regex,
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_pii_scrub": Q.doc_pii_scrub,
-        # events tail swept green in r03
         "events_groupby_estimate": Q.events_groupby_estimate,
         "events_cube": Q.events_cube,
         "events_skewkurt": Q.events_skewkurt,
@@ -230,13 +214,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": Q.events_ntile,
         "events_value_histogram": Q.events_value_histogram,
         "sample_join_uniform": Q.sample_join_uniform,
-        # rows-only sketch/multimodal queries (pytest-pinned; a SQL hash
-        # match is impossible by construction — see COVERAGE.md)
         "events_value_percentiles_tdigest": Q.events_value_percentiles_tdigest,
         "events_hll_users": Q.events_hll_users,
         "doc_fingerprints": Q.doc_fingerprints,
         "dedup_simhash_docs": Q.dedup_simhash_docs,
-        "embedding_semantic_dedup": Q.embedding_semantic_dedup,  # new r4
+        "embedding_semantic_dedup": Q.embedding_semantic_dedup,
         "ann_ivf_topk": Q.ann_ivf_topk,
         "ann_lsh_topk": Q.ann_lsh_topk,
         "ann_pq_topk": Q.ann_pq_topk,

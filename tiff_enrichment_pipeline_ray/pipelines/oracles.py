@@ -2136,7 +2136,8 @@ WITH b AS (
            WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
   FROM b GROUP BY tx, ty
 )
-SELECT split, sum(n) AS n_points, count(*) AS n_blocks
+SELECT split, CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_blocks
 FROM s GROUP BY split
 """
 

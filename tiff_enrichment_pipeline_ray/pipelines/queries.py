@@ -7115,24 +7115,36 @@ def _esda_neighbor_stats(sf_dir: str):
 def _esda_value_scalars(sf_dir: str):
     """Global (n, mean, population variance) of events.value — the O(1)
     broadcast side of every ESDA statistic. One pre-aggregated pass:
-    per-block (n, sum, sumsq) partials, ONE-row combine on the driver."""
+    per-block (n, sum, M2) partials with M2 = Σ(x − block_mean)², merged
+    on the driver with Chan's parallel-variance update — numerically
+    stable (no E[x²]−E[x]² cancellation), matching DuckDB var_pop's
+    deviation-based accumulation, so the Gi*/Moran denominators stay
+    within the sweep tolerance at any value magnitude. Partials are one
+    row per block (bounded), never the data."""
     ev = read_testdata(sf_dir, "events", columns=["value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         x = df.value.to_numpy(np.float64)
+        m = x.mean() if len(x) else 0.0
+        d = x - m
         return pd.DataFrame({"n": [len(x)], "s": [x.sum()],
-                             "ss": [(x * x).sum()]})
+                             "m2": [(d * d).sum()]})
 
-    t = (ev.map_batches(partial, batch_format="pandas")
-         .repartition(1)
-         .map_batches(lambda d: pd.DataFrame({
-             "n": [d.n.sum()], "s": [d.s.sum()], "ss": [d.ss.sum()]}),
-             batch_format="pandas", batch_size=None)
-         .to_pandas())
-    n = float(t.n.iloc[0])
-    xbar = float(t.s.iloc[0]) / n
-    var = float(t.ss.iloc[0]) / n - xbar * xbar
-    return n, xbar, var
+    t = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    n_a = 0.0
+    mean_a = 0.0
+    m2_a = 0.0
+    for n_b, s_b, m2_b in t[["n", "s", "m2"]].itertuples(index=False):
+        if n_b == 0:
+            continue
+        n_b = float(n_b)
+        mean_b = float(s_b) / n_b
+        delta = mean_b - mean_a
+        tot = n_a + n_b
+        m2_a += float(m2_b) + delta * delta * n_a * n_b / tot
+        mean_a += delta * n_b / tot
+        n_a = tot
+    return n_a, mean_a, m2_a / n_a
 
 
 def geo_getis_hotspots(sf_dir: str):
@@ -7441,8 +7453,6 @@ def geo_dbscan_clusters(sf_dir: str, eps: float = _DBS_EPS,
     label table or cluster ever lives on the driver. Rows-only vs the
     driver (CC is not tractable SQL); value semantics pinned by
     tests/test_spatial.py::TestDBSCAN brute-force."""
-    import ray  # noqa: F401  (Dataset ops only)
-
     ev, ne = _spread_read(sf_dir, "events", ["event_id"])
     nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
     e2 = np.float64(eps) * np.float64(eps)

@@ -35,12 +35,39 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name, ray_df, sql_df, tol=0.0):
+def compare(name, ray_df, sql_df, exact=False):
+    """exact=True emulates the DRIVER's hash compare (round-4 verdict item:
+    the tolerance compare masked the HUGEINT/BIGINT typing bug class twice
+    — doc_source_token_budget r3, geo_block_split r4). In exact mode a
+    dtype-KIND mismatch (e.g. an oracle sum(<BIGINT>) widening to HUGEINT
+    → pandas float64/object vs the engine's int64) fails even when values
+    compare equal under the float tolerance, and float columns must be
+    bit-identical."""
     a, b = normalize(ray_df), normalize(sql_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA mismatch: ray={list(a.columns)} sql={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS mismatch: ray={len(a)} sql={len(b)}"
+    if exact:
+        for c in a.columns:
+            ka = a[c].dtype.kind
+            kb = b[c].dtype.kind
+            if ka != kb and not ({ka, kb} <= {"O", "U", "S"}):
+                return (f"DTYPE mismatch col={c}: ray={a[c].dtype} "
+                        f"sql={b[c].dtype} (driver hash would differ)")
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if ka == "f":
+                av = np.asarray(av, np.float64)
+                bv = np.asarray(bv, np.float64)
+                eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            else:
+                eq = pd.Series(av).astype(str).to_numpy() \
+                    == pd.Series(bv).astype(str).to_numpy()
+            if not np.asarray(eq).all():
+                i = int(np.flatnonzero(~np.asarray(eq))[0])
+                return (f"EXACT mismatch col={c} row={i}: "
+                        f"ray={av[i]!r} sql={bv[i]!r}")
+        return None
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
@@ -71,7 +98,7 @@ def compare(name, ray_df, sql_df, tol=0.0):
     return None
 
 
-def run(sf_dir, only=None):
+def run(sf_dir, only=None, exact=False):
     import duckdb
     import ray
     import os
@@ -127,7 +154,7 @@ def run(sf_dir, only=None):
                 results[name] = f"SQL ERROR: {type(e).__name__}: {e}"
                 print(f"{name:28s} FAIL {results[name]}")
                 continue
-            err = compare(name, ray_df, sql_df)
+            err = compare(name, ray_df, sql_df, exact=exact)
             results[name] = err or "OK"
             print(f"{name:28s} {'OK  ' if not err else 'FAIL'} "
                   f"rows={len(ray_df)} {dt:.1f}s {err or ''}")
@@ -142,10 +169,12 @@ def run(sf_dir, only=None):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    exact = "--hash" in args
+    args = [a for a in args if a != "--hash"]
     # default to sf0.01 — the scale the driver compares at; the flagship
     # oracles are pinned to GRAFT_ORACLE_SF (default 0.01), so running the
     # queries at any other sf makes the flagship-derived rows mismatch.
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(a for a in args if not a.startswith("/")) or None
-    bad = run(sf_dir, only)
+    bad = run(sf_dir, only, exact=exact)
     sys.exit(1 if bad else 0)
