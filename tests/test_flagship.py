@@ -495,3 +495,48 @@ class TestExports:
         df = pd.concat([pd.read_csv(f) for f in glob.glob(f"{d}/*.csv")])
         assert len(df) == int(enriched_df.has_gps.sum())
         assert set(df.columns) == {"image_id", "lat", "lon", "alt_m"}
+
+
+class TestStorageContract:
+    """Multi-node storage contract (PipelineConfig.side_channel_dir):
+    worker-written paths must be shared storage; the orphan spill honors
+    the relocation knob without changing output bytes."""
+
+    def test_worker_reachable_probe_passes_and_cleans(self, ray_session,
+                                                      tmp_path):
+        d = str(tmp_path / "shared")
+        flagship.assert_worker_reachable(d)
+        assert glob.glob(os.path.join(d, ".reach_probe_*")) == []
+
+    def test_side_channel_dir_relocates_orphan_spill(
+            self, tiny_images_dir, layers_dir, flag_out, tmp_path,
+            monkeypatch):
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+
+        side = str(tmp_path / "scratch")
+        out_b = str(tmp_path / "b")
+        seen = []
+        orig = flagship._resolve_orphans
+
+        def spy(orph_tmp, tmp_dir, cap_tmp):
+            seen.append(orph_tmp)
+            return orig(orph_tmp, tmp_dir, cap_tmp)
+
+        monkeypatch.setattr(flagship, "_resolve_orphans", spy)
+        flagship.run_flagship(
+            tiny_images_dir, out_b, resume=False, layers_dir=layers_dir,
+            cfg=PipelineConfig(side_channel_dir=side))
+        assert seen and all(p.startswith(side) for p in seen)
+
+        # relocation must not change a byte of the captures output
+        def tree(root):
+            files = sorted(glob.glob(os.path.join(root, "captures", "**",
+                                                  "*.parquet"),
+                                     recursive=True))
+            return {os.path.relpath(f, root):
+                    hashlib.sha256(open(f, "rb").read()).hexdigest()
+                    for f in files}
+
+        out_a, _ = flag_out
+        ta, tb = tree(out_a), tree(out_b)
+        assert ta and ta == tb

@@ -83,6 +83,17 @@ class PipelineConfig:
     cell_partition_res: int = 5  # coarse hex res used as the output partition key
     # validation
     validate: bool = True
+    # --- multi-node storage contract -------------------------------------
+    # The flagship's side-channel parquet (orphan spill) and the
+    # rename-committed output trees are written by WORKER tasks via
+    # filesystem paths, so on a real cluster out_dir MUST be shared
+    # storage (NFS/FUSE-mounted object store) reachable from every node —
+    # run_flagship probes this with a worker-side visibility check before
+    # writing anything. side_channel_dir relocates the orphan spill (e.g.
+    # to fast shared scratch); None keeps it beside the captures tree.
+    # The enriched/captures .tmp trees CANNOT move: they commit via
+    # os.replace, which requires the same filesystem as the final dir.
+    side_channel_dir: str | None = None
     # columns kept on the enriched output (caption must survive end-to-end:
     # BASELINE.json per-row invariant)
     keep_caption: bool = True

@@ -490,6 +490,47 @@ def _add_orphan_key(t: pa.Table, orphan_buckets: int = 16) -> pa.Table:
     return t.append_column("part_key", pa.array(keys.astype(str)))
 
 
+def assert_worker_reachable(path: str) -> None:
+    """Enforce the multi-node storage contract (PipelineConfig
+    .side_channel_dir): every path worker tasks write through
+    (out_dir trees, the orphan spill) must be on storage visible to
+    every node. Probe = driver writes a token file, a SPREAD-scheduled
+    Ray task must read it back. Trivially true single-node; on a real
+    cluster it fails fast (before any data is written) when out_dir is a
+    node-local path."""
+    import uuid
+
+    import ray as _ray
+
+    os.makedirs(path, exist_ok=True)
+    token = uuid.uuid4().hex
+    probe = os.path.join(path, f".reach_probe_{token}")
+    with open(probe, "w") as f:
+        f.write(token)
+
+    @_ray.remote(num_cpus=0)
+    def _read(p):
+        try:
+            with open(p) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    try:
+        seen = _ray.get(_read.options(
+            scheduling_strategy="SPREAD").remote(probe))
+        if seen != token:
+            raise RuntimeError(
+                f"storage contract violation: {path!r} is not visible from "
+                f"worker tasks — out_dir/side_channel_dir must be shared "
+                f"storage on a multi-node cluster")
+    finally:
+        try:
+            os.remove(probe)
+        except OSError:
+            pass
+
+
 def _resolve_orphans(orph_tmp: str, tmp_dir: str, cap_tmp: str):
     """Second (tiny) exchange: spilled orphan rows → capture parquet.
 
@@ -639,6 +680,12 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
 
     stamp = {"config_hash": cfg.config_hash(), "engine_version": __version__}
 
+    # multi-node storage contract: fail fast if worker tasks can't see the
+    # output / spill storage (no-op cost single-node; see PipelineConfig)
+    assert_worker_reachable(out_dir)
+    if cfg.side_channel_dir:
+        assert_worker_reachable(cfg.side_channel_dir)
+
     layer_kwargs = enrich_stage.put_layers(layers_dir)
     t0 = time.time()
     total_rows = 0
@@ -671,8 +718,9 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
         t_ph = time.time()
 
         cap_part = os.path.join(out_dir, "captures", f"part={pid:05d}")
-        cap_tmp = cap_part + ".tmp"
-        orph_tmp = cap_part + ".orph"
+        cap_tmp = cap_part + ".tmp"  # must stay beside cap_part (os.replace)
+        orph_tmp = (os.path.join(cfg.side_channel_dir, f"part={pid:05d}.orph")
+                    if cfg.side_channel_dir else cap_part + ".orph")
         if with_captures:
             shutil.rmtree(cap_tmp, ignore_errors=True)
             shutil.rmtree(cap_part, ignore_errors=True)
