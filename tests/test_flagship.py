@@ -518,9 +518,9 @@ class TestStorageContract:
         seen = []
         orig = flagship._resolve_orphans
 
-        def spy(orph_tmp, tmp_dir, cap_tmp):
+        def spy(orph_tmp, tmp_dir, cap_tmp, **kw):
             seen.append(orph_tmp)
-            return orig(orph_tmp, tmp_dir, cap_tmp)
+            return orig(orph_tmp, tmp_dir, cap_tmp, **kw)
 
         monkeypatch.setattr(flagship, "_resolve_orphans", spy)
         flagship.run_flagship(

@@ -1,6 +1,8 @@
 """Engine vs reference_semantics oracle on shared kernels (the independent
 re-implementation used by the flagship parity tests)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -74,3 +76,87 @@ def test_ndvi_pipeline_matches():
     got = indices.quantize_index(indices.ndvi(f[3], f[2]))
     want = ora.oracle_ndvi_quantized(nir, red)
     assert (got == want).all()
+
+
+class TestNdviEpsVariant:
+    """Pin BOTH NDVI semantics (SURVEY §7.4-4): canonical processor.py and
+    the processing/indices.py:77-100 ε-variant, against the reference's own
+    fixture arrays (test_vegetation_indices.py:29-41)."""
+
+    NIR = np.array([[0.8, 0.7], [0.6, 0.5]], dtype="float32")
+    RED = np.array([[0.2, 0.3], [0.4, 0.5]], dtype="float32")
+
+    def test_reference_fixture_golden(self):
+        # reference golden (test_vegetation_indices.py:38-42), decimal=2
+        expected = np.array([[0.6, 0.4], [0.2, 0.0]], dtype="float32")
+        got = indices.ndvi_eps(self.NIR, self.RED)
+        np.testing.assert_array_almost_equal(got, expected, decimal=2)
+        # canonical variant agrees on nonzero denominators (ε only shifts
+        # the 4th decimal at these magnitudes)
+        np.testing.assert_array_almost_equal(
+            indices.ndvi(self.NIR, self.RED), expected, decimal=6)
+
+    def test_zero_pixels_diverge_by_design(self):
+        """Faithful-to-code divergence: processor semantics give 0 on a
+        zero denominator; the ε-variant CODE fills −1 (float32(1e-6) < ε,
+        so the where-mask excludes the pixel and the fill applies). The
+        reference's own zero-division test expects 0 and contradicts its
+        implementation — we pin the implementation."""
+        z = np.zeros((2, 2), dtype="float32")
+        assert (indices.ndvi(z, z) == 0.0).all()
+        assert (indices.ndvi_eps(z, z) == -1.0).all()
+
+    def test_clip_applies(self):
+        # a negative red forces the raw ratio above 1 → ε-variant clips
+        nir = np.array([[5.0]], dtype="float32")
+        red = np.array([[-4.9]], dtype="float32")
+        assert float(indices.ndvi_eps(nir, red)[0, 0]) == 1.0
+
+    def test_compute_index_variant_dispatch(self):
+        stack = np.stack([self.RED, self.RED, self.RED, self.NIR, self.RED])
+        a = indices.compute_index("ndvi", stack, "processor")
+        b = indices.compute_index("ndvi", stack, "eps")
+        np.testing.assert_array_equal(a, indices.ndvi(self.NIR, self.RED))
+        np.testing.assert_array_equal(b, indices.ndvi_eps(self.NIR, self.RED))
+        # non-NDVI indices are unaffected by the toggle
+        np.testing.assert_array_equal(
+            indices.compute_index("savi", stack, "eps"),
+            indices.compute_index("savi", stack, "processor"))
+
+    def test_flagship_toggle_changes_capture_ndvi(self, tiny_images_dir,
+                                                  layers_dir, tmp_path):
+        """End-to-end: a flagship run with ndvi_variant='eps' produces
+        capture mean_ndvi shifted by the ε denominator (strictly
+        different bytes for nonzero pixels) while every other index
+        column is identical."""
+        import glob as _g
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from tiff_enrichment_pipeline_ray.config import PipelineConfig
+        from tiff_enrichment_pipeline_ray.pipelines import flagship
+
+        outs = {}
+        for var in ("processor", "eps"):
+            out = str(tmp_path / var)
+            flagship.run_flagship(
+                tiny_images_dir, out, resume=False, layers_dir=layers_dir,
+                cfg=PipelineConfig(ndvi_variant=var))
+            files = sorted(_g.glob(os.path.join(out, "captures", "**",
+                                                "*.parquet"),
+                                   recursive=True))
+            df = pd.concat([_pq.read_table(f).to_pandas() for f in files],
+                           ignore_index=True)
+            outs[var] = df.sort_values("capture_id").reset_index(drop=True)
+        a, b = outs["processor"], outs["eps"]
+        assert list(a.capture_id) == list(b.capture_id)
+        ok = a.status == "ok"
+        assert ok.any()
+        # the toggle must change NDVI (ε denominator + −1 fill on all-zero
+        # pixels — the fill dominates when zero pixels exist, so the shift
+        # can be large; only inequality is semantic here)
+        assert not np.allclose(a.loc[ok, "mean_ndvi"], b.loc[ok, "mean_ndvi"],
+                               rtol=0, atol=1e-12)
+        np.testing.assert_array_equal(a.loc[ok, "mean_savi"],
+                                      b.loc[ok, "mean_savi"])

@@ -66,6 +66,11 @@ class PipelineConfig:
 
     # vegetation index toggles (all on by default, like main.py:141-150)
     indices: tuple = ALL_INDICES
+    # NDVI semantics: 'processor' = canonical processor.py:479-486
+    # (0 where denom==0); 'eps' = processing/indices.py:77-100 variant
+    # (ε denominator, clip [−1,1], −1 fill where denom ≤ ε) — the last
+    # reference semantic corner, off by default (SURVEY §7.4-4)
+    ndvi_variant: str = "processor"
     # enrichment toggles
     enrich_landcover: bool = True
     enrich_elevation: bool = True

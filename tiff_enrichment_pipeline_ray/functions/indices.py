@@ -33,6 +33,27 @@ def ndvi(nir, red):
     return _safe_div(nir - red, nir + red)
 
 
+def ndvi_eps(nir, red, epsilon=1e-6):
+    """ε-variant NDVI — the reference's processing/indices.py:77-100
+    semantics, faithful to the SHIPPED CODE: denom = nir + red + ε in
+    float32; divide where denom > ε (0 elsewhere); clip to [−1, 1]; then
+    FILL −1 where denom ≤ ε. Note float32(1e-6) < 1e-6, so an all-zero
+    pixel takes the −1 fill — the reference's own zero-division test
+    (test_vegetation_indices.py:75-80) expects 0 there and contradicts
+    its implementation; we pin the implementation (the path production
+    data takes) and document the discrepancy. Off by default
+    (PipelineConfig.ndvi_variant='processor' keeps the canonical
+    processor.py:479-486 semantics)."""
+    nir = nir.astype("float32")
+    red = red.astype("float32")
+    den = nir + red + epsilon
+    big = den > epsilon
+    out = np.divide(nir - red, den, out=np.zeros_like(nir), where=big)
+    out = np.clip(out, -1.0, 1.0)
+    out[~big] = -1.0
+    return out
+
+
 def ndre(nir, red_edge):
     return _safe_div(nir - red_edge, nir + red_edge)
 
@@ -74,11 +95,14 @@ def calibrate(dn_float32):
 
 # band order within a stacked (5,H,W) capture: blue,green,red,nir,red_edge
 # (processor.py:406-411: bands 1..5 read in order)
-def compute_index(name, bands_f32):
-    """Compute one named index from a (5,H,W) float32 calibrated stack."""
+def compute_index(name, bands_f32, ndvi_variant="processor"):
+    """Compute one named index from a (5,H,W) float32 calibrated stack.
+    ndvi_variant: 'processor' (canonical processor.py:479-486) or 'eps'
+    (processing/indices.py:77-100 ε/clip/−1-fill variant)."""
     blue, green, red, nir, red_edge = bands_f32
     fns = {
-        "ndvi": lambda: ndvi(nir, red),
+        "ndvi": (lambda: ndvi_eps(nir, red)) if ndvi_variant == "eps"
+        else lambda: ndvi(nir, red),
         "ndre": lambda: ndre(nir, red_edge),
         "gndvi": lambda: gndvi(nir, green),
         "savi": lambda: savi(nir, red),

@@ -64,7 +64,8 @@ ENRICHED_DROP = ["bytes"]
 
 
 def _make_part_writer(out_dir: str, caps_dir: str | None = None,
-                      fail_dir: str | None = None):
+                      fail_dir: str | None = None,
+                      ndvi_variant: str = "processor"):
     """map_groups writer for the single shuffle. Enriched partitions
     ('<bin>[:salt]' keys): one parquet file per salted partition, sorted by
     image_id (deterministic), atomic tmp+rename. Orphan-capture partitions
@@ -82,7 +83,7 @@ def _make_part_writer(out_dir: str, caps_dir: str | None = None,
         key = key_raw.replace(":", "_")
         if key_raw.startswith("o:") and caps_dir is not None:
             cg = g.rename(columns={"orph_bytes": "bytes"})
-            res = capture_stage.process_bucket(cg)
+            res = capture_stage.process_bucket(cg, ndvi_variant=ndvi_variant)
             res_t = _cap_cells(pin_from_pandas(res, CAPTURE_TYPES))
             os.makedirs(caps_dir, exist_ok=True)
             final = os.path.join(caps_dir, f"{key}.parquet")
@@ -139,7 +140,8 @@ _LINEAGE_COLS = {"part_key": str, "kind": str, "rows": np.int64,
 
 
 def _make_block_writer(out_dir: str, caps_dir: str | None = None,
-                       fail_dir: str | None = None):
+                       fail_dir: str | None = None,
+                       ndvi_variant: str = "processor"):
     """Block-wise form of the partition writer, used after a HASH exchange
     (`repartition(keys=["part_key"], sort=False)`): the hash shuffle
     co-locates every row of a key in one block, so grouping inside the
@@ -149,7 +151,8 @@ def _make_block_writer(out_dir: str, caps_dir: str | None = None,
     after the map chain drained). Output files are byte-identical to the
     map_groups path: the per-group writer itself sorts by image_id."""
     part_writer = _make_part_writer(out_dir, caps_dir=caps_dir,
-                                    fail_dir=fail_dir)
+                                    fail_dir=fail_dir,
+                                    ndvi_variant=ndvi_variant)
 
     def block_writer(df: pd.DataFrame) -> pd.DataFrame:
         outs = [part_writer(g.reset_index(drop=True))
@@ -312,8 +315,10 @@ def enriched_dataset(files, cfg: PipelineConfig, layer_kwargs: dict,
         )
     # the ONE pixel-decode stage (stats + in-block captures), then the
     # validators that depend on the decoded stats
-    ds = ds.map_batches(_make_decode_stats_capture_stage(caps_dir, orph_dir),
-                        batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        _make_decode_stats_capture_stage(caps_dir, orph_dir,
+                                         ndvi_variant=cfg.ndvi_variant),
+        batch_format="pyarrow", batch_size=None)
     if cfg.validate:
         ds = ds.map_batches(validate, batch_format="pyarrow", batch_size=None)
     return ds
@@ -342,7 +347,8 @@ def _percentiles_25_50_75(px: np.ndarray) -> tuple:
 
 
 def _make_decode_stats_capture_stage(caps_dir: str | None,
-                                     orph_dir: str | None = None):
+                                     orph_dir: str | None = None,
+                                     ndvi_variant: str = "processor"):
     """The ONE pixel-decode stage of the main pass. Per block:
 
     - decode every row's payload once → per-image stats columns
@@ -439,7 +445,8 @@ def _make_decode_stats_capture_stage(caps_dir: str | None,
                 mica["_px"] = [pixels[i] for i in midx]
                 done, orphans = capture_stage.split_local_complete(mica)
                 if len(done):
-                    res = capture_stage.process_bucket(done)
+                    res = capture_stage.process_bucket(
+                        done, ndvi_variant=ndvi_variant)
                     res_t = _cap_cells(pin_from_pandas(res, CAPTURE_TYPES))
                     tag = _h.blake2b("|".join(sorted(res["capture_id"])).encode(),
                                      digest_size=10).hexdigest()
@@ -531,7 +538,8 @@ def assert_worker_reachable(path: str) -> None:
             pass
 
 
-def _resolve_orphans(orph_tmp: str, tmp_dir: str, cap_tmp: str):
+def _resolve_orphans(orph_tmp: str, tmp_dir: str, cap_tmp: str,
+                     ndvi_variant: str = "processor"):
     """Second (tiny) exchange: spilled orphan rows → capture parquet.
 
     Reads the per-task spill files (~2% of input rows), co-locates each
@@ -566,11 +574,13 @@ def _resolve_orphans(orph_tmp: str, tmp_dir: str, cap_tmp: str):
     if os.environ.get("GRAFT_TAIL", "sort") == "hash":
         grouped = ods.repartition(num_blocks=buckets, keys=["part_key"],
                                   sort=False).map_batches(
-            _make_block_writer(tmp_dir, caps_dir=cap_tmp),
+            _make_block_writer(tmp_dir, caps_dir=cap_tmp,
+                               ndvi_variant=ndvi_variant),
             batch_format="pandas", batch_size=None)
     else:
         grouped = ods.groupby("part_key").map_groups(
-            _make_part_writer(tmp_dir, caps_dir=cap_tmp),
+            _make_part_writer(tmp_dir, caps_dir=cap_tmp,
+                              ndvi_variant=ndvi_variant),
             batch_format="pandas")
     return grouped.to_pandas()
 
@@ -761,7 +771,7 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
             grouped = shuffled.map_batches(
                 _make_block_writer(
                     tmp_dir, caps_dir=cap_tmp if with_captures else None,
-                    fail_dir=fail_tmp),
+                    fail_dir=fail_tmp, ndvi_variant=cfg.ndvi_variant),
                 batch_format="pandas", batch_size=None)
         else:
             if coal > 0:
@@ -770,7 +780,8 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
                        .map_groups(_make_part_writer(
                            tmp_dir,
                            caps_dir=cap_tmp if with_captures else None,
-                           fail_dir=fail_tmp),
+                           fail_dir=fail_tmp,
+                           ndvi_variant=cfg.ndvi_variant),
                            batch_format="pandas"))
         lineage = grouped.to_pandas()
         enrich_write_s = time.time() - t_ph
@@ -778,7 +789,8 @@ def _run_flagship_inner(input_dir, out_dir, cfg, checkpoint_partitions,
         t_ph = time.time()
         orph_rows = 0
         if with_captures:
-            orph_lineage = _resolve_orphans(orph_tmp, tmp_dir, cap_tmp)
+            orph_lineage = _resolve_orphans(orph_tmp, tmp_dir, cap_tmp,
+                                            ndvi_variant=cfg.ndvi_variant)
             if len(orph_lineage):
                 orph_rows = int(orph_lineage["rows"].sum())
                 lineage = pd.concat([lineage, orph_lineage],

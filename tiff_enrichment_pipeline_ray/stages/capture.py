@@ -72,7 +72,8 @@ def _nan_row(cid, status, n_bands, ref):
 
 
 def _one_capture(cid: str, cols: dict, idx: np.ndarray,
-                 index_names=ALL_INDICES) -> dict:
+                 index_names=ALL_INDICES,
+                 ndvi_variant="processor") -> dict:
     """cols: dict of column -> full numpy/object arrays; idx: row indices of
     this capture's band images (any order)."""
     bands = cols["band"][idx]
@@ -123,7 +124,7 @@ def _one_capture(cid: str, cols: dict, idx: np.ndarray,
     rec = _nan_row(cid, "ok", 5, ref)
     ndvi_f = None
     for name in index_names:
-        val = indices.compute_index(name, calib_f)
+        val = indices.compute_index(name, calib_f, ndvi_variant)
         if name == "ndvi":
             ndvi_f = val
         q = indices.quantize_index(val)
@@ -131,14 +132,15 @@ def _one_capture(cid: str, cols: dict, idx: np.ndarray,
         rec[f"index_{name}"] = codec.encode_image(
             q, "png", {"Index": name.upper(), "Capture Id": cid}, level=1)
     if ndvi_f is None:
-        ndvi_f = indices.compute_index("ndvi", calib_f)
+        ndvi_f = indices.compute_index("ndvi", calib_f, ndvi_variant)
     cov = indices.vegetation_coverage(ndvi_f)
     rec["coverage_gt_02"] = cov["coverage_gt_02"]
     rec["coverage_gt_05"] = cov["coverage_gt_05"]
     return rec
 
 
-def process_bucket(df: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
+def process_bucket(df: pd.DataFrame, index_names=ALL_INDICES,
+                   ndvi_variant="processor") -> pd.DataFrame:
     """One hash bucket of captures → one row per capture (deterministic
     capture_id order)."""
     cols = {c: df[c].to_numpy() for c in df.columns}
@@ -153,15 +155,16 @@ def process_bucket(df: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
         cid = sorted_ids[s]
         if not cid:
             continue
-        rows.append(_one_capture(cid, cols, idx, index_names))
+        rows.append(_one_capture(cid, cols, idx, index_names, ndvi_variant))
     if not rows:
         return pd.DataFrame([_nan_row("", "empty", 0, {})]).iloc[0:0]
     return pd.DataFrame(rows)
 
 
 # compatibility shim for single-capture tests
-def process_capture(group: pd.DataFrame, index_names=ALL_INDICES) -> pd.DataFrame:
-    return process_bucket(group, index_names)
+def process_capture(group: pd.DataFrame, index_names=ALL_INDICES,
+                    ndvi_variant="processor") -> pd.DataFrame:
+    return process_bucket(group, index_names, ndvi_variant)
 
 
 def split_local_complete(df: pd.DataFrame):
