@@ -49,7 +49,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ``embedding_kmeans`` no_oracle slot-burn), so every driver slot can
     produce a hash row."""
     return {
-        # --- round-5 sweep window: re-checks + oldest-green backlog ------
+        # --- round-5 sweep window: new round-5 operators, re-checks, then
+        # the oldest-green backlog ----------------------------------------
+        "events_seasonality": Q.events_seasonality,  # new r5
+        "events_benford": Q.events_benford,  # new r5
+        "geo_speed_outliers": Q.geo_speed_outliers,  # new r5
+        "geo_od_matrix": Q.geo_od_matrix,  # new r5
+        "events_autocorr_daily": Q.events_autocorr_daily,  # new r5
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -95,12 +101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_type": Q.events_topk_per_type,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
+        # ================= end of the 50-entry sweep window ===============
+        # (r01/r02-green, displaced by the five round-5 additions)
         "events_stratified_sample": Q.events_stratified_sample,
         "events_user_setops": Q.events_user_setops,
         "events_zscore_outliers": Q.events_zscore_outliers,
         "events_purchase_error_matrix": Q.events_purchase_error_matrix,
         "events_props_stats": Q.events_props_stats,
-        # ================= end of the 50-entry sweep window ===============
         # swept green in CORRECTNESS_r04 (ESDA/terrain/RAG/spatial/text),
         # plus rows-only pytest-pinned queries (no SQL oracle by
         # construction) and the r03-green remainder — see COVERAGE.md.

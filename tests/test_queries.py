@@ -182,7 +182,13 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "image_id_fuzzy_neighbors",
            # round 4b: dataset profiling audit (per-column nulls +
            # exact distincts, all columns through ONE exchange)
-           "events_table_profile"]
+           "events_table_profile",
+           # round 5: temporal/spatial analytics tier (seasonality,
+           # Benford audit, trajectory speed, OD flows, daily ACF) +
+           # the r4d station-coverage field registered in r5
+           "events_seasonality", "events_benford", "geo_speed_outliers",
+           "geo_od_matrix", "events_autocorr_daily",
+           "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",
              "ann_pq_topk",

@@ -2385,3 +2385,104 @@ SELECT tile_x, tile_y,
        round(max(d), 6) AS max_station_dist
 FROM nn GROUP BY tile_x, tile_y
 """
+
+
+# ----------------------------------------------------- round-5 additions
+
+ORACLES["events_seasonality"] = """
+SELECT event_type,
+       CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+ORACLES["events_benford"] = """
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM events WHERE value > 0
+), c AS (
+  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type), 6) AS freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM c
+"""
+
+ORACLES["geo_speed_outliers"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+), seg AS (
+  SELECT user_id,
+         us - lag(us) OVER w AS dt,
+         lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+       round(max(sqrt(1.8 * dlat * dlat + dlon * dlon) / (dt / 1e6)), 6)
+           AS max_speed
+FROM seg WHERE dt IS NOT NULL AND dt > 0
+GROUP BY user_id
+"""
+
+ORACLES["geo_od_matrix"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) // 86400000000 AS dkey,
+         ((event_id // 7) % 4300) // 430 AS tx,
+         (event_id % 2900) // 290 AS ty
+  FROM events
+), rn AS (
+  SELECT user_id, dkey, tx, ty,
+         row_number() OVER (PARTITION BY user_id, dkey
+                            ORDER BY us, event_id) AS a,
+         row_number() OVER (PARTITION BY user_id, dkey
+                            ORDER BY us DESC, event_id DESC) AS b
+  FROM e
+), trips AS (
+  SELECT f.user_id, f.tx AS ox, f.ty AS oy, l.tx AS dx, l.ty AS dy
+  FROM (SELECT * FROM rn WHERE a = 1) f
+  JOIN (SELECT * FROM rn WHERE b = 1) l USING (user_id, dkey)
+)
+SELECT CAST(ox AS BIGINT) AS ox, CAST(oy AS BIGINT) AS oy,
+       CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM trips GROUP BY 1, 2, 3, 4
+"""
+
+ORACLES["events_autocorr_daily"] = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS dkey,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), l AS (SELECT range AS lag FROM range(1, 8)),
+p AS (
+  SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+  FROM d a CROSS JOIN l
+  JOIN d b ON b.event_type = a.event_type AND b.dkey = a.dkey + l.lag
+), s AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM s
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""

@@ -8482,3 +8482,246 @@ def geo_station_coverage(sf_dir: str):
             "max_station_dist": np.round(df.dmax.to_numpy(np.float64), 6)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------- round-5 additions: the
+# temporal/spatial analytics tier a monitoring + mobility stack runs over
+# the same event stream (seasonality, Benford data-quality, trajectory
+# speed, OD flows, autocorrelation). All SQL-exact (integer keys /
+# term-identical float expressions) — driver hash rows, no tolerance.
+
+
+def events_seasonality(sf_dir: str):
+    """Weekly/diurnal activity fingerprint: count + mean value per
+    (event_type, day-of-week, hour-of-day) — the heatmap behind every
+    ops dashboard. dow/hour derive from integer-µs arithmetic
+    ((epoch_day + 4) % 7, 0 = Sunday; (us % day) // hour) — identical on
+    both engines, no timezone/locale function semantics involved.
+
+    Scale shape: pure _preagg (two-stage hash aggregate), zero other
+    exchanges; output bounded at types × 168 rows."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_type", "ts", "value"])
+    DAY = 86_400_000_000
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(df.ts)
+        return pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "dow": ((us // DAY + 4) % 7).astype(np.int64),
+            "hour": ((us % DAY) // 3_600_000_000).astype(np.int64),
+            "v": df.value.to_numpy(np.float64)})
+
+    agg = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                  ["event_type", "dow", "hour"],
+                  [("n", None, "count"), ("s", "v", "sum")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "dow": df.dow.to_numpy(np.int64),
+            "hour": df.hour.to_numpy(np.int64),
+            "n": df.n.to_numpy(np.int64),
+            "mean_value": np.round(df.s.to_numpy(np.float64)
+                                   / df.n.to_numpy(np.float64), 6)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def events_benford(sf_dir: str):
+    """Benford's-law data-quality audit: leading-digit distribution of
+    value per event_type vs the Benford expectation log10(1 + 1/d) —
+    the classic fabricated-data / instrumentation-bug detector. The
+    digit comes from integer cents (rint(value·100): values carry two
+    decimals, so the double sits ~1e-10 from an integer and half-even
+    vs half-away rounding never disagrees) via string head — no
+    log10-on-float boundary cases.
+
+    Scale shape: one vectorized map + _preagg on (type, digit); the
+    per-type frequency normalization runs on the ≤ types × 9-row
+    aggregate (bounded by construction)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "value"])
+
+    def digits(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.value.to_numpy(np.float64)
+        m = v > 0
+        cents = np.rint(v[m] * 100.0).astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"event_type": df.event_type.to_numpy()[m],
+                             "digit": first.to_numpy()})
+
+    agg = _preagg(ev.map_batches(digits, batch_format="pandas"),
+                  ["event_type", "digit"],
+                  [("n", None, "count")]).to_pandas()
+    tot = agg.groupby("event_type").n.transform("sum").to_numpy(np.float64)
+    d = agg.digit.to_numpy(np.float64)
+    return pd.DataFrame({
+        "event_type": agg.event_type.to_numpy(),
+        "digit": agg.digit.to_numpy(np.int64),
+        "n": agg.n.to_numpy(np.int64),
+        "freq": np.round(agg.n.to_numpy(np.float64) / tot, 6),
+        "benford_expected": np.round(np.log10(1.0 + 1.0 / d), 6)})
+
+
+def geo_speed_outliers(sf_dir: str):
+    """Trajectory speed audit: per user, consecutive-event displacement
+    over the synthetic point layer (shared scaled-euclidean metric —
+    IEEE sqrt, term-identical both engines) divided by the µs gap;
+    reports per user the segment count and MAX speed (deg-ish/s). Max
+    over identical IEEE doubles is exact parity; zero-gap segments are
+    excluded on both engines (speed undefined).
+
+    Scale shape: ONE user-keyed exchange; per-group work is one lexsort
+    + vectorized diffs (the events_user_lag window pattern)."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        eid = g.event_id.to_numpy(np.int64)
+        order = np.lexsort((eid, us))
+        us = us[order]
+        p = _event_points(g.iloc[order])
+        dlat = np.diff(p.lat.to_numpy(np.float64))
+        dlon = np.diff(p.lon.to_numpy(np.float64))
+        dt = np.diff(us)
+        ok = dt > 0
+        if not ok.any():
+            return pd.DataFrame({
+                "user_id": np.array([], dtype=np.int64),
+                "n_segments": np.array([], dtype=np.int64),
+                "max_speed": np.array([], dtype=np.float64)})
+        speed = (np.sqrt(1.8 * dlat[ok] * dlat[ok] + dlon[ok] * dlon[ok])
+                 / (dt[ok] / 1e6))
+        return pd.DataFrame({
+            "user_id": np.array([np.int64(g.user_id.iloc[0])]),
+            "n_segments": np.array([np.int64(ok.sum())]),
+            "max_speed": np.array([round(float(speed.max()), 6)])})
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def geo_od_matrix(sf_dir: str):
+    """Origin–destination flow matrix (the mobility-analytics staple):
+    per (user, day), the first and last event's coarse tile become an OD
+    trip; output per (ox, oy, dx, dy): trip count + distinct users.
+    First/last are total-ordered by (ts µs, event_id) — integer keys,
+    exact on both engines.
+
+    Scale shape: per-block partial keeps only each (user, day)'s
+    first/last candidate rows (one exchange on a hashed user-day key
+    resolves them globally — the _preagg pattern for argmin/argmax),
+    then two more _preagg stages: (od, user) distinct contraction and
+    the final od rollup. Nothing materializes beyond the bounded
+    10×10×10×10 OD space."""
+    import ray
+
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts"])
+    DAY = 86_400_000_000
+    npart = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(df.ts)
+        eid = df.event_id.to_numpy(np.int64)
+        uid = df.user_id.to_numpy(np.int64)
+        dkey = (us // DAY).astype(np.int64)
+        order = np.lexsort((eid, us))
+        t = pd.DataFrame({"uid": uid[order], "dkey": dkey[order],
+                          "eid": eid[order], "us": us[order]})
+        g = t.groupby(["uid", "dkey"], sort=False)
+        first = g.head(1)
+        last = g.tail(1)
+        out = pd.concat([first.assign(end=0), last.assign(end=1)],
+                        ignore_index=True)
+        out["_pk"] = (pd.util.hash_pandas_object(out[["uid", "dkey"]],
+                                                 index=False)
+                      % npart).astype("int32")
+        return out
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # global first/last per (uid, dkey) from the per-block candidates.
+        # NB: first/last must come from ONE aligned aggregate — head(1)
+        # and tail(1) order groups by first- vs last-occurrence position,
+        # which scrambles origin/destination pairing.
+        order = np.lexsort((df.eid.to_numpy(), df.us.to_numpy()))
+        t = df.iloc[order]
+        agg = (t.groupby(["uid", "dkey"], sort=False)
+               .agg(oe=("eid", "first"), de=("eid", "last")).reset_index())
+        oe = agg.oe.to_numpy(np.int64)
+        de = agg.de.to_numpy(np.int64)
+        return pd.DataFrame({
+            "uid": agg.uid.to_numpy(np.int64),
+            "ox": ((oe // 7) % 4300) // 430,
+            "oy": (oe % 2900) // 290,
+            "dx": ((de // 7) % 4300) // 430,
+            "dy": (de % 2900) // 290})
+
+    trips = (ev.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .groupby("_pk").map_groups(resolve, batch_format="pandas"))
+    per_user = _preagg(trips, ["ox", "oy", "dx", "dy", "uid"],
+                       [("k", None, "count")])
+    od = _preagg(per_user, ["ox", "oy", "dx", "dy"],
+                 [("n_trips", "k", "sum"), ("n_users", None, "count")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ox": df.ox.to_numpy(np.int64), "oy": df.oy.to_numpy(np.int64),
+            "dx": df.dx.to_numpy(np.int64), "dy": df.dy.to_numpy(np.int64),
+            "n_trips": df.n_trips.to_numpy(np.int64),
+            "n_users": df.n_users.to_numpy(np.int64)})
+
+    return od.map_batches(fin, batch_format="pandas")
+
+
+def events_autocorr_daily(sf_dir: str):
+    """Lag-1..7 autocorrelation of the per-type DAILY count series — the
+    weekly-cycle detector behind anomaly baselines. All Σ terms are
+    exact int64 sums over identical (day, day+lag) inner-join pair sets,
+    so the Pearson numerator/denominator are bit-identical on both
+    engines before the single float divide (round 6). Zero-variance
+    lags drop on both sides.
+
+    Scale shape: the corpus-scale work is ONE _preagg to daily counts;
+    the ACF runs on the bounded types × days series on the driver
+    (calendar-bounded, not corpus-bounded)."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+    DAY = 86_400_000_000
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "dkey": (_epoch_us(df.ts) // DAY).astype(np.int64)})
+
+    daily = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                    ["event_type", "dkey"],
+                    [("c", None, "count")]).to_pandas()
+    rows = []
+    for et, g in daily.groupby("event_type", sort=False):
+        series = dict(zip(g.dkey.to_numpy(np.int64),
+                          g.c.to_numpy(np.int64)))
+        for lag in range(1, 8):
+            xs, ys = [], []
+            for dk, x in series.items():
+                y = series.get(dk + lag)
+                if y is not None:
+                    xs.append(int(x))
+                    ys.append(int(y))
+            n = len(xs)
+            if n == 0:
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            acf = float(n * sxy - sx * sy) / (
+                np.sqrt(np.float64(vx)) * np.sqrt(np.float64(vy)))
+            rows.append((et, lag, n, round(acf, 6)))
+    return pd.DataFrame(rows, columns=["event_type", "lag", "n_pairs",
+                                       "acf"]).astype(
+        {"lag": np.int64, "n_pairs": np.int64})
