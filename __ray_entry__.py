@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_speed_outliers": Q.geo_speed_outliers,  # new r5
         "geo_od_matrix": Q.geo_od_matrix,  # new r5
         "events_autocorr_daily": Q.events_autocorr_daily,  # new r5
+        "geo_ripley_k": Q.geo_ripley_k,  # new r5 (point-pattern K)
+        "geo_nearest_neighbor_stats": Q.geo_nearest_neighbor_stats,  # new r5
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -102,9 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lag": Q.events_user_lag,
         "events_value_cume_dist": Q.events_value_cume_dist,
         "events_topk_per_type": Q.events_topk_per_type,
+        # ================= end of the 50-entry sweep window ===============
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
-        # ================= end of the 50-entry sweep window ===============
         # (r01/r02-green, displaced by the five round-5 additions)
         "events_stratified_sample": Q.events_stratified_sample,
         "events_user_setops": Q.events_user_setops,

@@ -2486,3 +2486,68 @@ SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
 FROM s
 WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
 """
+
+
+ORACLES["geo_ripley_k"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+), b AS (
+  SELECT event_id, lat, lon,
+         CAST(floor(lon / 0.031) AS BIGINT) AS xb
+  FROM pts
+), pr AS (
+  SELECT 1.8 * (a.lat - c.lat) * (a.lat - c.lat)
+         + (a.lon - c.lon) * (a.lon - c.lon) AS d2
+  FROM b a JOIN b c
+    ON c.xb BETWEEN a.xb - 1 AND a.xb + 1
+   AND c.event_id != a.event_id
+), s AS (
+  SELECT
+    CAST(sum(CASE WHEN d2 <= 0.01 * 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
+    CAST(sum(CASE WHEN d2 <= 0.02 * 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+    CAST(sum(CASE WHEN d2 <= 0.03 * 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS p2
+  FROM pr
+), n AS (SELECT count(*) AS n FROM events)
+SELECT 0.01 AS r, p0 AS n_pairs,
+       round((4.3 * 2.9 * p0) / (n.n * (n.n - 1.0)), 6) AS k_r FROM s, n
+UNION ALL
+SELECT 0.02, p1, round((4.3 * 2.9 * p1) / (n.n * (n.n - 1.0)), 6) FROM s, n
+UNION ALL
+SELECT 0.03, p2, round((4.3 * 2.9 * p2) / (n.n * (n.n - 1.0)), 6) FROM s, n
+"""
+
+ORACLES["geo_nearest_neighbor_stats"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon,
+         ((event_id // 7) % 4300) // 50 AS tile_x,
+         (event_id % 2900) // 50 AS tile_y
+  FROM events
+), b AS (
+  SELECT *, CAST(floor(lon / 0.012) AS BIGINT) AS xb FROM pts
+), nn AS (
+  SELECT a.event_id, a.tile_x, a.tile_y,
+         min(CASE WHEN 1.8 * (a.lat - c.lat) * (a.lat - c.lat)
+                       + (a.lon - c.lon) * (a.lon - c.lon)
+                       <= 0.012 * 0.012
+                  THEN sqrt(1.8 * (a.lat - c.lat) * (a.lat - c.lat)
+                            + (a.lon - c.lon) * (a.lon - c.lon)) END) AS d
+  FROM b a LEFT JOIN b c
+    ON c.xb BETWEEN a.xb - 1 AND a.xb + 1
+   AND c.event_id != a.event_id
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(tile_x AS BIGINT) AS tile_x,
+       CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(*) - count(d) AS BIGINT) AS n_censored,
+       CASE WHEN count(d) > 0
+            THEN round(sum(d) / count(d), 6) ELSE -1.0 END AS mean_nn,
+       CASE WHEN count(d) > 0
+            THEN round(min(d), 6) ELSE -1.0 END AS min_nn
+FROM nn GROUP BY 1, 2
+"""

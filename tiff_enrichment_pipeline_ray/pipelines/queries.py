@@ -8725,3 +8725,164 @@ def events_autocorr_daily(sf_dir: str):
     return pd.DataFrame(rows, columns=["event_type", "lag", "n_pairs",
                                        "acf"]).astype(
         {"lag": np.int64, "n_pairs": np.int64})
+
+
+_RIPLEY_RADII = (0.01, 0.02, 0.03)
+_RIPLEY_CELL = 0.031  # strictly > max r: qualifying pairs never straddle ±1
+
+
+def geo_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic (Ripley 1977; the
+    clustered-vs-CSR diagnostic) at radii 0.01/0.02/0.03 over the
+    events-derived layer, no edge correction (documented; the border
+    term needs the same pair counts restricted to an eroded frame):
+
+        K(r) = A · n_pairs(r) / (n · (n − 1)),  A = 4.3 · 2.9
+
+    with n_pairs counting ORDERED pairs i≠j under the shared
+    scaled-euclidean metric (d² ≤ r² compared in exact doubles —
+    identical pair sets both engines; the only float divide is the final
+    bounded expression, term-identical to the SQL).
+
+    Scale shape: the ESDA home+ghost grid scheme with 0.031° cells —
+    per-bucket (home × 9-cell neighborhood) distance matrices reduce to
+    THREE int64 partial counts per bucket; one coalesced sum finishes.
+    No pair set is materialized anywhere."""
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    r2s = [np.float64(r) * np.float64(r) for r in _RIPLEY_RADII]
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        cx = np.floor((lon - _GRID_LON0) / _RIPLEY_CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _RIPLEY_CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * 4096 + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < 4096)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * 4096 + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        cols = ["cell", "id", "lon", "lat"]
+        m = home[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.id_a.to_numpy() != m.id_b.to_numpy()]
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        d2 = 1.8 * dlat * dlat + dlon * dlon
+        return pd.DataFrame({f"p{i}": [np.int64((d2 <= r2).sum())]
+                             for i, r2 in enumerate(r2s)})
+
+    part = (ev.map_batches(copies, batch_format="pandas")
+            .groupby("bk").map_groups(pair_counts, batch_format="pandas")
+            .to_pandas())
+    n = _pq_nrows(testdata_path(sf_dir, "events"))
+    area = 4.3 * 2.9
+    rows = []
+    for i, r in enumerate(_RIPLEY_RADII):
+        np_r = int(part[f"p{i}"].sum())
+        rows.append((r, np_r,
+                     round((area * np_r) / (n * (n - 1.0)), 6)))
+    return pd.DataFrame(rows, columns=["r", "n_pairs", "k_r"]).astype(
+        {"n_pairs": np.int64})
+
+
+_NN_CENSOR = 0.012  # = the ESDA cell: NN search lossless within ±1 cell
+
+
+def geo_nearest_neighbor_stats(sf_dir: str):
+    """Censored nearest-neighbor field (the Clark–Evans 1954 ingredient,
+    banded): per 50×50 census tile, the count of points whose nearest
+    OTHER point lies within 0.012 (censor = cell size, so the 9-cell
+    neighborhood provably contains any qualifying neighbor), their mean
+    and min NN distance (IEEE sqrt of the shared metric), and the
+    censored count (no neighbor within the band — isolation flag).
+    Tiles with zero uncensored points emit the −1.0 sentinel on both
+    engines (NaN-hostile hash compare).
+
+    Scale shape: ONE home+ghost grid exchange (per-bucket row-min, never
+    a pair set), then a tile-bounded `_preagg`; mean association drift
+    is confined to ≤ tile-sized sums under round-6."""
+    ev, ne = _spread_read(sf_dir, "events", ["event_id"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    c2 = np.float64(_NN_CENSOR) * np.float64(_NN_CENSOR)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        cx = np.floor((lon - _GRID_LON0) / _NN_CENSOR).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _NN_CENSOR).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * 4096 + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < 4096)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * 4096 + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def nn_min(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        cols = ["cell", "id", "lon", "lat"]
+        m = home[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.id_a.to_numpy() != m.id_b.to_numpy()]
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        d2 = 1.8 * dlat * dlat + dlon * dlon
+        m = m.assign(d2=d2)[d2 <= c2]
+        agg = (m.groupby("id_a", sort=False)
+               .agg(d2min=("d2", "min")).reset_index())
+        out = home[["id"]].merge(agg, left_on="id", right_on="id_a",
+                                 how="left")
+        eid = out.id.to_numpy(np.int64)
+        d = np.sqrt(out.d2min.to_numpy(np.float64))  # NaN where censored
+        cens = np.isnan(d)
+        return pd.DataFrame({
+            "tile_x": ((eid // 7) % 4300) // 50,
+            "tile_y": (eid % 2900) // 50,
+            "one": np.ones(len(eid), dtype=np.int64),
+            "unc": (~cens).astype(np.int64),
+            "dsum": np.where(cens, 0.0, d),
+            "dmin": np.where(cens, np.inf, d)})
+
+    nn = (ev.map_batches(copies, batch_format="pandas")
+          .groupby("bk").map_groups(nn_min, batch_format="pandas"))
+    agg = _preagg(nn, ["tile_x", "tile_y"],
+                  [("n", "one", "sum"), ("n_unc", "unc", "sum"),
+                   ("ds", "dsum", "sum"), ("dm", "dmin", "min")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n_unc = df.n_unc.to_numpy(np.float64)
+        ds = df.ds.to_numpy(np.float64)
+        dm = df.dm.to_numpy(np.float64)
+        has = n_unc > 0
+        return pd.DataFrame({
+            "tile_x": df.tile_x.to_numpy(np.int64),
+            "tile_y": df.tile_y.to_numpy(np.int64),
+            "n_points": df.n.to_numpy(np.int64),
+            "n_censored": (df.n.to_numpy(np.int64)
+                           - df.n_unc.to_numpy(np.int64)),
+            "mean_nn": np.where(has, np.round(ds / n_unc, 6), -1.0),
+            "min_nn": np.where(has, np.round(dm, 6), -1.0)})
+
+    return agg.map_batches(fin, batch_format="pandas")
