@@ -134,6 +134,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # border min) and the ESDA neighbor-aggregation exchange
         ("geo_dbscan_clusters", Q.geo_dbscan_clusters),
         ("geo_getis_hotspots", Q.geo_getis_hotspots),
+        # round 5: the two heaviest new ops — OD matrix (argmin/argmax
+        # exchange + two preaggs) and Ripley's K (the widest grid
+        # pair-count exchange: 9 copies/point at 0.031-deg cells)
+        ("geo_od_matrix", Q.geo_od_matrix),
+        ("geo_ripley_k", Q.geo_ripley_k),
     ]
     for name, fn in qlist:
         t0 = time.time()

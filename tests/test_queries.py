@@ -1407,3 +1407,177 @@ def test_idw_point_on_station_and_zorder_skew(tmp_path):
     # equal rank cut despite the skew; ordered disjoint key ranges
     assert gotz.n_points.max() - gotz.n_points.min() <= 1
     assert (gotz.zkey_lo.to_numpy()[1:] > gotz.zkey_hi.to_numpy()[:-1]).all()
+
+
+def _write_events(tmp_path, df):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sfX"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   sf / "events.parquet")
+    return str(sf)
+
+
+def _events_oracle(sf, name):
+    import duckdb
+
+    from tiff_enrichment_pipeline_ray.pipelines.oracles import ORACLES
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    return con.sql(ORACLES[name]).df()
+
+
+class TestRound5Crafted:
+    """Adversarial parity for the round-5 analytics tier on crafted
+    tables — each pins the edge its implementation note documents."""
+
+    def test_od_matrix_interleaved_group_order(self, ray_session, tmp_path):
+        """The head(1)/tail(1) scramble regression: (user, day) groups
+        whose FIRST-occurrence order differs from their LAST-occurrence
+        order under the global (ts, event_id) sort. A first/last pairing
+        taken from differently-ordered frames swaps destinations between
+        users; the aligned aggregate must not."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        base = pd.Timestamp("2024-01-01")
+        # u1 starts first and ends last; u2 nests inside — distinct tiles
+        # per endpoint (event_ids chosen across the 430-wide coarse tiles)
+        df = pd.DataFrame({
+            "event_id": [0, 3010, 6020, 9030],
+            "ts": [base, base + pd.Timedelta(minutes=1),
+                   base + pd.Timedelta(minutes=2),
+                   base + pd.Timedelta(minutes=3)],
+            "user_id": [1, 2, 2, 1],
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.geo_od_matrix(sf))
+        want = _events_oracle(sf, "geo_od_matrix")
+        assert compare("geo_od_matrix", got, want, exact=True) is None
+        # and the trips really are (u1: eid0 -> eid9030), (u2: 3010 -> 6020)
+        assert len(got) == 2 and set(got.n_trips) == {1}
+
+    def test_benford_two_decimal_digits(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        vals = [0.01, 0.09, 0.10, 9.99, 490.02, 100.00, 55.55]
+        df = pd.DataFrame({
+            "event_id": range(len(vals)),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+            "event_type": ["a"] * len(vals),
+            "value": vals,
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.events_benford(sf))
+        want = _events_oracle(sf, "events_benford")
+        assert compare("events_benford", got, want, exact=True) is None
+        # digits: 1,9,1,9,4,1,5 -> counts {1:3, 9:2, 4:1, 5:1}
+        cnt = dict(zip(got.digit, got.n))
+        assert cnt == {1: 3, 9: 2, 4: 1, 5: 1}
+
+    def test_autocorr_constant_series_dropped(self, ray_session, tmp_path):
+        """A type with constant daily counts has zero variance at every
+        lag — dropped on both engines; a varying type keeps its rows."""
+        import numpy as np
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        rows = []
+        eid = 0
+        for day in range(10):
+            for _ in range(3):  # 'flat': 3 events every day
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day, minutes=eid % 60),
+                             1, "flat", 1.0))
+                eid += 1
+            for _ in range(day % 4 + 1):  # 'vary': 1..4 cycling
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day, minutes=eid % 60),
+                             1, "vary", 1.0))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value"])
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.events_autocorr_daily(sf))
+        want = _events_oracle(sf, "events_autocorr_daily")
+        assert compare("events_autocorr_daily", got, want, exact=True) is None
+        assert "flat" not in set(got.event_type)
+        assert (got.event_type == "vary").any()
+
+    def test_speed_outliers_zero_gap_excluded(self, ray_session, tmp_path):
+        """Same-microsecond consecutive events have undefined speed:
+        excluded from segments; a user with ONLY zero-gap segments drops
+        entirely (SQL inner filter)."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 10, 11],
+            # u1: one zero-gap pair then a real segment; u2: only zero-gap
+            "ts": [t0, t0, t0 + pd.Timedelta(seconds=5), t0, t0],
+            "user_id": [1, 1, 1, 2, 2],
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.geo_speed_outliers(sf))
+        want = _events_oracle(sf, "geo_speed_outliers")
+        assert compare("geo_speed_outliers", got, want, exact=True) is None
+        assert set(got.user_id) == {1}
+        assert got.n_segments.iloc[0] == 1
+
+    def test_nn_stats_isolated_point_sentinel(self, ray_session, tmp_path):
+        """A point with no neighbor inside the 0.012 censor band yields
+        the -1.0 sentinel tile; a close pair yields symmetric NN rows."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        # event_ids 0 and 7 differ by 1/1000 deg in lat only (close pair);
+        # event_id 2_000_000 lands far from both (isolated)
+        df = pd.DataFrame({
+            "event_id": [0, 7, 2_000_000],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.geo_nearest_neighbor_stats(sf))
+        want = _events_oracle(sf, "geo_nearest_neighbor_stats")
+        assert compare("geo_nearest_neighbor_stats", got, want,
+                       exact=True) is None
+        sent = got[got.n_censored > 0]
+        assert len(sent) == 1 and sent.mean_nn.iloc[0] == -1.0
+
+    def test_ripley_counts_tiny_pattern(self, ray_session, tmp_path):
+        """Three crafted points: a pair within r=0.01 of each other and
+        one distant point — K counts exactly 2 ordered pairs at every
+        radius that admits the pair."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        df = pd.DataFrame({
+            "event_id": [0, 7, 2_000_000],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.geo_ripley_k(sf))
+        want = _events_oracle(sf, "geo_ripley_k")
+        assert compare("geo_ripley_k", got, want, exact=True) is None
+        assert got.n_pairs.tolist() == [2, 2, 2]
