@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr_daily": Q.events_autocorr_daily,  # new r5
         "geo_ripley_k": Q.geo_ripley_k,  # new r5 (point-pattern K)
         "geo_nearest_neighbor_stats": Q.geo_nearest_neighbor_stats,  # new r5
+        "geo_quadtree_tiles": Q.geo_quadtree_tiles,  # new r5 (adaptive tiling)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -103,8 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_max": Q.events_rolling_max,
         "events_user_lag": Q.events_user_lag,
         "events_value_cume_dist": Q.events_value_cume_dist,
-        "events_topk_per_type": Q.events_topk_per_type,
         # ================= end of the 50-entry sweep window ===============
+        "events_topk_per_type": Q.events_topk_per_type,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,
         # (r01/r02-green, displaced by the five round-5 additions)

@@ -189,6 +189,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_seasonality", "events_benford", "geo_speed_outliers",
            "geo_od_matrix", "events_autocorr_daily",
            "geo_ripley_k", "geo_nearest_neighbor_stats",
+           "geo_quadtree_tiles",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",
@@ -1581,3 +1582,30 @@ class TestRound5Crafted:
         want = _events_oracle(sf, "geo_ripley_k")
         assert compare("geo_ripley_k", got, want, exact=True) is None
         assert got.n_pairs.tolist() == [2, 2, 2]
+
+    def test_quadtree_skewed_refinement(self, ray_session, tmp_path):
+        """All mass in one corner: the quadtree must refine ONLY the
+        occupied branch to the bottom level and keep everything else
+        absent (empty subtrees omitted); a lone far point stays a
+        coarse-level leaf."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        # 300 events at event_id 0 tile (corner) + 1 far event
+        df = pd.DataFrame({
+            "event_id": [0] * 0 + list(range(0, 2100, 7)) + [2_000_000],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": 1,
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.geo_quadtree_tiles(sf))
+        want = _events_oracle(sf, "geo_quadtree_tiles")
+        assert compare("geo_quadtree_tiles", got, want, exact=True) is None
+        # the dense corner reached the max level; the far point is a leaf
+        # on a coarse level of the OTHER branch
+        assert got.level.max() == 6
+        assert (got.n_points == 1).any()
+        # leaf counts partition the corpus exactly
+        assert got.n_points.sum() == len(df)

@@ -2551,3 +2551,67 @@ SELECT CAST(tile_x AS BIGINT) AS tile_x,
             THEN round(min(d), 6) ELSE -1.0 END AS min_nn
 FROM nn GROUP BY 1, 2
 """
+
+
+ORACLES["geo_quadtree_tiles"] = """
+WITH p AS (
+  SELECT ((event_id // 7) % 4300) * 64 // 4300 AS tx,
+         (event_id % 2900) * 64 // 2900 AS ty
+  FROM events
+), cap AS (SELECT greatest(1, count(*) // 50) AS c FROM events),
+c6 AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+c5 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c6 GROUP BY 1, 2),
+c4 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c5 GROUP BY 1, 2),
+c3 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c4 GROUP BY 1, 2),
+c2 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c3 GROUP BY 1, 2),
+c1 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c2 GROUP BY 1, 2),
+c0 AS (SELECT tx // 2 AS tx, ty // 2 AS ty, CAST(sum(n) AS BIGINT) AS n
+       FROM c1 GROUP BY 1, 2),
+-- s_l: tiles at level l that SPLIT (count > cap, every ancestor split)
+s0 AS (SELECT tx, ty FROM c0, cap WHERE n > cap.c),
+s1 AS (SELECT c1.tx, c1.ty FROM c1
+       JOIN s0 ON s0.tx = c1.tx // 2 AND s0.ty = c1.ty // 2, cap
+       WHERE c1.n > cap.c),
+s2 AS (SELECT c2.tx, c2.ty FROM c2
+       JOIN s1 ON s1.tx = c2.tx // 2 AND s1.ty = c2.ty // 2, cap
+       WHERE c2.n > cap.c),
+s3 AS (SELECT c3.tx, c3.ty FROM c3
+       JOIN s2 ON s2.tx = c3.tx // 2 AND s2.ty = c3.ty // 2, cap
+       WHERE c3.n > cap.c),
+s4 AS (SELECT c4.tx, c4.ty FROM c4
+       JOIN s3 ON s3.tx = c4.tx // 2 AND s3.ty = c4.ty // 2, cap
+       WHERE c4.n > cap.c),
+s5 AS (SELECT c5.tx, c5.ty FROM c5
+       JOIN s4 ON s4.tx = c5.tx // 2 AND s4.ty = c5.ty // 2, cap
+       WHERE c5.n > cap.c)
+SELECT CAST(0 AS BIGINT) AS level, tx, ty, n AS n_points FROM c0, cap
+WHERE n <= cap.c
+UNION ALL
+SELECT 1, c1.tx, c1.ty, c1.n FROM c1
+JOIN s0 ON s0.tx = c1.tx // 2 AND s0.ty = c1.ty // 2, cap
+WHERE c1.n <= cap.c
+UNION ALL
+SELECT 2, c2.tx, c2.ty, c2.n FROM c2
+JOIN s1 ON s1.tx = c2.tx // 2 AND s1.ty = c2.ty // 2, cap
+WHERE c2.n <= cap.c
+UNION ALL
+SELECT 3, c3.tx, c3.ty, c3.n FROM c3
+JOIN s2 ON s2.tx = c3.tx // 2 AND s2.ty = c3.ty // 2, cap
+WHERE c3.n <= cap.c
+UNION ALL
+SELECT 4, c4.tx, c4.ty, c4.n FROM c4
+JOIN s3 ON s3.tx = c4.tx // 2 AND s3.ty = c4.ty // 2, cap
+WHERE c4.n <= cap.c
+UNION ALL
+SELECT 5, c5.tx, c5.ty, c5.n FROM c5
+JOIN s4 ON s4.tx = c5.tx // 2 AND s4.ty = c5.ty // 2, cap
+WHERE c5.n <= cap.c
+UNION ALL
+SELECT 6, c6.tx, c6.ty, c6.n FROM c6
+JOIN s5 ON s5.tx = c6.tx // 2 AND s5.ty = c6.ty // 2
+"""

@@ -8886,3 +8886,61 @@ def geo_nearest_neighbor_stats(sf_dir: str):
             "min_nn": np.where(has, np.round(dm, 6), -1.0)})
 
     return agg.map_batches(fin, batch_format="pandas")
+
+
+def geo_quadtree_tiles(sf_dir: str, cap_frac: int = 50, max_level: int = 6):
+    """Adaptive quadtree tiling (the spatial-index / adaptive-partitioner
+    primitive; geo_zorder_layout's sibling for SKEWED domains): starting
+    from the whole domain, any tile holding more than n/50 points splits
+    into 4 children, down to level 6 (64×64). Output = the non-empty
+    LEAF tiles (level, tx, ty, n_points) — a balanced partitioning plan
+    where dense city-cores end at fine levels and empty countryside
+    stays coarse. Finest-level tile ids are pure integer arithmetic
+    (v·64 // 4300), the cap is an integer count — exact on both engines;
+    empty leaves are omitted (never observed in the census).
+
+    Scale shape: ONE `_preagg` exchange to the level-6 census (≤ 4096
+    rows — domain-bounded, the tile-census argument); the refinement
+    itself is a driver-side rollup over that bounded table. At planetary
+    grids the same recursion runs as a per-coarse-cell map over a
+    bucketed census."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id"])
+    side = 1 << max_level
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df.event_id.to_numpy(np.int64)
+        return pd.DataFrame({
+            "tx": ((eid // 7) % 4300) * side // 4300,
+            "ty": (eid % 2900) * side // 2900})
+
+    census = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                     ["tx", "ty"], [("n", None, "count")]).to_pandas()
+    n_total = int(census.n.sum())
+    cap = max(1, n_total // cap_frac)
+
+    # per-level rollups from the bounded finest census
+    levels = {max_level: {(int(r.tx), int(r.ty)): int(r.n)
+                          for r in census.itertuples()}}
+    for lvl in range(max_level - 1, -1, -1):
+        up: dict = {}
+        for (tx, ty), n in levels[lvl + 1].items():
+            k = (tx // 2, ty // 2)
+            up[k] = up.get(k, 0) + n
+        levels[lvl] = up
+
+    rows = []
+
+    def descend(lvl, tx, ty):
+        n = levels[lvl].get((tx, ty))
+        if n is None:
+            return  # empty subtree: omitted
+        if n <= cap or lvl == max_level:
+            rows.append((lvl, tx, ty, n))
+            return
+        for cx in (2 * tx, 2 * tx + 1):
+            for cy in (2 * ty, 2 * ty + 1):
+                descend(lvl + 1, cx, cy)
+
+    descend(0, 0, 0)
+    return pd.DataFrame(rows, columns=["level", "tx", "ty",
+                                       "n_points"]).astype(np.int64)
