@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hillshade_render": Q.geo_hillshade_render,
         "image_tile_chips": Q.image_tile_chips,
         "image_chip_stats": Q.image_chip_stats,
+        "image_duplicate_tiles": Q.image_duplicate_tiles,  # new r5, rows-only (pytest brute-force oracle)
         "image_phash_near_dup": Q.image_phash_near_dup,
         "dedup_simhash_pairs": Q.dedup_simhash_pairs,
         "dedup_minhash_docs": Q.dedup_minhash_docs,

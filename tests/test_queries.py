@@ -209,7 +209,10 @@ ROWS_ONLY = ["image_chip_stats",
              "location_map",
              # round 4: SemDeDup semantic dedup (cluster geometry; brute-
              # force oracle in test_ann_multimodal::TestSemanticDedup)
-             "embedding_semantic_dedup"]
+             "embedding_semantic_dedup",
+             # round 5: duplicate-chip detection (bytes not SQL-decodable;
+             # brute-force oracle in test_duplicate_tiles_brute_force)
+             "image_duplicate_tiles"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -1609,3 +1612,41 @@ class TestRound5Crafted:
         assert (got.n_points == 1).any()
         # leaf counts partition the corpus exactly
         assert got.n_points.sum() == len(df)
+
+
+def test_duplicate_tiles_brute_force(gate):
+    """image_duplicate_tiles == a single-process dict over every decoded
+    chip (hash -> {images}, chip count), independent of the distributed
+    two-stage distinct/count path."""
+    import glob as _g
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.functions import codec as C
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tiff_enrichment_pipeline_ray.sources import synth
+    from tools.minidriver import to_pandas
+
+    entrymod, _, sf_dir = gate
+    got = to_pandas(Q.image_duplicate_tiles(sf_dir))
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    seen: dict = {}
+    for f in sorted(_g.glob(img_dir + "/*.parquet")):
+        t = pq.read_table(f, columns=["image_id", "bytes"])
+        for img_id, blob in zip(t.column("image_id").to_pylist(),
+                                t.column("bytes").to_pylist()):
+            px, _m, ok = C.decode_image(blob)
+            if not ok or px.shape[0] < 64 or px.shape[1] < 64:
+                continue
+            for h in Q._chip_content_hashes(px, 64):
+                e = seen.setdefault(int(h), [set(), 0])
+                e[0].add(img_id)
+                e[1] += 1
+    dup = sorted(((h, len(imgs), n) for h, (imgs, n) in seen.items()
+                  if len(imgs) >= 2),
+                 key=lambda r: (-r[2], r[0]))[:100]
+    want = [(int(r.chip_hash), int(r.n_images), int(r.n_chips))
+            for r in got.itertuples()]
+    assert want == dup and len(dup) > 0

@@ -8944,3 +8944,80 @@ def geo_quadtree_tiles(sf_dir: str, cap_frac: int = 50, max_level: int = 6):
     descend(0, 0, 0)
     return pd.DataFrame(rows, columns=["level", "tx", "ty",
                                        "n_points"]).astype(np.int64)
+
+
+def _chip_content_hashes(px: np.ndarray, tile: int) -> np.ndarray:
+    """Vectorized 64-bit content hash per tile×tile chip (x-major order):
+    each chip's 4096 uint16 pixels dotted with a fixed odd-power vector
+    in wrapping uint64 arithmetic — one matmul per image, no per-chip
+    Python loop, deterministic across engines/platforms."""
+    ny, nx = px.shape[0] // tile, px.shape[1] // tile
+    q = px[:ny * tile, :nx * tile].reshape(ny, tile, nx, tile)
+    flat = (q.transpose(2, 0, 1, 3)         # x-major to match tile_chips
+            .reshape(nx * ny, tile * tile).astype(np.uint64))
+    base = np.uint64(0x9E3779B97F4A7C15)
+    pw = np.empty(tile * tile, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    for i in range(1, tile * tile):
+        pw[i] = pw[i - 1] * base  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        h = (flat * pw[None, :]).sum(axis=1)  # wraps mod 2^64
+    return h.view(np.int64)
+
+
+def image_duplicate_tiles(sf_dir: str, tile: int = 64, topk: int = 100):
+    """Cross-image duplicate-content detection at chip granularity (the
+    copy-move / repeated-background screen a training-data curator runs
+    before chip export — exact-duplicate chips carry no new signal and
+    leak across train/val splits): every decode-ok image's 64×64 chips
+    are content-hashed (vectorized — see _chip_content_hashes), and
+    hashes seen in ≥ 2 DISTINCT images are reported, top-100 by
+    (n_chips DESC, chip_hash ASC). Output (chip_hash, n_images,
+    n_chips).
+
+    Scale shape: zero-exchange decode+hash inside map_batches; per-block
+    partials emit block-distinct (hash, image) pairs + chip counts, then
+    two `_preagg` stages (distinct-image contraction → hash rollup) —
+    the events_table_profile distinct-count pattern; only the bounded
+    top-k reaches the driver. Rows-only vs the driver (bytes are not
+    SQL-decodable); pinned by a brute-force pytest oracle."""
+    import ray.data as rd
+
+    from ..functions import codec as C
+
+    img_dir = synth.ensure_images(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(img_dir, columns=["image_id", "bytes"])
+
+    def hashes(t: pa.Table) -> pd.DataFrame:
+        hs, ids = [], []
+        for img_id, blob in zip(t.column("image_id").to_pylist(),
+                                t.column("bytes").to_pylist()):
+            px, _meta, ok = C.decode_image(blob)
+            if not ok or px.shape[0] < tile or px.shape[1] < tile:
+                continue
+            h = _chip_content_hashes(px, tile)
+            hs.append(h)
+            ids.append(np.repeat(np.array([img_id], dtype=object), len(h)))
+        if not hs:
+            return pd.DataFrame({"chip_hash": pd.Series([], dtype=np.int64),
+                                 "image_id": pd.Series([], dtype=object)})
+        return pd.DataFrame({"chip_hash": np.concatenate(hs),
+                             "image_id": np.concatenate(ids)})
+
+    per_img = _preagg(ds.map_batches(hashes, batch_format="pyarrow"),
+                      ["chip_hash", "image_id"], [("k", None, "count")])
+    agg = _preagg(per_img, ["chip_hash"],
+                  [("n_images", None, "count"), ("n_chips", "k", "sum")])
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.n_images >= 2]
+        return df.sort_values(["n_chips", "chip_hash"],
+                              ascending=[False, True]).head(topk)
+
+    parts = agg.map_batches(topk_part, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["n_chips", "chip_hash"],
+                            ascending=[False, True]).head(topk)
+    return pd.DataFrame({
+        "chip_hash": out.chip_hash.to_numpy(np.int64),
+        "n_images": out.n_images.to_numpy(np.int64),
+        "n_chips": out.n_chips.to_numpy(np.int64)}).reset_index(drop=True)
