@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_ripley_k": Q.geo_ripley_k,  # new r5 (point-pattern K)
         "geo_nearest_neighbor_stats": Q.geo_nearest_neighbor_stats,  # new r5
         "geo_quadtree_tiles": Q.geo_quadtree_tiles,  # new r5 (adaptive tiling)
+        "geo_direction_rose": Q.geo_direction_rose,  # new r5 (octant rose)
+        "events_gini": Q.events_gini,  # new r5 (activity concentration)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -102,9 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
         "events_rolling_max": Q.events_rolling_max,
+        # ================= end of the 50-entry sweep window ===============
         "events_user_lag": Q.events_user_lag,
         "events_value_cume_dist": Q.events_value_cume_dist,
-        # ================= end of the 50-entry sweep window ===============
         "events_topk_per_type": Q.events_topk_per_type,
         "events_distinct_users": Q.events_distinct_users,
         "events_latest_per_user": Q.events_latest_per_user,

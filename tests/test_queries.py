@@ -189,7 +189,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_seasonality", "events_benford", "geo_speed_outliers",
            "geo_od_matrix", "events_autocorr_daily",
            "geo_ripley_k", "geo_nearest_neighbor_stats",
-           "geo_quadtree_tiles",
+           "geo_quadtree_tiles", "geo_direction_rose", "events_gini",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",

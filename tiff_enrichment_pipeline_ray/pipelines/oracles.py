@@ -2615,3 +2615,47 @@ UNION ALL
 SELECT 6, c6.tx, c6.ty, c6.n FROM c6
 JOIN s5 ON s5.tx = c6.tx // 2 AND s5.ty = c6.ty // 2
 """
+
+
+ORACLES["geo_direction_rose"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon
+  FROM events
+), seg AS (
+  SELECT lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), b AS (
+  SELECT CASE
+    WHEN abs(dlon) > abs(dlat) AND dlon > 0 AND dlat >= 0 THEN 0
+    WHEN abs(dlon) > abs(dlat) AND dlon > 0 AND dlat < 0 THEN 1
+    WHEN abs(dlon) > abs(dlat) AND dlon < 0 AND dlat >= 0 THEN 2
+    WHEN abs(dlon) > abs(dlat) AND dlon < 0 AND dlat < 0 THEN 3
+    WHEN dlat > 0 AND dlon >= 0 THEN 4
+    WHEN dlat > 0 AND dlon < 0 THEN 5
+    WHEN dlat < 0 AND dlon >= 0 THEN 6
+    WHEN dlat < 0 AND dlon < 0 THEN 7
+    END AS octant
+  FROM seg WHERE dlat IS NOT NULL
+)
+SELECT CAST(octant AS BIGINT) AS octant,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM b WHERE octant IS NOT NULL GROUP BY 1
+"""
+
+ORACLES["events_gini"] = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       round(CAST(sum((2 * rn - n - 1) * c) AS DOUBLE)
+             / CAST(max(n) * sum(c) AS DOUBLE), 6) AS gini
+FROM r
+"""

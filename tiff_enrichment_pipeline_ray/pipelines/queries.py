@@ -9021,3 +9021,73 @@ def image_duplicate_tiles(sf_dir: str, tile: int = 64, topk: int = 100):
         "chip_hash": out.chip_hash.to_numpy(np.int64),
         "n_images": out.n_images.to_numpy(np.int64),
         "n_chips": out.n_chips.to_numpy(np.int64)}).reset_index(drop=True)
+
+
+def geo_direction_rose(sf_dir: str):
+    """Movement direction rose (the compass-octant histogram of
+    consecutive-event displacements a mobility dashboard renders): per
+    octant, the global segment count. Octants derive from SIGN and
+    |dlon| vs |dlat| comparisons of exact doubles — no atan2, whose
+    libm rounding isn't pinned across engines — with deterministic tie
+    rules (axis-aligned east/west win the corner; zero displacement is
+    excluded on both sides).
+
+    Scale shape: one user-keyed exchange (the LAG pattern), vectorized
+    octant select per group, 8-row bounded output via `_preagg`."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = _epoch_us(g.ts)
+        eid = g.event_id.to_numpy(np.int64)
+        order = np.lexsort((eid, us))
+        p = _event_points(g.iloc[order])
+        dlat = np.diff(p.lat.to_numpy(np.float64))
+        dlon = np.diff(p.lon.to_numpy(np.float64))
+        lon_major = np.abs(dlon) > np.abs(dlat)
+        b = np.select(
+            [lon_major & (dlon > 0) & (dlat >= 0),
+             lon_major & (dlon > 0) & (dlat < 0),
+             lon_major & (dlon < 0) & (dlat >= 0),
+             lon_major & (dlon < 0) & (dlat < 0),
+             (dlat > 0) & (dlon >= 0),
+             (dlat > 0) & (dlon < 0),
+             (dlat < 0) & (dlon >= 0),
+             (dlat < 0) & (dlon < 0)],
+            [0, 1, 2, 3, 4, 5, 6, 7], default=-1)
+        b = b[b >= 0]  # zero displacement excluded
+        return pd.DataFrame({"octant": b.astype(np.int64)})
+
+    agg = _preagg(ev.groupby("user_id").map_groups(
+        per_user, batch_format="pandas"),
+        ["octant"], [("n_segments", None, "count")])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "octant": df.octant.to_numpy(np.int64),
+            "n_segments": df.n_segments.to_numpy(np.int64)})
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
+def events_gini(sf_dir: str):
+    """Gini coefficient of per-user activity (the inequality /
+    concentration audit: is the corpus a few power users or a broad
+    base?): G = Σ (2i − n − 1)·cᵢ / (n·Σc) over user event-counts cᵢ
+    ascending by (count, user_id) — every term exact int64, so both
+    engines divide the same integers (bit-exact before round-6). Output
+    one row (n_users, gini).
+
+    Scale shape: the corpus-scale work is ONE `_preagg` to per-user
+    counts; the ranked sum runs on that user-bounded census
+    driver-side (swap in the events_global_rank two-phase order
+    statistic beyond ~10⁷ users — same output, documented boundary)."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id"])
+    cnt = _preagg(ev, ["user_id"], [("c", None, "count")]).to_pandas()
+    c = cnt.sort_values(["c", "user_id"]).c.to_numpy(np.int64)
+    n = len(c)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * c).sum())
+    den = int(n * c.sum())
+    return pd.DataFrame({"n_users": [np.int64(n)],
+                         "gini": [round(float(num) / float(den), 6)]})
