@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quadtree_tiles": Q.geo_quadtree_tiles,  # new r5 (adaptive tiling)
         "geo_direction_rose": Q.geo_direction_rose,  # new r5 (octant rose)
         "events_gini": Q.events_gini,  # new r5 (activity concentration)
+        "events_pareto_front": Q.events_pareto_front,  # new r5 (2-D skyline)
+        "events_user_entropy": Q.events_user_entropy,  # new r5 (bot screen)
+        "events_theil_sen": Q.events_theil_sen,  # new r5 (robust trend)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -101,10 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
         "events_value_percentiles": Q.events_value_percentiles,
+        # ================= end of the 50-entry sweep window ===============
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
         "events_rolling_max": Q.events_rolling_max,
-        # ================= end of the 50-entry sweep window ===============
         "events_user_lag": Q.events_user_lag,
         "events_value_cume_dist": Q.events_value_cume_dist,
         "events_topk_per_type": Q.events_topk_per_type,

@@ -190,6 +190,8 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "geo_od_matrix", "events_autocorr_daily",
            "geo_ripley_k", "geo_nearest_neighbor_stats",
            "geo_quadtree_tiles", "geo_direction_rose", "events_gini",
+           "events_pareto_front", "events_user_entropy",
+           "events_theil_sen",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",

@@ -2659,3 +2659,50 @@ SELECT CAST(max(n) AS BIGINT) AS n_users,
              / CAST(max(n) * sum(c) AS DOUBLE), 6) AS gini
 FROM r
 """
+
+
+ORACLES["events_pareto_front"] = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us, round(value, 6) AS v FROM events
+), g AS (
+  SELECT v, max(us) AS gmax FROM e GROUP BY v
+), p AS (
+  SELECT v, max(gmax) OVER (ORDER BY v DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS before
+  FROM g
+)
+SELECT e.event_id, e.v AS value, e.us
+FROM e JOIN p USING (v)
+WHERE p.before IS NULL OR e.us > p.before
+"""
+
+
+ORACLES["events_user_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         sum(c * ln(c)) AS s
+  FROM c GROUP BY 1
+)
+SELECT user_id, n, round(ln(n) - s / n, 6) AS entropy FROM u
+"""
+
+ORACLES["events_theil_sen"] = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS dkey,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.dkey - a.dkey AS DOUBLE)
+             AS slope
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.dkey > a.dkey
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS slope
+FROM p GROUP BY 1
+"""

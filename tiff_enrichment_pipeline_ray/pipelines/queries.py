@@ -9091,3 +9091,135 @@ def events_gini(sf_dir: str):
     den = int(n * c.sum())
     return pd.DataFrame({"n_users": [np.int64(n)],
                          "gini": [round(float(num) / float(den), 6)]})
+
+
+def events_pareto_front(sf_dir: str):
+    """Pareto-frontier (2-D skyline) extraction: the events not dominated
+    in (value, recency) — no other event has BOTH strictly higher value
+    AND strictly later timestamp (the multi-objective shortlist primitive:
+    'best trade-offs of quality vs freshness'). Deterministic under the
+    strict-domination rule; ties on both axes keep both points. Output
+    (event_id, value round-6, us).
+
+    Scale shape: the skyline MERGE property (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))) makes it an algebraic aggregate:
+    per-block vectorized skylines (sort by value desc, keep running-max
+    ts breakers) shrink each block to its frontier, ONE coalesced merge
+    re-runs the same kernel on the union (frontier-sized, not
+    corpus-sized). The SQL oracle is the same sort + running-max window
+    — O(n log n), not the naive NOT-EXISTS quadratic."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_id", "ts", "value"])
+
+    def skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if "ts" in df.columns:            # first pass: raw rows
+            v = np.round(df.value.to_numpy(np.float64), 6)
+            us = _epoch_us(df.ts)
+        else:                              # merge pass: partial frontiers
+            v = df.value.to_numpy(np.float64)
+            us = df.us.to_numpy(np.int64)
+        eid = df.event_id.to_numpy(np.int64)
+        if len(v) == 0:
+            return pd.DataFrame({"event_id": eid, "value": v, "us": us})
+        # sort by (value DESC, us DESC, eid): a row is on the frontier iff
+        # its us strictly exceeds the max us among STRICTLY higher values.
+        # Within each distinct-value group (us descending) the group max
+        # is the first row; prefix-max over the groups before this one.
+        order = np.lexsort((eid, -us, -v))
+        v, us, eid = v[order], us[order], eid[order]
+        first = np.concatenate([[True], v[1:] != v[:-1]])
+        grp = np.cumsum(first) - 1
+        gmax = us[np.flatnonzero(first)]          # per-group max us
+        lo = np.iinfo(np.int64).min
+        before = np.concatenate(
+            [[lo], np.maximum.accumulate(gmax)[:-1]])
+        keep = us > before[grp]
+        return pd.DataFrame({"event_id": eid[keep], "value": v[keep],
+                             "us": us[keep]})
+
+    part = ev.map_batches(skyline, batch_format="pandas", batch_size=None)
+    merged = part.repartition(1).map_batches(skyline,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(np.int64),
+            "value": df.value.to_numpy(np.float64),
+            "us": df.us.to_numpy(np.int64)})
+
+    return merged.map_batches(fin, batch_format="pandas")
+
+
+def events_user_entropy(sf_dir: str):
+    """Behavioral entropy per user: Shannon entropy of the user's
+    event-type distribution, H = ln(n) − (Σ c·ln c)/n — the bot/script
+    detector (near-zero entropy = single-type automation; high =
+    organic mix). Logs are SCALAR libm calls on integer counts (the
+    doc_tfidf_topterms parity pattern: CPython's math.log and DuckDB's
+    ln() resolve to the same libm on a given platform), so both engines
+    transform identical integers identically. Output (user_id, n,
+    entropy round-6).
+
+    Scale shape: ONE `_preagg` to the (user × type) census; the entropy
+    arithmetic runs on that bounded table (types are a small closed set;
+    the user dimension streams through the exchange, and the driver-side
+    finish swaps for a second user-keyed `_preagg` beyond ~10⁷ users —
+    documented boundary)."""
+    import math
+
+    ev = read_testdata(sf_dir, "events",
+                       columns=["user_id", "event_type"])
+    cnt = _preagg(ev, ["user_id", "event_type"],
+                  [("c", None, "count")]).to_pandas()
+    c = cnt.c.to_numpy(np.int64)
+    logs = {int(v): math.log(int(v)) for v in np.unique(c)}
+    cnt["cl"] = c * np.array([logs[int(v)] for v in c])
+    g = cnt.groupby("user_id", sort=False).agg(
+        n=("c", "sum"), s=("cl", "sum")).reset_index()
+    n = g.n.to_numpy(np.int64)
+    ent = np.array([round(math.log(int(nn)) - ss / nn, 6)
+                    for nn, ss in zip(n, g.s.to_numpy(np.float64))])
+    return pd.DataFrame({"user_id": g.user_id.to_numpy(np.int64),
+                         "n": n, "entropy": ent})
+
+
+def events_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend of the per-type DAILY count series: the
+    median of all pairwise slopes (c_j − c_i)/(d_j − d_i), i<j — the
+    outlier-immune complement of the Mann-Kendall trend the emerging-
+    hotspot analysis uses (MK gives direction significance; Theil–Sen
+    gives the magnitude). Every slope is one IEEE divide of exact
+    integers — identical multisets both engines — and the median
+    midpoint average matches DuckDB's interpolating median. Output
+    (event_type, n_pairs, slope round-6).
+
+    Scale shape: ONE `_preagg` to daily counts; the pairwise-slope
+    reduction is quadratic in the SPAN (calendar-bounded), never in
+    rows, and runs per type on the bounded census."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+    DAY = 86_400_000_000
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "dkey": (_epoch_us(df.ts) // DAY).astype(np.int64)})
+
+    daily = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                    ["event_type", "dkey"],
+                    [("c", None, "count")]).to_pandas()
+    rows = []
+    for et, g in daily.groupby("event_type", sort=False):
+        d = g.dkey.to_numpy(np.int64)
+        c = g.c.to_numpy(np.int64)
+        o = np.argsort(d)
+        d, c = d[o], c[o]
+        i, j = np.triu_indices(len(d), k=1)
+        if len(i) == 0:
+            continue
+        slopes = (c[j] - c[i]).astype(np.float64) \
+            / (d[j] - d[i]).astype(np.float64)
+        rows.append((et, len(i), round(float(np.median(slopes)), 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n_pairs",
+                                       "slope"]).astype(
+        {"n_pairs": np.int64})
