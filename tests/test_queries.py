@@ -1616,6 +1616,84 @@ class TestRound5Crafted:
         assert got.n_points.sum() == len(df)
 
 
+    def test_pareto_tie_semantics(self, ray_session, tmp_path):
+        """Strict domination: ties on value keep every tied row whose us
+        beats the strictly-higher-value prefix; an exactly-duplicated
+        (value, us) pair keeps BOTH rows."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3, 4],
+            #              dominated   tie-pair (both kept)   frontier
+            "value": [5.0, 3.0, 4.0, 4.0, 1.0],
+            "ts": [t0 + pd.Timedelta(seconds=s)
+                   for s in (10, 5, 20, 20, 30)],
+            "user_id": 1,
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.events_pareto_front(sf))
+        want = _events_oracle(sf, "events_pareto_front")
+        assert compare("events_pareto_front", got, want, exact=True) is None
+        # id0 (5.0@10): frontier. ids 2,3 (4.0@20 twice): both beat 10 ->
+        # kept. id4 (1.0@30): latest -> kept. id1 (3.0@5): dominated.
+        assert set(got.event_id) == {0, 2, 3, 4}
+
+    def test_entropy_single_type_zero(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        df = pd.DataFrame({
+            "event_id": range(6),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": ["a", "a", "a", "x", "y", "z"],
+        })
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.events_user_entropy(sf))
+        want = _events_oracle(sf, "events_user_entropy")
+        assert compare("events_user_entropy", got, want, exact=True) is None
+        by = dict(zip(got.user_id, got.entropy))
+        assert by[1] == 0.0                     # single-type: H = 0
+        assert abs(by[2] - 1.098612) < 1e-6     # uniform over 3: ln 3
+
+    def test_theil_sen_exact_linear(self, ray_session, tmp_path):
+        """A perfectly linear daily series has EVERY pairwise slope equal
+        to the true slope — Theil-Sen returns it exactly; an outlier day
+        in a second type must not move the median off the clean slope."""
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+        from tools.minidriver import compare, to_pandas
+
+        rows = []
+        eid = 0
+        for day in range(6):
+            for _ in range(2 + 3 * day):          # linear: slope 3
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day), 1, "lin", 1.0))
+                eid += 1
+            k = 2 + day + (40 if day == 3 else 0)  # slope 1 + one outlier
+            for _ in range(k):
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=day), 1, "out", 1.0))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value"])
+        sf = _write_events(tmp_path, df)
+        got = to_pandas(Q.events_theil_sen(sf))
+        want = _events_oracle(sf, "events_theil_sen")
+        assert compare("events_theil_sen", got, want, exact=True) is None
+        by = dict(zip(got.event_type, got.slope))
+        assert by["lin"] == 3.0
+        assert by["out"] == 1.0                 # outlier-immune
+
+
 def test_duplicate_tiles_brute_force(gate):
     """image_duplicate_tiles == a single-process dict over every decoded
     chip (hash -> {images}, chip count), independent of the distributed
