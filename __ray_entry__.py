@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto_front": Q.events_pareto_front,  # new r5 (2-D skyline)
         "events_user_entropy": Q.events_user_entropy,  # new r5 (bot screen)
         "events_theil_sen": Q.events_theil_sen,  # new r5 (robust trend)
+        "events_ks_drift": Q.events_ks_drift,  # new r5 (2-sample KS)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -103,8 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": Q.events_sliding_window,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
-        "events_value_percentiles": Q.events_value_percentiles,
         # ================= end of the 50-entry sweep window ===============
+        "events_value_percentiles": Q.events_value_percentiles,
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,
         "events_rolling_max": Q.events_rolling_max,
@@ -225,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts_regex": Q.doc_token_counts_regex,
         "doc_repetition_stats": Q.doc_repetition_stats,
         "doc_pii_scrub": Q.doc_pii_scrub,
+        "doc_compression_ratio": Q.doc_compression_ratio,  # new r5, rows-only (zlib; recompute pytest)
         "events_groupby_estimate": Q.events_groupby_estimate,
         "events_cube": Q.events_cube,
         "events_skewkurt": Q.events_skewkurt,

@@ -191,7 +191,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "geo_ripley_k", "geo_nearest_neighbor_stats",
            "geo_quadtree_tiles", "geo_direction_rose", "events_gini",
            "events_pareto_front", "events_user_entropy",
-           "events_theil_sen",
+           "events_theil_sen", "events_ks_drift",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",
@@ -214,7 +214,10 @@ ROWS_ONLY = ["image_chip_stats",
              "embedding_semantic_dedup",
              # round 5: duplicate-chip detection (bytes not SQL-decodable;
              # brute-force oracle in test_duplicate_tiles_brute_force)
-             "image_duplicate_tiles"]
+             "image_duplicate_tiles",
+             # round 5: zlib quality filter (no SQL zlib; direct-recompute
+             # oracle in test_compression_ratio_recompute)
+             "doc_compression_ratio"]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -1730,3 +1733,27 @@ def test_duplicate_tiles_brute_force(gate):
     want = [(int(r.chip_hash), int(r.n_images), int(r.n_chips))
             for r in got.itertuples()]
     assert want == dup and len(dup) > 0
+
+
+def test_compression_ratio_recompute(gate):
+    """doc_compression_ratio == direct zlib recompute per doc, including
+    the empty-doc sentinel and the keep band edges."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tools.minidriver import to_pandas
+
+    _entrymod, _, sf_dir = gate
+    got = to_pandas(Q.doc_compression_ratio(sf_dir)).set_index("doc_id")
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    assert len(got) == len(t)
+    for doc_id, txt in zip(t.doc_id, t.text):
+        raw = (txt or "").encode("utf-8")
+        want = (round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                if raw else -1.0)
+        assert got.loc[doc_id, "ratio"] == want
+        assert got.loc[doc_id, "keep"] == (0.3 <= want <= 0.9)

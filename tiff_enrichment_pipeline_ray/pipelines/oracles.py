@@ -2706,3 +2706,28 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
        round(median(slope), 6) AS slope
 FROM p GROUP BY 1
 """
+
+
+ORACLES["events_ks_drift"] = """
+WITH f AS (
+  SELECT round(value, 6) AS v, event_type AS t FROM events
+  WHERE event_type IN ('view', 'purchase')
+), c AS (
+  SELECT v,
+         CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS cb
+  FROM f GROUP BY v
+), w AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE)
+             / (SELECT sum(ca) FROM c) AS fa,
+         CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE)
+             / (SELECT sum(cb) FROM c) AS fb
+  FROM c
+), d AS (SELECT v, abs(fa - fb) AS d FROM w)
+SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM c) AS n_a,
+       (SELECT CAST(sum(cb) AS BIGINT) FROM c) AS n_b,
+       round(d, 6) AS ks_d, v AS at_value
+FROM d ORDER BY d DESC, v LIMIT 1
+"""

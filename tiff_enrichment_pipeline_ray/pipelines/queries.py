@@ -9223,3 +9223,84 @@ def events_theil_sen(sf_dir: str):
     return pd.DataFrame(rows, columns=["event_type", "n_pairs",
                                        "slope"]).astype(
         {"n_pairs": np.int64})
+
+
+def doc_compression_ratio(sf_dir: str, level: int = 6):
+    """Compression-ratio quality filter (the Gopher/RefinedWeb-family
+    heuristic: highly compressible text = boilerplate/repetition; nearly
+    incompressible = noise/binary junk): per doc, zlib ratio
+    len(compress(utf8)) / len(utf8) plus the corpus-standard keep flag
+    for the healthy band [0.3, 0.9]. zlib at a fixed level is
+    deterministic, so output is engine-independent. Empty docs emit
+    ratio −1.0 and keep = False.
+
+    Scale shape: embarrassingly parallel map_batches (one C-level
+    compress per doc — the codec-loop shape of image_chip_stats), zero
+    exchanges. Rows-only vs the driver (no SQL zlib); pinned by a direct
+    recompute pytest."""
+    import zlib
+
+    docs = read_testdata(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratios(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.doc_id.to_numpy()
+        out = np.empty(len(ids), dtype=np.float64)
+        for k, txt in enumerate(df.text.to_numpy(object)):
+            raw = (txt or "").encode("utf-8")
+            out[k] = (len(zlib.compress(raw, level)) / len(raw)
+                      if raw else -1.0)
+        r = np.round(out, 6)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "ratio": r,
+            "keep": (r >= 0.3) & (r <= 0.9)})
+
+    return docs.map_batches(ratios, batch_format="pandas")
+
+
+def events_ks_drift(sf_dir: str, type_a: str = "view",
+                    type_b: str = "purchase"):
+    """Two-sample Kolmogorov–Smirnov distribution-drift test between two
+    event types' value distributions (the monitoring primitive behind
+    'did the metric's shape change?'): D = max over the pooled support
+    of |F_a − F_b|, with the ARGMAX value reported (smallest value
+    attaining D). Values carry two decimals, so the support is a bounded
+    census; ECDF steps are exact integer ratios divided identically on
+    both engines — the max and its tie-broken argmax are deterministic.
+    Output one row (n_a, n_b, ks_d round-6, at_value).
+
+    Scale shape: ONE `_preagg` to the (value, type) census (bounded by
+    the distinct-value domain, not rows); the ECDF scan runs on that
+    census driver-side (swap for a prefix-sum two-phase scan beyond
+    ~10⁷ distinct values — documented boundary)."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_type", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.event_type.isin([type_a, type_b])
+        return pd.DataFrame({
+            "v": np.round(df.value.to_numpy(np.float64)[m.to_numpy()], 6),
+            "t": df.event_type.to_numpy()[m.to_numpy()]})
+
+    cen = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                  ["v", "t"], [("c", None, "count")]).to_pandas()
+    piv = cen.pivot_table(index="v", columns="t", values="c",
+                          aggfunc="sum", fill_value=0).sort_index()
+    ca = piv[type_a].to_numpy(np.int64) if type_a in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    cb = piv[type_b].to_numpy(np.int64) if type_b in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "ks_d": pd.Series([], dtype=np.float64),
+                             "at_value": pd.Series([], dtype=np.float64)})
+    fa = np.cumsum(ca).astype(np.float64) / float(na)
+    fb = np.cumsum(cb).astype(np.float64) / float(nb)
+    d = np.abs(fa - fb)
+    i = int(np.argmax(d))  # first (= smallest value) argmax
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "ks_d": [round(float(d[i]), 6)],
+        "at_value": [float(piv.index.to_numpy(np.float64)[i])]})
