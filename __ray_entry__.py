@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": Q.events_user_entropy,  # new r5 (bot screen)
         "events_theil_sen": Q.events_theil_sen,  # new r5 (robust trend)
         "events_ks_drift": Q.events_ks_drift,  # new r5 (2-sample KS)
+        "events_mann_whitney": Q.events_mann_whitney,  # new r5 (rank-sum)
+        "events_runs_test": Q.events_runs_test,  # new r5 (randomness)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -102,9 +104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,
+        # ================= end of the 50-entry sweep window ===============
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,
-        # ================= end of the 50-entry sweep window ===============
         "events_value_percentiles": Q.events_value_percentiles,
         "events_sessionize": Q.events_sessionize,
         "events_asof_purchase": Q.events_asof_purchase,

@@ -192,6 +192,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "geo_quadtree_tiles", "geo_direction_rose", "events_gini",
            "events_pareto_front", "events_user_entropy",
            "events_theil_sen", "events_ks_drift",
+           "events_mann_whitney", "events_runs_test",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",

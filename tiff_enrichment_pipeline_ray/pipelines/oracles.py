@@ -2731,3 +2731,68 @@ SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM c) AS n_a,
        round(d, 6) AS ks_d, v AS at_value
 FROM d ORDER BY d DESC, v LIMIT 1
 """
+
+
+ORACLES["events_mann_whitney"] = """
+WITH f AS (
+  SELECT round(value, 6) AS v, event_type AS t FROM events
+  WHERE event_type IN ('view', 'purchase')
+), c AS (
+  SELECT v,
+         CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS cb
+  FROM f GROUP BY v
+), w AS (
+  SELECT ca, cb, ca + cb AS tt,
+         CAST(sum(ca + cb) OVER (ORDER BY v) AS BIGINT) AS cum
+  FROM c
+), s AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(sum(((cum - tt) + cum + 1) * ca) AS BIGINT) AS r2a,
+         CAST(sum(tt * tt * tt - tt) AS BIGINT) AS tie
+  FROM w
+)
+SELECT na AS n_a, nb AS n_b,
+       (r2a - na * (na + 1)) / 2.0 AS u_a,
+       round(((r2a - na * (na + 1)) - na * nb)
+             / (2.0 * sqrt((na * nb / 12.0)
+                 * ((na + nb + 1)
+                    - tie / CAST((na + nb) * (na + nb - 1) AS DOUBLE)))),
+             6) AS z
+FROM s
+"""
+
+ORACLES["events_runs_test"] = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS dkey,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), df AS (
+  SELECT event_type, dkey,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY dkey) AS dc
+  FROM d
+), s AS (
+  SELECT event_type, dkey, CASE WHEN dc > 0 THEN 1 ELSE -1 END AS sgn
+  FROM df WHERE dc IS NOT NULL AND dc != 0
+), ch AS (
+  SELECT event_type, sgn,
+         lag(sgn) OVER (PARTITION BY event_type ORDER BY dkey) AS prev
+  FROM s
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn != prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM ch GROUP BY 1
+)
+SELECT event_type, n_up, n_down, runs,
+       round((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - (n_up + n_down))
+                    / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+                       * (n_up + n_down - 1))), 6) AS z
+FROM agg WHERE n_up > 0 AND n_down > 0
+"""

@@ -9304,3 +9304,101 @@ def events_ks_drift(sf_dir: str, type_a: str = "view",
         "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
         "ks_d": [round(float(d[i]), 6)],
         "at_value": [float(piv.index.to_numpy(np.float64)[i])]})
+
+
+def events_mann_whitney(sf_dir: str, type_a: str = "view",
+                        type_b: str = "purchase"):
+    """Mann–Whitney U rank-sum test between two event types' value
+    distributions (KS's location-shift sibling: 'did the typical value
+    move?'): U_a from midrank sums over the pooled census, z-score with
+    the tie-correction term. Midranks are (i + j + 1)/2 of exact integer
+    cumulative counts and every Σ term stays integer (×2 lifting makes
+    midrank sums exact int64), so both engines feed identical integers
+    into the final float expression (term-identical, round-6). Output
+    one row (n_a, n_b, u_a, z round-6).
+
+    Scale shape: the events_ks_drift census pattern — ONE `_preagg` to
+    the bounded (value, type) table, rank arithmetic on the census."""
+    ev = read_testdata(sf_dir, "events",
+                       columns=["event_type", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.event_type.isin([type_a, type_b]).to_numpy()
+        return pd.DataFrame({
+            "v": np.round(df.value.to_numpy(np.float64)[m], 6),
+            "t": df.event_type.to_numpy()[m]})
+
+    cen = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                  ["v", "t"], [("c", None, "count")]).to_pandas()
+    piv = cen.pivot_table(index="v", columns="t", values="c",
+                          aggfunc="sum", fill_value=0).sort_index()
+    ca = (piv[type_a].to_numpy(np.int64) if type_a in piv
+          else np.zeros(len(piv), dtype=np.int64))
+    cb = (piv[type_b].to_numpy(np.int64) if type_b in piv
+          else np.zeros(len(piv), dtype=np.int64))
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({"n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "u_a": pd.Series([], dtype=np.float64),
+                             "z": pd.Series([], dtype=np.float64)})
+    tt = ca + cb
+    cum = np.cumsum(tt)
+    # 2×midrank of each distinct value = (cum_before + cum) + 1, exact int
+    mr2 = (cum - tt) + cum + 1
+    r2a = int((mr2 * ca).sum())            # 2 × rank-sum of sample a
+    n = na + nb
+    u2a = r2a - na * (na + 1)              # 2 × U_a, exact int
+    mu2 = na * nb                          # 2 × E[U]
+    tie = int((tt * tt * tt - tt).sum())
+    var = (na * nb / 12.0) * ((n + 1) - tie / float(n * (n - 1)))
+    z = (u2a - mu2) / (2.0 * np.sqrt(var))
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "u_a": [u2a / 2.0],
+        "z": [round(float(z), 6)]})
+
+
+def events_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test on the SIGN of day-over-day changes of
+    each type's daily count series (the randomness check behind 'is this
+    metric trending or just wiggling?'): runs = 1 + sign changes over
+    the zero-skipping up/down sequence, z from the exact integer
+    (n_up, n_down, runs) triple. Ordering and counting are pure integer
+    — both engines feed the same integers into the term-identical float
+    expression. Output (event_type, n_up, n_down, runs, z round-6);
+    degenerate series (n_up·n_down = 0) drop on both sides.
+
+    Scale shape: ONE `_preagg` to daily counts; the run scan walks the
+    calendar-bounded series."""
+    ev = read_testdata(sf_dir, "events", columns=["event_type", "ts"])
+    DAY = 86_400_000_000
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df.event_type.to_numpy(),
+            "dkey": (_epoch_us(df.ts) // DAY).astype(np.int64)})
+
+    daily = _preagg(ev.map_batches(keyed, batch_format="pandas"),
+                    ["event_type", "dkey"],
+                    [("c", None, "count")]).to_pandas()
+    rows = []
+    for et, g in daily.groupby("event_type", sort=False):
+        o = np.argsort(g.dkey.to_numpy(np.int64))
+        c = g.c.to_numpy(np.int64)[o]
+        sgn = np.sign(np.diff(c))
+        sgn = sgn[sgn != 0]                # zero diffs skipped
+        n_up = int((sgn > 0).sum())
+        n_dn = int((sgn < 0).sum())
+        if n_up == 0 or n_dn == 0:
+            continue
+        runs = 1 + int((sgn[1:] != sgn[:-1]).sum())
+        m = n_up + n_dn
+        mu = 2.0 * n_up * n_dn / m + 1.0
+        var = (2.0 * n_up * n_dn * (2.0 * n_up * n_dn - m)
+               / (float(m) * m * (m - 1)))
+        z = (runs - mu) / np.sqrt(var)
+        rows.append((et, n_up, n_dn, runs, round(float(z), 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n_up", "n_down",
+                                       "runs", "z"]).astype(
+        {"n_up": np.int64, "n_down": np.int64, "runs": np.int64})
