@@ -34,10 +34,13 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-5 window = (0) the five NEW round-5 operators
-    (``events_seasonality``, ``events_benford``, ``geo_speed_outliers``,
-    ``geo_od_matrix``, ``events_autocorr_daily`` — all SQL-exact, swept
-    hash-clean at 3 sfs); (a) ``geo_station_coverage`` (implemented r4d,
+    ones. Round-5 window = (0) the SIXTEEN new round-5 operators (the
+    temporal/spatial analytics + rank-statistics tier: seasonality,
+    Benford, trajectory speed, OD matrix, daily ACF, Ripley's K,
+    censored NN field, adaptive quadtree, direction rose, Gini, Pareto
+    frontier, user entropy, Theil–Sen, KS drift, Mann–Whitney, runs
+    test — all SQL-exact, swept hash-clean at 3 sfs); (a)
+    ``geo_station_coverage`` (implemented r4d,
     registered here — the r4 verdict's missing wiring) and
     ``geo_block_split`` (r4 hash-fail: the oracle summed BIGINT into
     HUGEINT; CAST fixed this round — same class as the r4
