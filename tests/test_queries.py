@@ -193,6 +193,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_pareto_front", "events_user_entropy",
            "events_theil_sen", "events_ks_drift",
            "events_mann_whitney", "events_runs_test",
+           "image_mosaic_groups",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",
@@ -1758,3 +1759,41 @@ def test_compression_ratio_recompute(gate):
                 if raw else -1.0)
         assert got.loc[doc_id, "ratio"] == want
         assert got.loc[doc_id, "keep"] == (0.3 <= want <= 0.9)
+
+
+def test_mosaic_groups_match_union_find(gate):
+    """image_mosaic_groups == single-process union-find over the
+    footprint-overlap pair set (independent of the distributed
+    label-prop + pointer-jumping loop and of the id encoding)."""
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tools.minidriver import to_pandas
+
+    _entrymod, _, sf_dir = gate
+    pairs = to_pandas(Q.image_footprint_overlaps(sf_dir))
+    got = to_pandas(Q.image_mosaic_groups(sf_dir))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.img_a, pairs.img_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    nodes = set(pairs.img_a) | set(pairs.img_b)
+    comp: dict = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in members:
+            want[m] = rep
+    assert len(got) == len(nodes)
+    got_map = dict(zip(got.image_id, got.group_id))
+    assert got_map == want
+    assert (got.is_rep == (got.image_id == got.group_id)).all()

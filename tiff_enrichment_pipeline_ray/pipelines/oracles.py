@@ -1265,6 +1265,41 @@ FROM c a JOIN c b
  AND a.x0 <= b.x1 AND b.x0 <= a.x1
  AND a.y0 <= b.y1 AND b.y0 <= a.y1
 """
+    o["image_mosaic_groups"] = f"""
+WITH RECURSIVE g AS (
+  SELECT image_id, west AS x0, west + w * px_deg AS x1,
+         north AS y0, north + h * py_deg AS y1
+  FROM {enr}
+  WHERE has_gps AND decode_ok
+),
+c AS (
+  SELECT *, CAST(floor((x0 - 3.0) / 0.004) AS BIGINT) AS cx,
+            CAST(floor((y0 - 50.7) / 0.004) AS BIGINT) AS cy
+  FROM g
+),
+pairs AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.image_id < b.image_id
+   AND a.x0 <= b.x1 AND b.x0 <= a.x1
+   AND a.y0 <= b.y1 AND b.y0 <= a.y1
+),
+edges AS (
+  SELECT img_a AS src, img_b AS dst FROM pairs
+  UNION ALL
+  SELECT img_b AS src, img_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS image_id, min(lbl) AS group_id, min(lbl) = node AS is_rep
+FROM reach GROUP BY node
+"""
     return o
 
 ORACLES["orders_monthly_growth"] = """

@@ -7363,6 +7363,15 @@ def _cc_label_prop(labels, edges, n_nodes: int, n_edges: int,
     convergence aggregate. Returns the converged labels Dataset."""
     if n_edges == 0:
         return labels
+    import sys
+
+    # Ray Data's stats summarizer walks operator lineage recursively;
+    # a long loop (deep-diameter graphs before the shortcut below, or a
+    # high round cap) can exceed CPython's default 1000 frames — raise
+    # the limit rather than truncating the loop (observed: RecursionError
+    # in stats.to_summary on a 74k-node mosaic component at sf0.1)
+    if sys.getrecursionlimit() < 20_000:
+        sys.setrecursionlimit(20_000)
     nbk = _nbuckets(n_edges + n_nodes, rows_per_bucket=4096, lo=16)
     lbl_blocks = _nbuckets(n_nodes, rows_per_bucket=500_000, lo=8)
 
@@ -7394,6 +7403,35 @@ def _cc_label_prop(labels, edges, n_nodes: int, n_edges: int,
         return pd.DataFrame({"node": out.node.to_numpy(np.int64),
                              "lbl": out.lbl.to_numpy(np.int64)})
 
+    # --- pointer-jumping (label shortcutting) phase: lbl ← lbl(lbl).
+    # Neighbor-min alone needs O(diameter) rounds, which a percolating
+    # component turns into hundreds (observed: a 74k-image mosaic
+    # component at sf0.1). Under the min-propagation invariant
+    # lbl(x) ≤ x, every label value is itself a live node id, so one
+    # bucketed self-join per round halves the pointer depth →
+    # O(log diameter) convergence (Kiveris et al. 2014 star-contraction
+    # family). Same fixpoint (per-component min), exact either way.
+    def q_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.lbl.to_numpy(np.int64),
+            "node": df.node.to_numpy(np.int64),
+            "lbl": np.full(len(df), -1, dtype=np.int64),
+            "bk": (df.lbl.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+    def v_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df.node.to_numpy(np.int64),
+            "node": np.full(len(df), -1, dtype=np.int64),
+            "lbl": df.lbl.to_numpy(np.int64),
+            "bk": (df.node.to_numpy(np.int64) % nbk).astype(np.int64)})
+
+    def shortcut(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g.loc[g.node < 0, ["key", "lbl"]]
+        qs = g.loc[g.node >= 0, ["key", "node"]]
+        m = qs.merge(vals, on="key")
+        return pd.DataFrame({"node": m.node.to_numpy(np.int64),
+                             "lbl": m.lbl.to_numpy(np.int64)})
+
     erows = (edges.map_batches(edge_rows, batch_format="pandas")
              .repartition(_nbuckets(n_edges, rows_per_bucket=500_000, lo=8))
              .materialize())
@@ -7410,9 +7448,25 @@ def _cc_label_prop(labels, edges, n_nodes: int, n_edges: int,
                       batch_format="pandas"))
                   .groupby("bk")
                   .map_groups(min_combine, batch_format="pandas")
+                  .materialize())  # consumed twice by the shortcut branches
+        labels = (labels.map_batches(q_rows, batch_format="pandas")
+                  .union(labels.map_batches(v_rows,
+                                            batch_format="pandas"))
+                  .groupby("bk")
+                  .map_groups(shortcut, batch_format="pandas")
                   .repartition(lbl_blocks)
                   .materialize())
+        # HARD lineage cut: materialize() keeps the full plan/stats chain
+        # alive on the driver, and per-round planning cost compounds with
+        # it (measured: ~1 s/round fresh vs 26 s/round by round 13 at
+        # sf0.01 without this). Rebuilding from the materialized block
+        # refs moves no data and makes every round O(round-1)-free.
+        import ray.data as _rd
+
+        labels = _rd.from_arrow_refs(labels.to_arrow_refs())
         cur = labels.sum("lbl")
+        if os.environ.get("GRAFT_CC_TRACE"):
+            print(f"[cc] round sum={cur}", flush=True)
         if cur == prev:
             break
         prev = cur
@@ -9402,3 +9456,79 @@ def events_runs_test(sf_dir: str):
     return pd.DataFrame(rows, columns=["event_type", "n_up", "n_down",
                                        "runs", "z"]).astype(
         {"n_up": np.int64, "n_down": np.int64, "runs": np.int64})
+
+
+def _encode_image_ids(ids: pd.Series) -> np.ndarray:
+    """Injective image_id → int64: 'TIFF_<n>' → n·8+5, 'IMG_<a>_<b>' →
+    a·8+(b−1) with b ∈ 1..5 — tags 0-4 and 5 are disjoint, so the two
+    families never collide. Pure vectorized string splits."""
+    parts = ids.str.split("_", expand=True)
+    is_img = parts[0].to_numpy() == "IMG"
+    p1 = parts[1].astype(np.int64).to_numpy()
+    p2 = pd.to_numeric(parts[2], errors="coerce").fillna(0).astype(
+        np.int64).to_numpy() if 2 in parts.columns else np.zeros(
+        len(ids), dtype=np.int64)
+    return np.where(is_img, p1 * 8 + (p2 - 1), p1 * 8 + 5)
+
+
+def image_mosaic_groups(sf_dir: str):
+    """Mosaic/stitch group planning over the enriched corpus: connected
+    components of the footprint-overlap graph (image_footprint_overlaps'
+    pairs) — each group is one mosaicking unit (the images that share
+    ground and must be stitched/blended together; a capture's five bands
+    plus any overlapping revisits). Output (image_id, group_id = MIN
+    image_id string in the component, is_rep) — the doc_dup_clusters
+    shape on the image axis; only images with ≥ 1 overlap appear
+    (singletons need no stitching).
+
+    Scale shape: the pair Dataset is materialized once (slim string
+    pairs); ids encode to int64 (injective, vectorized) for the generic
+    `_cc_label_prop` loop (two bucketed exchanges per round, O(1) driver
+    convergence checks, diameter-bounded by the capture-set geometry);
+    the group label maps back to the min STRING id via one `_preagg` +
+    two hash joins — so the output is encoding-independent."""
+    import ray.data as rd  # noqa: F401
+
+    pairs = image_footprint_overlaps(sf_dir).materialize()
+    n_pairs = pairs.count()
+
+    def enc_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = _encode_image_ids(df.img_a)
+        b = _encode_image_ids(df.img_b)
+        return pd.DataFrame({
+            "src": np.concatenate([a, b]),
+            "node": np.concatenate([b, a])})
+
+    def enc_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([_encode_image_ids(df.img_a),
+                                    _encode_image_ids(df.img_b)]),
+            "image_id": np.concatenate([df.img_a.to_numpy(object),
+                                        df.img_b.to_numpy(object)])})
+
+    edges = pairs.map_batches(enc_edges, batch_format="pandas")
+    nodes = _preagg(pairs.map_batches(enc_nodes, batch_format="pandas"),
+                    ["node", "image_id"],
+                    [("_c", None, "count")]).select_columns(
+        ["node", "image_id"]).materialize()
+    n_nodes = nodes.count()
+    labels = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df.node.to_numpy(np.int64),
+                                 "lbl": df.node.to_numpy(np.int64)}),
+        batch_format="pandas")
+    cc = _cc_label_prop(labels, edges, n_nodes, 2 * n_pairs)
+    # component label (int) → min image_id STRING, then back per node
+    named = _dsjoin(cc, nodes, on=("node",))
+    reps = _preagg(named.select_columns(["lbl", "image_id"]),
+                   ["lbl"], [("group_id", "image_id", "min")])
+    out = _dsjoin(named.select_columns(["node", "image_id", "lbl"]),
+                  reps, on=("lbl",))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_id": df.image_id.to_numpy(object),
+            "group_id": df.group_id.to_numpy(object),
+            "is_rep": df.image_id.to_numpy(object)
+            == df.group_id.to_numpy(object)})
+
+    return out.map_batches(fin, batch_format="pandas")
