@@ -5923,6 +5923,15 @@ def graph_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
               .map_groups(combine, batch_format="pandas")
               .repartition(nbk)
               .materialize())
+        # hard lineage cut (see _cc_label_prop): drop the accumulated
+        # plan/stats chain each round — block refs only, no data movement.
+        # The identity map restores pandas block type for union(mixed, pr)
+        # (union asserts homogeneous block types); it fuses into the next
+        # round's plan.
+        import ray.data as _rd
+
+        pr = _rd.from_arrow_refs(pr.to_arrow_refs()).map_batches(
+            lambda df: df, batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
