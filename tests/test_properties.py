@@ -254,3 +254,53 @@ def test_line_of_sight_symmetry(vals, ai, bi):
                         np.array([alat]), np.array([alon]))
     assert v1[0] == v2[0]
     assert np.isclose(o1[0], o2[0], atol=1e-9)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=60))
+def test_cc_pointer_jumping_matches_union_find(ray_session, raw_edges):
+    """_cc_label_prop (neighbor-min + pointer jumping + per-round lineage
+    cut) computes exactly the per-component MIN label on random graphs —
+    the shared loop behind doc_dup_clusters / DBSCAN / mosaic groups."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tiff_enrichment_pipeline_ray.pipelines.queries import _cc_label_prop
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    both = pd.DataFrame({
+        "src": [a for a, b in edges] + [b for a, b in edges],
+        "node": [b for a, b in edges] + [a for a, b in edges]})
+    labels = rd.from_pandas(pd.DataFrame({
+        "node": np.array(nodes, dtype=np.int64),
+        "lbl": np.array(nodes, dtype=np.int64)}))
+    got = (_cc_label_prop(labels, rd.from_pandas(both),
+                          len(nodes), 2 * len(edges))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            want[x] = m
+    assert dict(zip(got.node, got.lbl)) == want
