@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mann_whitney": Q.events_mann_whitney,  # new r5 (rank-sum)
         "events_runs_test": Q.events_runs_test,  # new r5 (randomness)
         "image_mosaic_groups": Q.image_mosaic_groups,  # new r5 (stitch CC)
+        "geo_bivariate_moran": Q.geo_bivariate_moran,  # new r5 (cross-ESDA)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -106,8 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": Q.events_hourly,
         "events_user_daily": Q.events_user_daily,
         "events_rollup": Q.events_rollup,
-        "events_pivot": Q.events_pivot,
         # ================= end of the 50-entry sweep window ===============
+        "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,
         "events_top_values": Q.events_top_values,
         "events_type_minmax": Q.events_type_minmax,

@@ -2831,3 +2831,41 @@ SELECT event_type, n_up, n_down, runs,
                        * (n_up + n_down - 1))), 6) AS z
 FROM agg WHERE n_up > 0 AND n_down > 0
 """
+
+
+ORACLES["geo_bivariate_moran"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon,
+         CAST(value AS DOUBLE) AS x,
+         ((event_id * 13) % 1000) / 1000.0 AS y
+  FROM events
+),
+b AS (
+  SELECT event_id, lat, lon, x, y,
+         CAST(floor(lon / 0.012) AS BIGINT) AS xb
+  FROM pts
+),
+nb AS (
+  SELECT a.event_id, count(*) AS k, sum(p.y) AS sy
+  FROM b a
+  CROSS JOIN (VALUES (-1), (0), (1)) d(kk)
+  JOIN b p ON p.xb = a.xb + d.kk AND p.event_id != a.event_id
+  WHERE 1.8 * (a.lat - p.lat) * (a.lat - p.lat)
+        + (a.lon - p.lon) * (a.lon - p.lon) <= 0.01 * 0.01
+  GROUP BY a.event_id
+),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(x) AS xbar, var_pop(x) AS vx,
+         avg(y) AS ybar, var_pop(y) AS vy
+  FROM pts
+)
+SELECT CAST(g.n AS BIGINT) AS n_points,
+       CAST(sum(nb.k) AS BIGINT) AS w_pairs,
+       round(sum((p.x - g.xbar) * (nb.sy - nb.k * g.ybar))
+             / (sum(nb.k) * sqrt(g.vx) * sqrt(g.vy)), 6) AS moran_ixy
+FROM pts p JOIN nb USING (event_id) CROSS JOIN g
+GROUP BY g.n, g.xbar, g.vx, g.ybar, g.vy
+"""

@@ -9541,3 +9541,124 @@ def image_mosaic_groups(sf_dir: str):
             == df.group_id.to_numpy(object)})
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def _esda_xy_scalars(sf_dir: str):
+    """(n, x̄, σ²x, ȳ, σ²y) for events.value and the derived co-variable
+    y = ((event_id·13) % 1000)/1000 — the bivariate-ESDA broadcast
+    scalars, same stable per-block (n, Σ, M2) + Chan combine as
+    _esda_value_scalars, both variables in ONE pass."""
+    ev = read_testdata(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.value.to_numpy(np.float64)
+        y = ((df.event_id.to_numpy(np.int64) * 13) % 1000) / 1000.0
+        out = {"n": [len(x)]}
+        for nm, v in (("x", x), ("y", y)):
+            m = v.mean() if len(v) else 0.0
+            d = v - m
+            out[f"s{nm}"] = [v.sum()]
+            out[f"m2{nm}"] = [(d * d).sum()]
+        return pd.DataFrame(out)
+
+    t = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = {}
+    for nm in ("x", "y"):
+        n_a = mean_a = m2_a = 0.0
+        for n_b, s_b, m2_b in t[["n", f"s{nm}", f"m2{nm}"]].itertuples(
+                index=False):
+            if n_b == 0:
+                continue
+            n_b = float(n_b)
+            mean_b = float(s_b) / n_b
+            delta = mean_b - mean_a
+            tot = n_a + n_b
+            m2_a += float(m2_b) + delta * delta * n_a * n_b / tot
+            mean_a += delta * n_b / tot
+            n_a = tot
+        stats[nm] = (mean_a, m2_a / n_a)
+    return n_a, stats["x"][0], stats["x"][1], stats["y"][0], stats["y"][1]
+
+
+def geo_bivariate_moran(sf_dir: str):
+    """BIVARIATE global Moran's I (Anselin et al. 2002; GeoDa's
+    "Bivariate Moran") between events.value and the derived co-variable
+    y: does HIGH x sit next to HIGH y?
+
+        I_xy = Σᵢ zxᵢ · (syᵢ − kᵢ·ȳ) / (W · σx · σy)
+
+    over the same distance-band weights as the univariate ESDA family.
+    Output ONE row (n_points, w_pairs, moran_ixy round-6).
+
+    Scale shape: the _esda_neighbor_stats grid exchange carrying y
+    instead of x (one exchange, no pair set), per-block partial
+    reduction to (num, W) — two floats per block — plus the O(1)
+    two-variable scalar broadcast."""
+    n, xbar, vx, ybar, vy = _esda_xy_scalars(sf_dir)
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "value"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    e2 = np.float64(_ESDA_EPS) * np.float64(_ESDA_EPS)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        x = df.value.to_numpy(np.float64)
+        y = ((ids * 13) % 1000) / 1000.0
+        cx = np.floor((lon - _GRID_LON0) / _ESDA_CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _ESDA_CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * _ESDA_NXY + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat,
+                                "x": x, "y": y})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < _ESDA_NXY)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * _ESDA_NXY + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok],
+                    "x": x[ok], "y": y[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    def nbr_y(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        cols = ["cell", "id", "lon", "lat", "y"]
+        m = home[cols].merge(g[cols], on="cell", suffixes=("_a", "_b"))
+        m = m[m.id_a.to_numpy() != m.id_b.to_numpy()]
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        m = m[1.8 * dlat * dlat + dlon * dlon <= e2]
+        agg = (m.groupby("id_a", sort=False)
+               .agg(k=("id_b", "size"), sy=("y_b", "sum")).reset_index())
+        out = home[["id", "x"]].merge(agg, left_on="id", right_on="id_a",
+                                      how="left")
+        return pd.DataFrame({
+            "x": out.x.to_numpy(np.float64),
+            "k": out.k.fillna(0).to_numpy(np.int64),
+            "sy": out.sy.fillna(0.0).to_numpy(np.float64)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.k.to_numpy(np.float64)
+        zx = df.x.to_numpy(np.float64) - xbar
+        num = (zx * (df.sy.to_numpy(np.float64) - k * ybar)).sum()
+        return pd.DataFrame({"num": [num],
+                             "w": [df.k.to_numpy(np.int64).sum()]})
+
+    t = (ev.map_batches(copies, batch_format="pandas")
+         .groupby("bk").map_groups(nbr_y, batch_format="pandas")
+         .map_batches(partial, batch_format="pandas")
+         .repartition(1)
+         .map_batches(lambda d: pd.DataFrame({
+             "num": [d.num.sum()], "w": [d.w.sum()]}),
+             batch_format="pandas", batch_size=None)
+         .to_pandas())
+    w = float(t.w.iloc[0])
+    ixy = float(t.num.iloc[0]) / (w * np.sqrt(vx) * np.sqrt(vy))
+    return pd.DataFrame({"n_points": np.array([int(n)], dtype=np.int64),
+                         "w_pairs": np.array([int(w)], dtype=np.int64),
+                         "moran_ixy": np.array([round(ixy, 6)])})
