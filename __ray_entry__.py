@@ -34,12 +34,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-5 window = (0) the SIXTEEN new round-5 operators (the
-    temporal/spatial analytics + rank-statistics tier: seasonality,
-    Benford, trajectory speed, OD matrix, daily ACF, Ripley's K,
-    censored NN field, adaptive quadtree, direction rose, Gini, Pareto
-    frontier, user entropy, Theil–Sen, KS drift, Mann–Whitney, runs
-    test — all SQL-exact, swept hash-clean at 3 sfs); (a)
+    ones. Round-5 window = (0) the NINETEEN new round-5 SQL-exact
+    operators (the temporal/spatial analytics + rank-statistics +
+    mosaic tier — see COVERAGE.md "Round-5 additions" waves; all swept
+    hash-clean at 3 sfs); (a)
     ``geo_station_coverage`` (implemented r4d,
     registered here — the r4 verdict's missing wiring) and
     ``geo_block_split`` (r4 hash-fail: the oracle summed BIGINT into
