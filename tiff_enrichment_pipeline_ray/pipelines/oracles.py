@@ -2869,3 +2869,52 @@ SELECT CAST(g.n AS BIGINT) AS n_points,
 FROM pts p JOIN nb USING (event_id) CROSS JOIN g
 GROUP BY g.n, g.xbar, g.vx, g.ybar, g.vy
 """
+
+
+ORACLES["geo_colocation_quotient"] = """
+WITH pts AS (
+  SELECT event_id,
+         50.7 + (event_id % 2900) / 1000.0 AS lat,
+         3.0 + ((event_id // 7) % 4300) / 1000.0 AS lon,
+         event_type AS t
+  FROM events
+),
+b AS (
+  SELECT event_id, lat, lon, t,
+         CAST(floor(lon / 0.012) AS BIGINT) AS xb
+  FROM pts
+),
+nb AS (
+  SELECT a.event_id, a.t AS ta, p.t AS tb
+  FROM b a
+  CROSS JOIN (VALUES (-1), (0), (1)) d(kk)
+  JOIN b p ON p.xb = a.xb + d.kk AND p.event_id != a.event_id
+  WHERE 1.8 * (a.lat - p.lat) * (a.lat - p.lat)
+        + (a.lon - p.lon) * (a.lon - p.lon) <= 0.01 * 0.01
+),
+perpt AS (
+  SELECT event_id, ta, tb, CAST(count(*) AS DOUBLE) AS nbt,
+         CAST(sum(count(*)) OVER (PARTITION BY event_id) AS DOUBLE) AS k
+  FROM nb GROUP BY event_id, ta, tb
+),
+s AS (
+  SELECT ta AS type_a, tb AS type_b, sum(nbt / k) AS ssum
+  FROM perpt GROUP BY 1, 2
+),
+na AS (
+  SELECT ta AS type_a, CAST(count(DISTINCT event_id) AS BIGINT) AS n_a
+  FROM nb GROUP BY 1
+),
+cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT s.type_a, s.type_b, na.n_a,
+       round((ssum / na.n_a)
+             / ((cnt.n - CASE WHEN s.type_a = s.type_b
+                              THEN 1 ELSE 0 END)
+                / (tot.n - 1.0)), 6) AS clq
+FROM s
+JOIN na USING (type_a)
+JOIN cnt ON cnt.event_type = s.type_b
+CROSS JOIN tot
+"""

@@ -9662,3 +9662,105 @@ def geo_bivariate_moran(sf_dir: str):
     return pd.DataFrame({"n_points": np.array([int(n)], dtype=np.int64),
                          "w_pairs": np.array([int(w)], dtype=np.int64),
                          "moran_ixy": np.array([round(ixy, 6)])})
+
+
+def geo_colocation_quotient(sf_dir: str):
+    """Co-location quotient (Leslie & Kronenfeld 2011) between event-type
+    categories over the distance-band neighbors: CLQ(A→B) > 1 means
+    A-points see MORE B-neighbors than the global B share predicts (the
+    categorical sibling of bivariate Moran — "do errors cluster around
+    purchases?"):
+
+        CLQ(A→B) = (Σ_{a∈A} nB(a)/k(a) / nA) / (NB' / (N−1))
+
+    with nA = A-points having ≥1 neighbor (zero-neighbor points
+    contribute nothing on either engine) and NB' = NB − [A=B] (a point
+    is not its own neighbor). Output per ordered (type_a, type_b):
+    (type_a, type_b, n_a, clq round-6); per-point fractions are
+    identical doubles on both engines, the cross-bucket sum association
+    is covered by round-6.
+
+    Scale shape: ONE ESDA grid exchange carrying the category; each
+    bucket collapses its per-point neighbor-type fractions to
+    types²-bounded partial rows plus per-A contributing counts — no
+    pair set, no per-point output; global type counts ride a `_preagg`
+    census."""
+    ev, ne = _spread_read(sf_dir, "events", ["event_id", "event_type"])
+    nbk = _nbuckets(9 * ne, rows_per_bucket=8192, lo=32)
+    e2 = np.float64(_ESDA_EPS) * np.float64(_ESDA_EPS)
+
+    def copies(df: pd.DataFrame) -> pd.DataFrame:
+        p = _event_points(df)
+        lon = p.lon.to_numpy()
+        lat = p.lat.to_numpy()
+        ids = p.event_id.to_numpy(np.int64)
+        t = df.event_type.to_numpy(object)
+        cx = np.floor((lon - _GRID_LON0) / _ESDA_CELL).astype(np.int64)
+        cy = np.floor((lat - _GRID_LAT0) / _ESDA_CELL).astype(np.int64)
+        frames = [pd.DataFrame({"cell": cx * _ESDA_NXY + cy, "home": True,
+                                "id": ids, "lon": lon, "lat": lat,
+                                "t": t})]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                gx, gy = cx + dx, cy + dy
+                ok = (gx >= 0) & (gy >= 0) & (gy < _ESDA_NXY)
+                frames.append(pd.DataFrame({
+                    "cell": (gx * _ESDA_NXY + gy)[ok], "home": False,
+                    "id": ids[ok], "lon": lon[ok], "lat": lat[ok],
+                    "t": t[ok]}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bk"] = out.cell.to_numpy() % nbk
+        return out
+
+    _EMPTY = {"type_a": pd.Series([], dtype=object),
+              "type_b": pd.Series([], dtype=object),
+              "s": pd.Series([], dtype=np.float64),
+              "na": pd.Series([], dtype=np.int64)}
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        home = g[g.home]
+        full = ["cell", "id", "lon", "lat", "t"]
+        m = home[full].merge(g[full], on="cell", suffixes=("_a", "_b"))
+        m = m[m.id_a.to_numpy() != m.id_b.to_numpy()]
+        dlat = m.lat_a.to_numpy() - m.lat_b.to_numpy()
+        dlon = m.lon_a.to_numpy() - m.lon_b.to_numpy()
+        m = m[1.8 * dlat * dlat + dlon * dlon <= e2]
+        if len(m) == 0:
+            return pd.DataFrame(_EMPTY)
+        k = m.groupby("id_a", sort=False).id_b.transform("size") \
+            .to_numpy(np.float64)
+        m = m.assign(frac=1.0 / k)
+        ab = (m.groupby(["t_a", "t_b"], sort=False).frac.sum()
+              .reset_index())
+        na = (m.drop_duplicates("id_a").groupby("t_a", sort=False)
+              .id_a.size().reset_index(name="na"))
+        return pd.DataFrame({
+            "type_a": np.concatenate([ab.t_a.to_numpy(object),
+                                      na.t_a.to_numpy(object)]),
+            "type_b": np.concatenate([ab.t_b.to_numpy(object),
+                                      np.full(len(na), "", dtype=object)]),
+            "s": np.concatenate([ab.frac.to_numpy(np.float64),
+                                 np.zeros(len(na))]),
+            "na": np.concatenate([np.zeros(len(ab), dtype=np.int64),
+                                  na.na.to_numpy(np.int64)])})
+
+    part = (ev.map_batches(copies, batch_format="pandas")
+            .groupby("bk").map_groups(partial, batch_format="pandas")
+            .to_pandas())
+    counts = _preagg(read_testdata(sf_dir, "events",
+                                   columns=["event_type"]),
+                     ["event_type"], [("n", None, "count")]).to_pandas()
+    ntot = int(counts.n.sum())
+    nty = dict(zip(counts.event_type, counts.n))
+    na_map = (part[part.type_b == ""].groupby("type_a").na.sum())
+    ab = (part[part.type_b != ""].groupby(["type_a", "type_b"]).s.sum())
+    rows = []
+    for (ta, tb), ssum in sorted(ab.items()):
+        n_a = int(na_map[ta])
+        nb_eff = int(nty[tb]) - (1 if ta == tb else 0)
+        clq = (float(ssum) / n_a) / (nb_eff / (ntot - 1.0))
+        rows.append((ta, tb, n_a, round(clq, 6)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_a",
+                                       "clq"]).astype({"n_a": np.int64})
