@@ -1798,3 +1798,41 @@ def test_mosaic_groups_match_union_find(gate):
     got_map = dict(zip(got.image_id, got.group_id))
     assert got_map == want
     assert (got.is_rep == (got.image_id == got.group_id)).all()
+
+
+def test_mann_whitney_ks_heavy_ties(ray_session, tmp_path):
+    """Rank statistics under HEAVY ties (every value shared by both
+    samples): midrank lifting and ECDF steps must stay exact — compared
+    against the DuckDB oracles AND closed-form expectations on a crafted
+    two-type table."""
+    import numpy as np
+    import pandas as pd
+
+    from tiff_enrichment_pipeline_ray.pipelines import queries as Q
+    from tools.minidriver import compare, to_pandas
+
+    # view: 4x value 1.00, 2x value 2.00 ; purchase: 2x 1.00, 4x 2.00
+    vals = [1.00] * 4 + [2.00] * 2 + [1.00] * 2 + [2.00] * 4
+    types = ["view"] * 6 + ["purchase"] * 6
+    df = pd.DataFrame({
+        "event_id": range(12),
+        "ts": pd.Timestamp("2024-01-01"),
+        "user_id": 1,
+        "event_type": types,
+        "value": vals,
+    })
+    sf = _write_events(tmp_path, df)
+    got_mw = to_pandas(Q.events_mann_whitney(sf))
+    want_mw = _events_oracle(sf, "events_mann_whitney")
+    assert compare("events_mann_whitney", got_mw, want_mw,
+                   exact=True) is None
+    # closed form: value 1.00 -> midrank 3.5 (6 rows), 2.00 -> 9.5;
+    # R_view = 4*3.5 + 2*9.5 = 33 ; U_view = 33 - 6*7/2 = 12
+    assert float(got_mw.u_a.iloc[0]) == 12.0
+
+    got_ks = to_pandas(Q.events_ks_drift(sf))
+    want_ks = _events_oracle(sf, "events_ks_drift")
+    assert compare("events_ks_drift", got_ks, want_ks, exact=True) is None
+    # ECDFs at 1.00: 4/6 vs 2/6 -> D = 1/3 at value 1.00
+    assert float(got_ks.ks_d.iloc[0]) == round(1 / 3, 6)
+    assert float(got_ks.at_value.iloc[0]) == 1.0
