@@ -9492,11 +9492,11 @@ def image_mosaic_groups(sf_dir: str):
 
     Scale shape: the pair Dataset is materialized once (slim string
     pairs); ids encode to int64 (injective, vectorized) for the generic
-    `_cc_label_prop` loop (two bucketed exchanges per round, O(1) driver
-    convergence checks, diameter-bounded by the capture-set geometry);
+    `_cc_label_prop` loop (neighbor-min + pointer jumping: O(log
+    diameter) rounds — required here, the overlap graph percolates into
+    a 74k-image component at sf0.1);
     the group label maps back to the min STRING id via one `_preagg` +
     two hash joins — so the output is encoding-independent."""
-    import ray.data as rd  # noqa: F401
 
     pairs = image_footprint_overlaps(sf_dir).materialize()
     n_pairs = pairs.count()
