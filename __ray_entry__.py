@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": Q.ann_pq_topk,
         "image_features": Q.image_features,
         "audio_stats": Q.audio_stats,
+        "audio_segments": Q.audio_segments,  # new r5, rows-only (VAD kernel pytest)
         "video_frame_sample": Q.video_frame_sample,
         "px_histogram": Q.px_histogram,
         "thumbnails": Q.thumbnails,

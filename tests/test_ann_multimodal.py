@@ -500,3 +500,58 @@ def test_pca_project_brute():
     assert got.pc1.var() >= got.pc2.var()
     # sign rule: the dominant coordinate of each component is positive
     assert (np.abs(W).max(axis=0) == W.max(axis=0)).all()
+
+
+class TestAudioSegment:
+    """Closed-form crafted clips for the VAD segmentation kernel."""
+
+    def _seg(self, pcm, rate=16000, **kw):
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.functions import codec
+        from tiff_enrichment_pipeline_ray.stages.multimodal import (
+            AudioSegment,
+        )
+
+        df = pd.DataFrame({"audio_id": [1],
+                           "bytes": [codec.encode_audio(pcm, rate)]})
+        return AudioSegment(**kw)(df).iloc[0]
+
+    def test_silence_has_no_segments(self):
+        import numpy as np
+
+        r = self._seg(np.zeros(16000, dtype=np.int16))
+        assert r.decode_ok and r.n_segments == 0 and r.active_ratio == 0.0
+
+    def test_constant_tone_one_full_segment(self):
+        import numpy as np
+
+        pcm = (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+               * 10000).astype(np.int16)
+        r = self._seg(pcm)
+        assert r.n_segments == 1
+        assert r.active_ratio == 1.0
+        assert r.active_s == 1.0 and r.longest_s == 1.0
+
+    def test_tone_silence_tone_two_segments(self):
+        import numpy as np
+
+        tone = (np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)
+                * 10000).astype(np.int16)
+        pcm = np.concatenate([tone, np.zeros(16000, dtype=np.int16), tone])
+        r = self._seg(pcm)
+        assert r.n_segments == 2
+        assert r.active_s == 1.0          # 2 x 0.5 s of tone
+        assert r.longest_s == 0.5
+        assert abs(r.active_ratio - 0.5) < 1e-9
+
+    def test_corrupt_blob_flagged(self):
+        import pandas as pd
+
+        from tiff_enrichment_pipeline_ray.stages.multimodal import (
+            AudioSegment,
+        )
+
+        r = AudioSegment()(pd.DataFrame({"audio_id": [1],
+                                         "bytes": [b"junk"]})).iloc[0]
+        assert not r.decode_ok and r.n_segments == 0

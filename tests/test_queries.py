@@ -220,7 +220,10 @@ ROWS_ONLY = ["image_chip_stats",
              "image_duplicate_tiles",
              # round 5: zlib quality filter (no SQL zlib; direct-recompute
              # oracle in test_compression_ratio_recompute)
-             "doc_compression_ratio"]
+             "doc_compression_ratio",
+             # round 5: VAD segmentation (crafted-clip closed forms in
+             # test_ann_multimodal::TestAudioSegment)
+             "audio_segments"]
 
 
 @pytest.mark.parametrize("name", ORACLED)

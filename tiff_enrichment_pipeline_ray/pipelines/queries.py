@@ -9764,3 +9764,26 @@ def geo_colocation_quotient(sf_dir: str):
         rows.append((ta, tb, n_a, round(clq, 6)))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n_a",
                                        "clq"]).astype({"n_a": np.int64})
+
+
+def audio_segments(sf_dir: str):
+    """Energy-based activity segmentation over the synthetic audio table
+    (stages.multimodal.AudioSegment — the VAD primitive before
+    transcription/chunking): per clip, 20 ms-frame RMS thresholded at
+    0.5× clip RMS, consecutive active frames merged; output
+    (audio_id, decode_ok, n_segments, active_s, longest_s,
+    active_ratio). Rows-only for the driver (bytes not SQL-decodable);
+    closed-form crafted-clip pytest pins the kernel.
+
+    Scale shape: autoscaling actor-pool map_batches, zero exchanges —
+    the audio_stats shape with a segmentation kernel."""
+    import ray.data as rd
+
+    from ..stages.multimodal import AudioSegment
+
+    audio_dir = synth.ensure_audio(synth.sf_from_dir(sf_dir))
+    ds = rd.read_parquet(audio_dir, columns=["audio_id", "bytes"])
+    # autoscaling (1, N) actor pool — the audio_stats_dataset idiom (a
+    # fixed pool starves the upstream read on small sessions)
+    return ds.map_batches(AudioSegment, batch_format="pandas",
+                          batch_size=256, concurrency=(1, 4), num_cpus=1)

@@ -188,6 +188,70 @@ class AudioDecode:
         })
 
 
+class AudioSegment:
+    """Audio `bytes` → energy-based activity segments (the VAD primitive a
+    speech-data pipeline runs before transcription/chunking): PCM framed
+    into 20 ms windows, a frame is ACTIVE when its RMS exceeds
+    ``thresh_rel`` x the clip RMS, and consecutive active frames merge
+    into segments. All-silence clips (zero RMS) have no active frames.
+
+    __call__(df[audio_id, bytes]) → df[audio_id, decode_ok,
+    n_segments:int64, active_s:float64, longest_s:float64,
+    active_ratio:float64] — one row per clip, vectorized frame math
+    (reshape + axis reductions; the only Python loop is per blob, the
+    codec boundary)."""
+
+    def __init__(self, frame_ms: int = 20, thresh_rel: float = 0.5):
+        self.frame_ms = int(frame_ms)
+        self.thresh_rel = float(thresh_rel)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        ok = np.zeros(n, dtype=bool)
+        nseg = np.zeros(n, dtype=np.int64)
+        act = np.zeros(n, dtype=np.float64)
+        lng = np.zeros(n, dtype=np.float64)
+        ratio = np.zeros(n, dtype=np.float64)
+        for i, blob in enumerate(df["bytes"]):
+            pcm, rate, good = codec.decode_audio(blob)
+            ok[i] = good
+            if not good or rate <= 0 or pcm.size == 0:
+                continue
+            spf = max(1, rate * self.frame_ms // 1000)
+            nf = pcm.size // spf
+            if nf == 0:
+                continue
+            x = pcm[:nf * spf].astype(np.float64) / 32768.0
+            fr = x.reshape(nf, spf)
+            frms = np.sqrt((fr * fr).mean(axis=1))
+            clip_rms = np.sqrt((x * x).mean())
+            active = frms > self.thresh_rel * clip_rms
+            if not active.any():
+                ratio[i] = 0.0
+                continue
+            # run-length over the active mask
+            d = np.diff(active.astype(np.int8))
+            starts = np.flatnonzero(d == 1) + 1
+            ends = np.flatnonzero(d == -1) + 1
+            if active[0]:
+                starts = np.concatenate([[0], starts])
+            if active[-1]:
+                ends = np.concatenate([ends, [nf]])
+            runs = ends - starts
+            nseg[i] = len(runs)
+            act[i] = float(active.sum()) * spf / rate
+            lng[i] = float(runs.max()) * spf / rate
+            ratio[i] = float(active.sum()) / nf
+        return pd.DataFrame({
+            "audio_id": df["audio_id"].to_numpy(),
+            "decode_ok": ok,
+            "n_segments": nseg,
+            "active_s": np.round(act, 6),
+            "longest_s": np.round(lng, 6),
+            "active_ratio": np.round(ratio, 6),
+        })
+
+
 class VideoFrameSample:
     """Video `bytes` → every-Nth-frame sample as image rows (flat-map shape:
     one output row per sampled frame; a clip yields ceil(n_frames/every_n)
