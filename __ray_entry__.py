@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_mosaic_groups": Q.image_mosaic_groups,  # new r5 (stitch CC)
         "geo_bivariate_moran": Q.geo_bivariate_moran,  # new r5 (cross-ESDA)
         "geo_colocation_quotient": Q.geo_colocation_quotient,  # new r5 (CLQ)
+        "events_lorenz_deciles": Q.events_lorenz_deciles,  # new r5 (Lorenz)
         "geo_station_coverage": Q.geo_station_coverage,
         "geo_block_split": Q.geo_block_split,
         "events_nearest_error": Q.events_nearest_error,
@@ -104,8 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_status": Q.q12_priority_by_status,
         "q21_waiting_suppliers": Q.q21_waiting_suppliers,
         "events_hourly": Q.events_hourly,
-        "events_user_daily": Q.events_user_daily,
         # ================= end of the 50-entry sweep window ===============
+        "events_user_daily": Q.events_user_daily,
         "events_rollup": Q.events_rollup,
         "events_pivot": Q.events_pivot,
         "events_sliding_window": Q.events_sliding_window,

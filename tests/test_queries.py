@@ -194,7 +194,7 @@ ORACLED = ["q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
            "events_theil_sen", "events_ks_drift",
            "events_mann_whitney", "events_runs_test",
            "image_mosaic_groups", "geo_bivariate_moran",
-           "geo_colocation_quotient",
+           "geo_colocation_quotient", "events_lorenz_deciles",
            "geo_station_coverage"]
 
 ROWS_ONLY = ["image_chip_stats",

@@ -2918,3 +2918,25 @@ JOIN na USING (type_a)
 JOIN cnt ON cnt.event_type = s.type_b
 CROSS JOIN tot
 """
+
+
+ORACLES["events_lorenz_deciles"] = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn,
+         count(*) OVER () AS n,
+         sum(c) OVER (ORDER BY c, user_id) AS cum,
+         sum(c) OVER () AS tot
+  FROM c
+), d AS (SELECT range AS k FROM range(1, 11))
+SELECT k AS decile,
+       CAST((k * r.n + 9) // 10 AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN rn <= (k * r.n + 9) // 10 THEN cum END)
+            AS BIGINT) AS cum_events,
+       round(CAST(max(CASE WHEN rn <= (k * r.n + 9) // 10 THEN cum END)
+                  AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS cum_share
+FROM d CROSS JOIN r
+GROUP BY k, r.n
+"""

@@ -9787,3 +9787,33 @@ def audio_segments(sf_dir: str):
     # fixed pool starves the upstream read on small sessions)
     return ds.map_batches(AudioSegment, batch_format="pandas",
                           batch_size=256, concurrency=(1, 4), num_cpus=1)
+
+
+def events_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of per-user activity at decile resolution — the
+    curve behind events_gini (what share of all events do the bottom
+    10%/20%/.../100% of users generate): users ascending by (count,
+    user_id), decile boundary at ceil(k·n/10) users (SQL NTILE-free
+    integer rule), cumulative event share as one exact-integer divide
+    per decile. Output (decile, n_users, cum_events, cum_share round-6).
+
+    Scale shape: ONE `_preagg` to the per-user census; the ranked
+    partial sums run on that bounded table driver-side (same documented
+    two-phase upgrade boundary as events_gini)."""
+    ev = read_testdata(sf_dir, "events", columns=["user_id"])
+    cnt = _preagg(ev, ["user_id"], [("c", None, "count")]).to_pandas()
+    cnt = cnt.sort_values(["c", "user_id"]).reset_index(drop=True)
+    c = cnt.c.to_numpy(np.int64)
+    n = len(c)
+    tot = int(c.sum())
+    cum = np.cumsum(c)
+    rows = []
+    for k in range(1, 11):
+        nk = (k * n + 9) // 10  # ceil(k*n/10), positive-int form (the
+        # -(-x//10) idiom differs between Python floor and DuckDB
+        # truncating division on the negative operand)
+        ce = int(cum[nk - 1]) if nk > 0 else 0
+        rows.append((k, nk, ce, round(ce / tot, 6)))
+    return pd.DataFrame(rows, columns=["decile", "n_users", "cum_events",
+                                       "cum_share"]).astype(
+        {"decile": np.int64, "n_users": np.int64, "cum_events": np.int64})
