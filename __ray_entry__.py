@@ -34,7 +34,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Dict order is deliberate: the driver's CORRECTNESS sweep checks the
     FIRST 50 entries, so never-driver-checked queries outrank stale-green
-    ones. Round-5 window = (0) the NINETEEN new round-5 SQL-exact
+    ones. Round-5 window = (0) the TWENTY-ONE new round-5 SQL-exact
     operators (the temporal/spatial analytics + rank-statistics +
     mosaic tier — see COVERAGE.md "Round-5 additions" waves; all swept
     hash-clean at 3 sfs); (a)
